@@ -1,0 +1,185 @@
+"""Text-analysis expressions for training-data pipelines.
+
+Tokenization, n-gram shingling, quality scoring, language-ID heuristics and
+document fingerprinting — all as native Column expressions (array/string
+functions, no Python UDFs) so they vectorize in whole-stage codegen and
+scale linearly with the corpus.
+
+Each helper is deliberately expressible in ANSI SQL too (the DuckDB oracle
+mirrors them 1:1), so the semantics are engine-independent and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny fixed stopword list — enough for ratio features and the
+# language-ID heuristic; deliberately deterministic and SQL-mirrorable.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length in characters (0 for empty text)."""
+    n = token_count(text)
+    total = F.aggregate(
+        tokens(text), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    """How many tokens are stopwords (exact token match)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_count(text, stopwords).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Vocabulary richness: distinct tokens / tokens (1.0 for empty)."""
+    n = token_count(text)
+    return F.when(
+        n > 0, F.size(F.array_distinct(tokens(text))).cast("double") / n
+    ).otherwise(F.lit(1.0))
+
+
+def quality_bucket(tok_n: Column, sw_ratio: Column, distinct_ratio: Column) -> Column:
+    """Coarse document-quality bucket from simple heuristics (generalizes the
+    reference's quality_score E19 to text corpora)."""
+    return (
+        F.when(tok_n < 5, "too_short")
+        .when(distinct_ratio < 0.3, "repetitive")
+        .when(sw_ratio > 0.6, "boilerplate")
+        .otherwise("ok")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as array<string> ('w1 w2 w3' joined).
+
+    Built from sequence+transform over the token array — pure Catalyst,
+    no explode needed at this stage (explode only where a join follows).
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")  # noqa: E731
+    return F.when(n >= k, F.transform(idx, shingle)).otherwise(
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. Collision-safe enough for exact-dedup keys and
+    engine-independent (md5 exists everywhere)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def minhash_values(text: Column, num_hashes: int = 4, k: int = 3) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    Hash family h_i(s) = md5(i || ':' || s); the signature component is the
+    lexicographic min over the document's k-shingles. md5-based so the
+    DuckDB oracle can reproduce it bit-for-bit; at scale swap for xxhash64
+    (also built-in) with the same structure.
+    """
+    sh = word_shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def simhash_bits(text: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens, ``bits`` wide, returned as a long.
+
+    Per token we take the first bits/4 hex chars of md5(token); each hex
+    char contributes 4 bit-votes (+1 if the bit is set, -1 otherwise); a
+    final bit is 1 when its vote sum is positive. Pure array/string
+    expressions, mirrored exactly by the SQL oracle.
+    """
+    assert bits % 4 == 0
+    toks = tokens(text)
+    hexdigits = "0123456789abcdef"
+
+    def bit_vote(bit: int) -> Column:
+        hex_pos = bit // 4  # which hex char of the md5 prefix
+        bit_in_char = 3 - (bit % 4)  # high bit first within the char
+        def vote(t: Column) -> Column:
+            ch = F.substring(F.md5(t), hex_pos + 1, 1)
+            val = F.instr(F.lit(hexdigits), ch) - 1
+            b = F.shiftright(val, bit_in_char) % 2
+            return F.when(b == 1, 1).otherwise(-1)
+        return F.aggregate(toks, F.lit(0), lambda acc, t: acc + vote(t))
+
+    out = F.lit(0).cast("long")
+    for bit in range(bits):
+        weight = 1 << (bits - 1 - bit)
+        out = out + F.when(bit_vote(bit) > 0, F.lit(weight)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return out
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Jaccard similarity of the distinct-token sets of two texts."""
+    sa = F.array_distinct(tokens(a))
+    sb = F.array_distinct(tokens(b))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# Language-ID heuristic: score = stopword hits per language profile, pick the
+# argmax. Profiles are tiny fixed lists so the whole thing is a when-chain.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax of profile scores, 'und' when all zero.
+    Ties break by profile order (en, es, de, fr) — mirrored in the oracle."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):
+        expr = F.when((scores[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr

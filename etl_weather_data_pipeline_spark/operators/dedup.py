@@ -1,0 +1,192 @@
+"""Deduplication operators, from exact to fuzzy (training-data pipeline core).
+
+Every variant is built to avoid the quadratic trap: candidate pairs come
+from equi-joins on blocking keys (hash, band, bucket), never from a full
+cross join. At 100 TB the only shuffles are on those keys.
+
+Strategy ladder:
+  exact          — hash-groupBy on a content fingerprint (one shuffle)
+  minhash LSH    — shingle → minhash signature → band → bucket equi-join
+  simhash        — near-dup via small-Hamming-distance signatures
+  n-gram Jaccard — verify stage on blocked candidates
+  embedding      — cosine near-dup on LSH/IVF buckets (see similarity.py)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_weather_data_pipeline_spark.functions import text as TX
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint; the survivor is the
+    lowest id (deterministic). Generalizes the reference's keyed dedup D1
+    (src/transform.py:85-92) to content-hash keys.
+
+    Plan: project fingerprint → hash aggregate (partial+final) → semi-join
+    back. The semi-join is on (fingerprint, id) so it stays an equi-join.
+    """
+    fp = TX.fingerprint(F.col(text_col)).alias("__fp")
+    with_fp = df.withColumn("__fp", TX.fingerprint(F.col(text_col)))
+    survivors = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate cluster summary: fingerprint → size + canonical id."""
+    return (
+        df.withColumn("fingerprint", TX.fingerprint(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature (array of ``num_hashes`` min-hash
+    values). Narrow map-only projection — no shuffle."""
+    return df.select(
+        F.col(id_col),
+        TX.minhash_values(F.col(text_col), num_hashes, shingle_k).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    rows_per_band = num_hashes / bands; two documents become a candidate
+    pair when any band of their signatures matches exactly. Plan:
+    map-side signature → explode bands → self equi-join on (band_idx,
+    band_value) → distinct pairs. The join key is the band hash, so the
+    shuffle is uniform unless the corpus has giant exact-dup clusters —
+    those should be removed by dedup_exact first.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        TX.minhash_values(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_val")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash value — map-only; join on equal simhash (or on
+    rotated prefixes for Hamming-distance search) downstream."""
+    return df.select(
+        F.col(id_col), TX.simhash_bits(F.col(text_col), bits).alias("simhash")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    blocking: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-dup pairs: equi-join on blocking keys, then exact
+    token-set Jaccard >= threshold.
+
+    The blocking key bounds the pair count (choose keys so blocks are
+    O(100s) of docs); the Jaccard verify runs as array expressions inside
+    codegen. This is the verify stage LSH candidates feed into at scale.
+    """
+    proj = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in blocking],
+        F.array_distinct(TX.tokens(F.col(text_col))).alias("__toks"),
+    )
+    left, right = proj.alias("l"), proj.alias("r")
+    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    for c in blocking:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    inter = F.size(F.array_intersect(F.col("l.__toks"), F.col("r.__toks")))
+    union = F.size(F.array_union(F.col("l.__toks"), F.col("r.__toks")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_keyed_first(
+    df: DataFrame, keys: Sequence[str], order: Sequence[str]
+) -> DataFrame:
+    """Generic deterministic keep-first dedup (D1 generalized): row_number
+    over (keys, order) — one shuffle, winner independent of partitioning."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) for c in order]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+  brute_force_topk — exact cosine top-k; the correctness baseline. O(N·d)
+    per query, fully distributed (map + single top-k reduce); right answer
+    for <10M rows or as the verify stage.
+  ivf_topk — IVF-style: assign vectors to coarse cells (precomputed
+    centroids / labels), probe only the nearest cells. The 100 TB path:
+    candidate set shrinks by the cell fan-out, shuffle is an equi-join on
+    cell id.
+
+Random-hyperplane LSH bucketing is also provided for cheap cell assignment
+when no centroids exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_weather_data_pipeline_spark.functions import vector as VX
+
+
+def _as_literal_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The per-row cosine is a codegen'd fold; the top-k is a TakeOrdered —
+    map-side partial top-k then a tiny driver merge, no full sort shuffle.
+    """
+    q = _as_literal_vec(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(VX.cosine(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def topk_join(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Top-k neighbors for MANY queries: broadcast the (small) query set,
+    score every (vector, query) pair map-side, window top-k per query."""
+    from pyspark.sql.window import Window
+
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(VX.cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def lsh_bucket(
+    vec_col: Column, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane packed into a
+    long. Planes are fixed literals (deterministic, broadcast-free)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(VX.dot(vec_col, _as_literal_vec(p)) >= 0, 1).otherwise(0)
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i).cast("long"))
+    return bucket
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: centroids per existing cell column, probe the
+    ``n_probe`` cells whose centroids are nearest the query, brute-force
+    inside them. Two small jobs (centroids, probe choice) + one pruned scan.
+
+    At 100 TB the table is written partitioned/clustered by cell id, so the
+    probe scan prunes to n_probe partitions — the candidate set (and the
+    shuffle) shrinks by cells/n_probe.
+    """
+    q = _as_literal_vec(query_vec)
+    dim = len(query_vec)
+    # Cell centroids: mean per dimension via posexplode + groupBy — scales
+    # linearly; computed once and reusable across queries.
+    cent = (
+        df.select(F.col(cell_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy(cell_col, "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            cell_col,
+            F.transform(F.col("pc"), lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    probe_rows = (
+        cent.select(cell_col, VX.cosine(F.col("centroid"), q).alias("sim"))
+        .orderBy(F.col("sim").desc())
+        .limit(n_probe)
+        .collect()
+    )
+    probe_cells = [r[cell_col] for r in probe_rows]
+    pruned = df.filter(F.col(cell_col).isin(probe_cells))
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)

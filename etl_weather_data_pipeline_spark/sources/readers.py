@@ -1,0 +1,104 @@
+"""Batch sources — every reader enforces an explicit schema (no inference).
+
+Covers SURVEY §2.1: landed API JSON (S3 as from_json), cities config (S4),
+CSV compatibility reader (S5), plus the parquet testdata loader used by the
+driver harness. The live REST fetch (S1/S2) lives in sources/rest.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_weather_data_pipeline_spark.schemas import (
+    API_SCHEMA,
+    CITIES_SCHEMA,
+    RAW_SCHEMA,
+    TESTDATA_TABLES,
+)
+
+DEFAULT_CITIES = [
+    {"city": "London", "country_code": "GB"},
+    {"city": "New York", "country_code": "US"},
+    {"city": "Tokyo", "country_code": "JP"},
+    {"city": "Paris", "country_code": "FR"},
+    {"city": "Sydney", "country_code": "AU"},
+    {"city": "Berlin", "country_code": "DE"},
+    {"city": "Moscow", "country_code": "RU"},
+    {"city": "Beijing", "country_code": "CN"},
+    {"city": "Mumbai", "country_code": "IN"},
+    {"city": "Cairo", "country_code": "EG"},
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql plans."""
+    for name, df in read_all_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def parse_api_payload(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """S3 — nested API JSON → flat RAW_SCHEMA rows, declaratively.
+
+    The reference flattens imperatively with defaulting logic
+    (src/ingest.py:152-169); here it is from_json + one select, so Catalyst
+    prunes unused branches of the nested struct at the scan.
+    Unit conversions: visibility m→km (/1000, default 0), dt epoch→ts.
+    """
+    parsed = df.select(F.from_json(F.col(json_col), API_SCHEMA).alias("j"))
+    return parsed.select(
+        F.col("j.name").alias("city"),
+        F.col("j.sys.country").alias("country"),
+        F.timestamp_seconds(F.col("j.dt")).alias("timestamp"),
+        F.col("j.main.temp").alias("temperature"),
+        F.col("j.main.feels_like").alias("feels_like"),
+        F.col("j.main.humidity").cast("int").alias("humidity"),
+        F.col("j.main.pressure").cast("int").alias("pressure"),
+        F.coalesce(F.col("j.weather")[0]["description"], F.lit("")).alias(
+            "description"
+        ),
+        F.coalesce(F.col("j.wind.speed"), F.lit(0.0)).alias("wind_speed"),
+        F.coalesce(F.col("j.wind.deg"), F.lit(0)).cast("int").alias(
+            "wind_direction"
+        ),
+        F.coalesce(F.col("j.clouds.all"), F.lit(0)).cast("int").alias("cloudiness"),
+        (F.coalesce(F.col("j.visibility"), F.lit(0)) / 1000.0).alias("visibility"),
+        F.col("j.coord.lat").alias("lat"),
+        F.col("j.coord.lon").alias("lon"),
+    )
+
+
+def read_api_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read landed API JSON files (one payload per line) → RAW rows."""
+    raw = spark.read.text(path)
+    return parse_api_payload(raw, "value")
+
+
+def read_raw_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S5 — CSV compatibility reader with the RAW schema enforced (the
+    reference re-infers types at every CSV hand-off,
+    weather_etl_dag.py:182,251-255 — a correctness hazard we remove)."""
+    return spark.read.schema(RAW_SCHEMA).csv(path, header=True)
+
+
+def load_cities(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """S4 — cities config with hard-coded fallback
+    (reference src/ingest.py:192-213)."""
+    rows = DEFAULT_CITIES
+    if path and os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        rows = data.get("cities", data) if isinstance(data, dict) else data
+    return spark.createDataFrame(rows, CITIES_SCHEMA)
