@@ -16,14 +16,19 @@ from pyspark.sql.window import Window
 
 
 def latest_per_group(
-    df: DataFrame, keys: Sequence[str], order_col: str, tiebreak: Sequence[str] = ()
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str | Column] = (),
 ) -> DataFrame:
     """W1 — first row per group by descending ``order_col`` (the reference's
     PostgreSQL ``DISTINCT ON`` view `latest_weather`, sql/schema.sql:100-115).
 
     row_number (not dropDuplicates) so the winner is deterministic.
     """
-    order = [F.col(order_col).desc()] + [F.col(c) for c in tiebreak]
+    order = [F.col(order_col).desc()] + [
+        F.col(c) if isinstance(c, str) else c for c in tiebreak
+    ]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

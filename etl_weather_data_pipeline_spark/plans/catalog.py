@@ -1,0 +1,98 @@
+"""Query catalog: named queries with DuckDB-oracle mirrors.
+
+Each :class:`Query` pairs a Spark DataFrame plan with the equivalent ANSI
+SQL the driver runs through DuckDB on the same parquet tables. The pair is
+the correctness contract: identical column names, identical row sets,
+bit-identical values.
+
+Cross-engine determinism rules used throughout (established empirically,
+see tests/test_oracle_parity.py):
+
+- **Float aggregates go through exact decimals.** Spark and DuckDB sum
+  doubles in different orders → last-ulp drift → hash mismatch. Pattern:
+  ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`` on both sides — exact
+  decimal arithmetic, deterministic double at the end.
+- **Rounding doubles goes through decimal too.** Spark ``round`` is
+  HALF_UP on the shortest decimal repr; DuckDB rounds the binary value —
+  they disagree on ties. ``ROUND(CAST(x AS DECIMAL(28,10)), n)`` agrees
+  bit-for-bit (verified incl. negatives).
+- **events.ts is parquet TIMESTAMP(NANOS)** — Spark can't read it natively;
+  ``load()`` reads nanos as long and floor-divides to micros, matching
+  DuckDB 1.x's truncation to TIMESTAMP (µs).
+- Every computed column is aliased identically in both plans (the driver
+  sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    description: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default=())
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table; normalizes events.ts (nanos → micros)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- Spark-side deterministic-float helpers ---------------------------------
+
+
+def dsum(col: str | Column, scale: int = 2) -> Column:
+    """Exact decimal sum, returned as double (deterministic cross-engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: str | Column, scale: int = 2) -> Column:
+    """Deterministic mean: exact decimal sum / count (assumes no nulls)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+
+
+def dround(col: Column, n: int) -> Column:
+    """Deterministic double rounding via decimal(28,10)."""
+    return F.round(col.cast("decimal(28,10)"), n).cast("double")
+
+
+# --- Oracle-side (DuckDB SQL) mirrors of the same helpers -------------------
+
+
+def o_dsum(c: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({c} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def o_davg(c: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({c} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT(*)"
+
+
+def o_dround(x: str, n: int) -> str:
+    return f"CAST(ROUND(CAST({x} AS DECIMAL(28,10)), {n}) AS DOUBLE)"
+
+
+def build_registry() -> dict[str, Query]:
+    """Assemble the full query registry from all plan modules."""
+    from etl_weather_data_pipeline_spark.plans import llmops, relational, weather_demo
+
+    registry: dict[str, Query] = {}
+    for mod in (relational, llmops, weather_demo):
+        for q in mod.QUERIES:
+            assert q.name not in registry, f"duplicate query name {q.name}"
+            registry[q.name] = q
+    return registry

@@ -1,0 +1,718 @@
+"""Relational query catalog over the TPC-H-ish testdata (SURVEY §2.3-§2.9).
+
+Covers every relational operator class in SURVEY §2 — projections/filters,
+dedup, imputation-style expressions, scalar expressions, aggregations,
+window functions — plus the join/set-op/top-k/pivot/rollup surface the
+reference lacks (§2.9 'Spark gives these for free; our engine should still
+expose them').
+
+Scale notes per query are inline: what shuffles, what broadcasts, what
+prunes. Plans are written so Catalyst pushes filters into the parquet scan
+and picks broadcast joins for the small sides (region/nation/supplier/part).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_weather_data_pipeline_spark.operators.dedup import dedup_keyed_first
+from etl_weather_data_pipeline_spark.operators.windows import (
+    latest_per_group,
+    sessionize,
+    topk_per_group,
+)
+from etl_weather_data_pipeline_spark.plans.catalog import (
+    Query,
+    davg,
+    dround,
+    dsum,
+    load,
+    o_davg,
+    o_dround,
+    o_dsum,
+)
+
+QUERIES: list[Query] = []
+
+
+def q(name: str, description: str, oracle: str | None = None, tags: tuple = ()):
+    def deco(fn):
+        QUERIES.append(Query(name, description, fn, oracle, tuple(tags)))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A6 analogues) + TPC-H-style plans
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pricing_summary",
+    "TPC-H Q1 shape: scan-filter-aggregate on lineitem, 2 keys x 6 measures. "
+    "Partial+final hash agg; filter pushed to parquet scan.",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS sum_disc_price,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "top_revenue_orders",
+    "TPC-H Q3 shape: customer⋈orders⋈lineitem, top-10 orders by revenue. "
+    "customer side broadcasts; deterministic order via exact decimal revenue.",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    building_orders = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    return (
+        li.join(
+            F.broadcast(building_orders),
+            li.l_orderkey == building_orders.o_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "nation_revenue",
+    "TPC-H Q5 shape: 6-table join with broadcast dims, revenue per nation. "
+    "lineitem is the only big side; everything else broadcasts.",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def nation_revenue(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "segment_order_stats",
+    "orders⋈customer grouped by market segment (A5-style two-table agg).",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS order_count,
+           COUNT(DISTINCT o.o_custkey) AS active_customers,
+           {o_dsum('o.o_totalprice')} AS total_revenue,
+           {o_davg('o.o_totalprice')} AS avg_order_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def segment_order_stats(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+            dsum("o_totalprice").alias("total_revenue"),
+            davg("o_totalprice").alias("avg_order_value"),
+        )
+    )
+
+
+@q(
+    "brand_part_stats",
+    "lineitem⋈part grouped by brand; part broadcasts (small dim).",
+    oracle=f"""
+    SELECT p.p_brand,
+           COUNT(*) AS line_count,
+           COUNT(DISTINCT l.l_partkey) AS distinct_parts,
+           {o_dsum('l.l_quantity')} AS total_qty,
+           {o_davg('p.p_retailprice')} AS avg_retail
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_part_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            dsum("l_quantity").alias("total_qty"),
+            davg("p_retailprice").alias("avg_retail"),
+        )
+    )
+
+
+@q(
+    "global_order_metrics",
+    "Single-row global aggregate (A1/A2 analogue): counts, exact distincts, "
+    "min/max timestamps, deterministic avg.",
+    oracle=f"""
+    SELECT COUNT(*) AS total_orders,
+           COUNT(DISTINCT o_custkey) AS unique_customers,
+           COUNT(DISTINCT o_orderpriority) AS priorities,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           {o_davg('o_totalprice')} AS avg_total
+    FROM orders
+    """,
+)
+def global_order_metrics(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.countDistinct("o_orderpriority").alias("priorities"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        davg("o_totalprice").alias("avg_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins / set ops (SURVEY §2.9 — beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "customers_with_big_orders",
+    "Left-semi join (EXISTS): customers having at least one order > 400k.",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def customers_with_big_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@q(
+    "customers_without_orders",
+    "Left-anti join (NOT EXISTS): customers with no orders at all.",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "nationkeys_union",
+    "Set union (distinct): nation keys present among customers or suppliers.",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+)
+def nationkeys_union(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@q(
+    "customer_only_nations",
+    "Set difference: nation keys with customers but no suppliers.",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    EXCEPT
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+)
+def customer_only_nations(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT (distinct) semantics, matching SQL EXCEPT
+
+
+# ---------------------------------------------------------------------------
+# Window functions / top-k (W1 + frames, lead/lag — beyond reference)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "latest_event_per_user",
+    "W1 (latest-per-group): the reference's latest_weather view generalized "
+    "— newest event per user via row_number, deterministic tiebreak.",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM events e)
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return latest_per_group(
+        ev, ["user_id"], "ts", tiebreak=[F.col("event_id").desc()]
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@q(
+    "top_orders_per_customer",
+    "Top-k per group: 3 biggest orders per customer, ranked.",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def top_orders_per_customer(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return topk_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+@q(
+    "user_running_value",
+    "Window frame (running sum) + lag, per user ordered by time. Decimal "
+    "window sum for cross-engine determinism.",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+    FROM events
+    """,
+)
+def user_running_value(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_value"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+@q(
+    "user_sessions",
+    "Sessionization: lag + gap>30min + running count, then sessions per "
+    "user (one shuffle on user_id; both windows share the sort).",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR (epoch_us(ts)//1000000 - epoch_us(prev_ts)//1000000) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagged
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def user_sessions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak=["event_id"])
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (D1) / filters (P2-P6) / scalar expressions (E1-E23) on events
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_events_hourly",
+    "D1 generalized: earliest event per (user, type, hour) — deterministic "
+    "keep-first via row_number, the reference's hour-truncated dedup.",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (SELECT e.*, row_number() OVER (
+              PARTITION BY user_id, event_type, date_trunc('hour', ts)
+              ORDER BY ts, event_id) AS rn FROM events e)
+    WHERE rn = 1
+    """,
+)
+def dedup_events_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "__h", F.date_trunc("hour", F.col("ts"))
+    )
+    out = dedup_keyed_first(ev, ["user_id", "event_type", "__h"], ["ts", "event_id"])
+    return out.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+@q(
+    "events_enriched",
+    "Scalar-expression battery (E1-E22 analogues): date parts, season "
+    "when-chain, clip, pmod, decimal-round, initcap, concat, numeric→string.",
+    oracle=f"""
+    SELECT event_id,
+           CAST(ts AS DATE) AS d,
+           CAST(hour(ts) AS INT) AS hr,
+           dayname(ts) AS day_name,
+           monthname(ts) AS month_name,
+           CASE WHEN month(ts) IN (12,1,2) THEN 'Winter'
+                WHEN month(ts) IN (3,4,5) THEN 'Spring'
+                WHEN month(ts) IN (6,7,8) THEN 'Summer'
+                ELSE 'Autumn' END AS season,
+           least(greatest(value, 10.0), 100.0) AS value_clipped,
+           ((event_id * 7 - 1000) % 360 + 360) % 360 AS wrapped,
+           {o_dround('value * 0.1', 2)} AS value_scaled,
+           upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+               AS type_title,
+           event_type || '-' || CAST(user_id AS VARCHAR) AS type_user,
+           CAST(value AS VARCHAR) AS value_str
+    FROM events
+    """,
+)
+def events_enriched(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ts, v = F.col("ts"), F.col("value")
+    m = F.month(ts)
+    return ev.select(
+        "event_id",
+        F.to_date(ts).alias("d"),
+        F.hour(ts).alias("hr"),
+        F.date_format(ts, "EEEE").alias("day_name"),
+        F.date_format(ts, "MMMM").alias("month_name"),
+        F.when(m.isin(12, 1, 2), "Winter")
+        .when(m.isin(3, 4, 5), "Spring")
+        .when(m.isin(6, 7, 8), "Summer")
+        .otherwise("Autumn")
+        .alias("season"),
+        F.least(F.greatest(v, F.lit(10.0)), F.lit(100.0)).alias("value_clipped"),
+        F.pmod(F.col("event_id") * 7 - 1000, F.lit(360)).alias("wrapped"),
+        dround(v * 0.1, 2).alias("value_scaled"),
+        F.initcap(F.col("event_type")).alias("type_title"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "type_user"
+        ),
+        v.cast("string").alias("value_str"),
+    )
+
+
+@q(
+    "events_filtered_scored",
+    "Range filters (P3-P6 analogues) + piecewise comfort/quality scoring "
+    "(E16/E19 analogues) — conjunctive predicate reaches the scan.",
+    oracle=f"""
+    SELECT event_id,
+           {o_dround('value + (CASE WHEN (event_id % 120) > 70 '
+                      'THEN ((event_id % 120) - 70) * 0.1 '
+                      'WHEN (event_id % 120) < 30 '
+                      'THEN -(30 - (event_id % 120)) * 0.05 ELSE 0.0 END)', 1)}
+               AS comfort,
+           CAST(least(greatest(100 - (CASE WHEN value > 400 THEN 5 ELSE 0 END)
+                                   - (CASE WHEN value < 1 THEN 3 ELSE 0 END)
+                                   - (CASE WHEN event_id % 7 = 0 THEN 10 ELSE 0 END),
+                               0), 100) AS DOUBLE) AS quality
+    FROM events
+    WHERE value BETWEEN 5.0 AND 450.0
+      AND event_type IN ('click','purchase','view')
+      AND user_id IS NOT NULL
+    """,
+)
+def events_filtered_scored(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    h = F.col("event_id") % 120
+    comfort = dround(
+        v
+        + F.when(h > 70, (h - 70) * 0.1)
+        .when(h < 30, -(30 - h) * 0.05)
+        .otherwise(F.lit(0.0)),
+        1,
+    )
+    quality = (
+        F.lit(100)
+        - F.when(v > 400, 5).otherwise(0)
+        - F.when(v < 1, 3).otherwise(0)
+        - F.when(F.col("event_id") % 7 == 0, 10).otherwise(0)
+    )
+    quality = F.least(F.greatest(quality, F.lit(0)), F.lit(100)).cast("double")
+    return (
+        ev.filter(
+            v.between(5.0, 450.0)
+            & F.col("event_type").isin("click", "purchase", "view")
+            & F.col("user_id").isNotNull()
+        )
+        .select("event_id", comfort.alias("comfort"), quality.alias("quality"))
+    )
+
+
+@q(
+    "events_json_props",
+    "JSON extraction (E23 analogue): pull typed values out of the props "
+    "JSON column and aggregate on them.",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            F.floor(k / 10).cast("int").alias("k_bucket"), "user_id"
+        )
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("users"))
+    )
+
+
+@q(
+    "median_value_by_type",
+    "N2 analogue (median imputation's aggregate half): exact median per "
+    "group + deviation counts.",
+    oracle="""
+    SELECT event_type, median(value) AS median_value,
+           COUNT(*) FILTER (WHERE value > (SELECT median(value) FROM events))
+               AS above_global_median
+    FROM events GROUP BY event_type
+    """,
+)
+def median_value_by_type(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    global_med = ev.agg(F.median("value")).first()[0]
+    return ev.groupBy("event_type").agg(
+        F.median("value").alias("median_value"),
+        F.count(F.when(F.col("value") > global_med, 1)).alias(
+            "above_global_median"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping extensions: pivot, rollup, daily quality (A4)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "daily_event_type_pivot",
+    "Pivot: one row per day, one count column per event type.",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def daily_event_type_pivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("d", F.to_date("ts"))
+        .groupBy("d")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@q(
+    "event_type_rollup",
+    "Rollup: per-type counts plus grand total (NULL grouping row).",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {o_dsum('value')} AS total_value
+    FROM events GROUP BY ROLLUP(event_type)
+    """,
+)
+def event_type_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@q(
+    "daily_quality_summary",
+    "A4 analogue (quality-over-time view): per-day activity metrics.",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS active_users,
+           {o_davg('value')} AS avg_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY 1
+    """,
+)
+def daily_quality_summary(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("d", F.to_date("ts"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+            davg("value").alias("avg_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+@q(
+    "type_value_buckets",
+    "A5 analogue (two-key grouped trends): event type x value bucket "
+    "(E13-E15-style when-chain).",
+    oracle=f"""
+    SELECT event_type,
+           CASE WHEN value < 10 THEN 'tiny' WHEN value < 50 THEN 'small'
+                WHEN value < 150 THEN 'medium' WHEN value < 300 THEN 'large'
+                ELSE 'huge' END AS value_bucket,
+           COUNT(*) AS n, {o_davg('value')} AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def type_value_buckets(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket = (
+        F.when(v < 10, "tiny")
+        .when(v < 50, "small")
+        .when(v < 150, "medium")
+        .when(v < 300, "large")
+        .otherwise("huge")
+    )
+    return (
+        ev.withColumn("value_bucket", bucket)
+        .groupBy("event_type", "value_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value"))
+    )

@@ -1,0 +1,78 @@
+"""Mirror of the driver's correctness harness: run every catalog query on
+Spark AND its oracle SQL on DuckDB over the same parquet, compare row
+counts, column names, and exact values (order-insensitive).
+
+Stricter than the driver (exact float equality, not hash) so drift shows
+up here first.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from etl_weather_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+from tests.conftest import SF_SMOKE
+
+_REG = entry_mod._REGISTRY
+ORACLED = [n for n, q in _REG.items() if q.oracle is not None]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None)
+    return v
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    q = _REG[name]
+    sdf = q.spark(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    cur = duck.execute(q.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duckdb={len(drows)}"
+    )
+    sc, dc = _canon(srows, scols), _canon(drows, dcols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(sc, dc)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
