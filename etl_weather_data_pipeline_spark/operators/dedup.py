@@ -165,13 +165,14 @@ def jaccard_pairs(
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     inter = F.size(F.array_intersect(F.col("l.__toks"), F.col("r.__toks")))
     union = F.size(F.array_union(F.col("l.__toks"), F.col("r.__toks")))
+    # Exact int/int division — bit-identical across engines, no rounding.
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
         left.join(right, cond)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

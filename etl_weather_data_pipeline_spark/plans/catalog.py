@@ -42,8 +42,37 @@ class Query:
     tags: tuple[str, ...] = field(default=())
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile.
+
+    The driver may import us from an arbitrary path (sys.path hack in
+    __spark_entry__); executor Python workers don't inherit that path, so
+    any pickled-by-reference UDF would hit ModuleNotFoundError. Zipping the
+    package once per process and addPyFile-ing it makes every UDF safe.
+    """
+    if getattr(spark, "_etl_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent.parent
+    zpath = Path(tempfile.gettempdir()) / (
+        f"etl_weather_data_pipeline_spark_{os.getpid()}.zip"
+    )
+    if not zpath.exists():
+        tmp = zpath.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, p.relative_to(pkg_dir.parent))
+        tmp.replace(zpath)
+    spark.sparkContext.addPyFile(str(zpath))
+    spark._etl_pyfiles_added = True
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table; normalizes events.ts (nanos → micros)."""
+    ensure_worker_imports(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

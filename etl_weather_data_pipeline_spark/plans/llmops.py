@@ -1,11 +1,453 @@
-"""LLM training-data pipeline queries (dedup / similarity / text analysis).
+"""LLM training-data pipeline queries: dedup, similarity, text analysis,
+multimodal plumbing — the beyond-reference operator set (BASELINE.json
+north star), each with a DuckDB oracle where SQL can express it.
 
-Filled in incrementally; see operators/dedup.py and operators/similarity.py
-for the underlying operators.
+Hash functions are md5-based so both engines reproduce them bit-for-bit;
+at production scale the same structures run on xxhash64 (also built-in on
+both) for speed. Shingle/signature expressions are generated from one
+Python spec so the Spark plan and the SQL oracle cannot drift.
 """
 
 from __future__ import annotations
 
-from etl_weather_data_pipeline_spark.plans.catalog import Query
+from pyspark.sql import functions as F
+
+from etl_weather_data_pipeline_spark.functions import text as TX
+from etl_weather_data_pipeline_spark.functions import vector as VX
+from etl_weather_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    duplicate_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_table,
+)
+from etl_weather_data_pipeline_spark.plans.catalog import (
+    Query,
+    dround,
+    load,
+    o_dround,
+)
 
 QUERIES: list[Query] = []
+
+
+def q(name, description, oracle=None, tags=()):
+    def deco(fn):
+        QUERIES.append(Query(name, description, fn, oracle, tuple(tags)))
+        return fn
+
+    return deco
+
+
+# --- shared oracle fragments (mirror functions/text.py exactly) -------------
+
+O_TOKS = "string_split(trim(text), ' ')"
+O_SHINGLES = (
+    f"list_transform(range(1, len({O_TOKS}) - 1), "
+    f"i -> {O_TOKS}[i] || ' ' || {O_TOKS}[i+1] || ' ' || {O_TOKS}[i+2])"
+)
+O_FINGERPRINT = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+def o_minhash(i: int) -> str:
+    """Oracle mirror of TX.minhash_values component i (min over md5('i:'||s))."""
+    return f"list_min(list_transform({O_SHINGLES}, s -> md5('{i}:' || s)))"
+
+
+def o_simhash(bits: int = 16) -> str:
+    """Oracle mirror of TX.simhash_bits: per-bit ±1 votes from md5 hex chars."""
+    terms = []
+    for bit in range(bits):
+        hex_pos, bit_in_char = bit // 4, 3 - (bit % 4)
+        vote = (
+            f"list_sum(list_transform({O_TOKS}, t -> CASE WHEN "
+            f"((strpos('0123456789abcdef', substr(md5(t), {hex_pos + 1}, 1)) - 1)"
+            f" >> {bit_in_char}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << (bits - 1 - bit)} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_dedup_exact",
+    "Exact dedup on content fingerprint (md5 of normalized text); survivor "
+    "= lowest doc_id. One hash-agg shuffle + semi-join back.",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT {O_FINGERPRINT} AS fp, MIN(doc_id) AS doc_id
+          FROM documents GROUP BY 1) s
+      ON d.doc_id = s.doc_id
+    """,
+)
+def doc_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@q(
+    "doc_duplicate_groups",
+    "Exact-duplicate cluster summary: fingerprint -> cluster size + "
+    "canonical id (the groupBy half of exact dedup).",
+    oracle=f"""
+    SELECT {O_FINGERPRINT} AS fingerprint,
+           COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_duplicate_groups(spark, sf_dir):
+    return duplicate_groups(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_minhash_signatures",
+    "MinHash signatures (4 hash fns over 3-word shingles) as columns. "
+    "Map-only projection; the signature stage of MinHash-LSH dedup.",
+    oracle=f"""
+    SELECT doc_id,
+           {o_minhash(0)} AS mh0, {o_minhash(1)} AS mh1,
+           {o_minhash(2)} AS mh2, {o_minhash(3)} AS mh3
+    FROM documents
+    """,
+)
+def doc_minhash_signatures(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sig = TX.minhash_values(F.col("text"), num_hashes=4, k=3)
+    return docs.select(
+        "doc_id",
+        *[sig[i].alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def _o_lsh_pairs(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig_cols = ", ".join(f"{o_minhash(i)} AS h{i}" for i in range(num_hashes))
+    band_vals = ", ".join(
+        "h" + " || '|' || h".join(
+            str(b * rows + r) for r in range(rows)
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    bands AS (
+      SELECT doc_id, b.band_idx, b.band_val
+      FROM sig, unnest([{', '.join(
+          '{' + f"'band_idx': {b}, 'band_val': " + " || '|' || ".join(
+              f'h{b * rows + r}' for r in range(rows)) + '}'
+          for b in range(bands))}]) AS t(b)
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+    """
+
+
+@q(
+    "doc_minhash_lsh_pairs",
+    "MinHash+LSH candidate pairs (8 hashes, 4 bands x 2 rows): signature -> "
+    "explode bands -> self equi-join on band value -> distinct pairs. The "
+    "shuffle key is the band hash, never a cross join.",
+    oracle=_o_lsh_pairs(8, 4),
+)
+def doc_minhash_lsh_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+
+
+@q(
+    "doc_simhash",
+    "SimHash (16-bit, md5 bit-votes over tokens) per document — map-only; "
+    "equal values (or small Hamming distance via rotations) = near-dups.",
+    oracle=f"SELECT doc_id, {o_simhash(16)} AS simhash FROM documents",
+)
+def doc_simhash(spark, sf_dir):
+    return simhash_table(load(spark, sf_dir, "documents"), bits=16)
+
+
+@q(
+    "doc_jaccard_pairs",
+    "Verified near-dup pairs: blocking on (lang, n_chars//100) bounds the "
+    "candidate set, exact token-set Jaccard >= 0.5 verifies inside codegen.",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, n_chars // 100 AS bucket,
+                      list_distinct(string_split(trim(text), ' ')) AS toks
+               FROM documents)
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(l.toks, r.toks))) AS jaccard
+    FROM t l JOIN t r
+      ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5
+    """,
+)
+def doc_jaccard_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    return jaccard_pairs(docs, blocking=["lang", "bucket"], threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_text_stats",
+    "Per-document text features: token/char counts, mean token length, "
+    "stopword + vocabulary ratios, quality bucket — all array expressions "
+    "inside codegen, no Python.",
+    oracle=f"""
+    SELECT doc_id,
+           len({O_TOKS}) AS token_count,
+           length(text) AS char_count,
+           CAST(list_sum(list_transform({O_TOKS}, t -> length(t))) AS DOUBLE)
+             / len({O_TOKS}) AS avg_token_len,
+           CAST(len(list_filter({O_TOKS},
+                t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                AS DOUBLE) / len({O_TOKS}) AS stopword_ratio,
+           CAST(len(list_distinct({O_TOKS})) AS DOUBLE) / len({O_TOKS})
+               AS distinct_ratio,
+           CASE WHEN len({O_TOKS}) < 5 THEN 'too_short'
+                WHEN CAST(len(list_distinct({O_TOKS})) AS DOUBLE)
+                     / len({O_TOKS}) < 0.3 THEN 'repetitive'
+                WHEN CAST(len(list_filter({O_TOKS},
+                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                     AS DOUBLE) / len({O_TOKS}) > 0.6 THEN 'boilerplate'
+                ELSE 'ok' END AS quality_bucket
+    FROM documents
+    """,
+)
+def doc_text_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    tok_n = TX.token_count(text)
+    sw = TX.stopword_ratio(text)
+    dr = TX.distinct_token_ratio(text)
+    return docs.select(
+        "doc_id",
+        tok_n.alias("token_count"),
+        TX.char_count(text).alias("char_count"),
+        TX.avg_token_len(text).alias("avg_token_len"),
+        sw.alias("stopword_ratio"),
+        dr.alias("distinct_ratio"),
+        TX.quality_bucket(tok_n, sw, dr).alias("quality_bucket"),
+    )
+
+
+def _o_lang_score(words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(trim(lower(text)), ' '), "
+        f"t -> list_contains([{arr}], t)))"
+    )
+
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_o_lang_score(words)} = "
+        f"greatest({', '.join(_o_lang_score(w) for w in TX.LANG_PROFILES.values())}) "
+        f"AND greatest({', '.join(_o_lang_score(w) for w in TX.LANG_PROFILES.values())}) > 0 "
+        f"THEN '{lang}'"
+        for lang, words in TX.LANG_PROFILES.items()
+    )
+    + " ELSE 'und' END"
+)
+
+
+@q(
+    "doc_lang_id",
+    "Language-ID heuristic: stopword-profile scores, argmax with fixed tie "
+    "order (en,es,de,fr), 'und' when all zero. Pure when-chain.",
+    oracle=f"""
+    SELECT {_LANG_CASE} AS predicted_lang, lang AS labeled_lang,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def doc_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            TX.lang_id(F.col("text")).alias("predicted_lang"),
+            F.col("lang").alias("labeled_lang"),
+        )
+        .groupBy("predicted_lang", "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "doc_fingerprints",
+    "Document fingerprinting: md5 content hash + 16-char prefix key for "
+    "sharded dedup joins.",
+    oracle=f"""
+    SELECT doc_id, {O_FINGERPRINT} AS fingerprint,
+           substr({O_FINGERPRINT}, 1, 16) AS shard_key
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("shard_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_O_COS = (
+    "CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv, q.qv)) > 0 "
+    "THEN list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv, q.qv))) ELSE 0.0 END"
+)
+
+
+@q(
+    "ann_cosine_topk",
+    "Brute-force cosine top-10 against the vec_id=0 query vector — the "
+    "exactness baseline for ANN. Per-row cosine is a codegen'd fold; top-k "
+    "is TakeOrdered (partial top-k per partition, no full sort).",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {o_dround(_O_COS, 6)} AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            dround(VX.cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "embedding_neardup_pairs",
+    "Embedding near-dup pairs inside label cells: cosine >= 0.95 within "
+    "each coarse cell (the IVF-blocked analogue of Jaccard dedup).",
+    oracle=f"""
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           {o_dround(
+               'list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) / '
+               '(sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))'
+               ' * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])))',
+               6,
+           )} AS cosine
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE {o_dround(
+        'list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) / '
+        '(sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))'
+        ' * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])))',
+        6,
+    )} >= 0.95
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    left = emb.alias("l")
+    right = emb.alias("r")
+    cos = dround(VX.cosine(F.col("l.embedding"), F.col("r.embedding")), 6)
+    return (
+        left.join(
+            right,
+            (F.col("l.label") == F.col("r.label"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.95)
+    )
+
+
+@q(
+    "ann_ivf_topk",
+    "IVF-style ANN: probe the 3 label cells nearest the query centroid, "
+    "brute-force inside. No SQL oracle (two-phase probe selection) — "
+    "rows-only check; correctness vs brute force is pytest-asserted.",
+    oracle=None,
+)
+def ann_ivf_topk(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode("embedding")
+    ).collect()]
+    return ivf_topk(emb, qv, k=10, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_binary_features",
+    "Opaque-binary plumbing: treat text bytes as a payload column, extract "
+    "byte length + head-bytes hex key (the JVM-side half of multimodal "
+    "feature extraction; the decode stub is in streaming/multimodal.py).",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_binary_features(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).alias("byte_len"),
+        F.lower(F.hex(F.encode(F.substring(F.col("text"), 1, 8), "utf-8"))).alias(
+            "head_hex"
+        ),
+    )
+
+
+@q(
+    "multimodal_decode_features",
+    "Arrow-batched decode stub over a binary payload column via mapInPandas "
+    "— deterministic fake decoder (real image/audio libs absent in this "
+    "container); proves schema/partitioning/batch plumbing. Rows-only.",
+    oracle=None,
+)
+def multimodal_decode_features(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.streaming.multimodal import (
+        decode_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_features(payloads)
