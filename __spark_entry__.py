@@ -25,8 +25,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _REGISTRY["pricing_summary"].spark(spark, SF_SMOKE)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs the complete reference transform surface (clean → hourly dedup →
+    null handling incl. median imputation → normalize → 26-col enrich →
+    validate) over a weather table derived from the events stream.
+    """
+    return _REGISTRY["weather_pipeline_e2e"].spark(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -61,8 +61,16 @@ def wrap_degrees(col: Column, period: int = 360) -> Column:
 
 
 def round_to(col: Column, scale: int) -> Column:
-    """HALF_UP rounding at ``scale`` decimals (E7)."""
-    return F.round(col, scale)
+    """HALF_UP rounding at ``scale`` decimals (E7).
+
+    Routed through DECIMAL(28,10): plain ``F.round`` on doubles decides
+    ties from the shortest decimal repr while other engines round the
+    binary value — they disagree on values like 9.65. The decimal route is
+    bit-identical across Spark/DuckDB (verified incl. negatives) and keeps
+    HALF_UP semantics; SQL mirror:
+    ``CAST(ROUND(CAST(x AS DECIMAL(28,10)), n) AS DOUBLE)``.
+    """
+    return F.round(col.cast("decimal(28,10)"), scale).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -149,7 +157,7 @@ def comfort_index(t: Column, h: Column) -> Column:
         .when(h < 30, t - (F.lit(30) - h) * F.lit(0.05))
         .otherwise(t)
     )
-    return F.round(adjusted, 1)
+    return round_to(adjusted, 1)
 
 
 def location(city: Column, country: Column) -> Column:
