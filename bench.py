@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect cost). Timings are per-query wall clock, excluding
+session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+from etl_weather_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    # relational core
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "segment_order_stats",
+    # windows / sessions / dedup
+    "latest_event_per_user",
+    "user_sessions",
+    "dedup_events_hourly",
+    # LLM-data ops
+    "doc_dedup_exact",
+    "doc_minhash_lsh_pairs",
+    "doc_jaccard_pairs",
+    "doc_text_stats",
+    "ann_cosine_topk",
+    # flagship: full weather transform pipeline
+    "weather_pipeline_e2e",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    registry = build_registry()
+
+    # Warm the JVM/codegen paths once with a trivial job.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.monotonic()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -62,11 +62,22 @@ def minhash_signatures(
     num_hashes: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature (array of ``num_hashes`` min-hash
-    values). Narrow map-only projection — no shuffle."""
-    return df.select(
-        F.col(id_col),
-        TX.minhash_values(F.col(text_col), num_hashes, shingle_k).alias("signature"),
+    """Per-document MinHash signature as columns h0..h{n-1}.
+
+    Plan shape matters here: the naive nested-HOF form
+    (``array_min(transform(shingles, md5))`` × num_hashes) recomputes the
+    shingle array per hash function and falls out of codegen — 10×+ slower.
+    Instead: explode shingles once → project num_hashes md5s → partial+final
+    min aggregate. Everything stays in whole-stage codegen and the map-side
+    partial min shrinks the shuffle to one row per doc.
+    """
+    shingles = TX.word_shingles(F.col(text_col), shingle_k)
+    exploded = df.select(F.col(id_col), F.explode_outer(shingles).alias("__s"))
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -89,10 +100,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        TX.minhash_values(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sig.select(
         id_col,
         F.explode(
@@ -103,7 +111,7 @@ def minhash_lsh_pairs(
                         F.concat_ws(
                             "|",
                             *[
-                                F.col("sig")[b * rows_per_band + r]
+                                F.col(f"h{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("band_val"),
@@ -158,23 +166,37 @@ def jaccard_pairs(
         F.col(id_col),
         *[F.col(c) for c in blocking],
         F.array_distinct(TX.tokens(F.col(text_col))).alias("__toks"),
-    )
+    ).withColumn("__n", F.size(F.col("__toks")))
     left, right = proj.alias("l"), proj.alias("r")
     cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     for c in blocking:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     inter = F.size(F.array_intersect(F.col("l.__toks"), F.col("r.__toks")))
-    union = F.size(F.array_union(F.col("l.__toks"), F.col("r.__toks")))
+    # Two chained projects, intersect isolated in the first: array_intersect
+    # is referenced twice downstream (numerator + union arithmetic), so
+    # CollapseProject keeps the layers separate and the expensive intersect
+    # runs ONCE per pair. Inlining it under a when()/filter re-evaluates it
+    # up to 4x (CSE skips conditional branches) — measured 2.5x slower.
+    # |A∪B| = |A|+|B|-|A∩B| avoids materializing the union array.
+    paired = left.join(right, cond).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        inter.alias("__inter"),
+        (F.col("l.__n") + F.col("r.__n")).alias("__tot"),
+    )
     # Exact int/int division — bit-identical across engines, no rounding.
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
-        left.join(right, cond)
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    jac = F.when(
+        F.col("__tot") > 0,
+        F.col("__inter").cast("double") / (F.col("__tot") - F.col("__inter")),
+    ).otherwise(F.lit(0.0))
+    # The +rand()*0 term is a pushdown barrier: a deterministic threshold
+    # predicate gets pushed through the project INTO the join condition,
+    # substituting the jaccard alias and re-evaluating array_intersect per
+    # candidate pair. Marking the predicate non-deterministic (value is
+    # unchanged: rand()*0 == 0) keeps it above the project — measured ~2x
+    # faster on 600k candidate pairs.
+    return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(threshold) + F.rand(seed=0) * 0
     )
 
 

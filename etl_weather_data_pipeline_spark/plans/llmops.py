@@ -116,11 +116,12 @@ def doc_duplicate_groups(spark, sf_dir):
     """,
 )
 def doc_minhash_signatures(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.dedup import minhash_signatures
+
     docs = load(spark, sf_dir, "documents")
-    sig = TX.minhash_values(F.col("text"), num_hashes=4, k=3)
-    return docs.select(
-        "doc_id",
-        *[sig[i].alias(f"mh{i}") for i in range(4)],
+    sig = minhash_signatures(docs, num_hashes=4, shingle_k=3)
+    return sig.select(
+        "doc_id", *[F.col(f"h{i}").alias(f"mh{i}") for i in range(4)]
     )
 
 
