@@ -1,0 +1,328 @@
+"""Advanced operator coverage: as-of / range joins, cube / grouping sets,
+ranking and string batteries, unpivot, approximate aggregates.
+
+These are operators the reference lacks entirely (SURVEY §2.9 'Spark gives
+them for free; our engine should still expose them') plus the custom
+time-series joins a Spark engine must compose (pyspark guide: as-of join →
+union + last-ignore-nulls window; range join → broadcast dim + predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_weather_data_pipeline_spark.plans.catalog import (
+    Query,
+    davg,
+    dsum,
+    load,
+    o_davg,
+    o_dsum,
+)
+
+QUERIES: list[Query] = []
+
+
+def q(name, description, oracle=None, tags=()):
+    def deco(fn):
+        QUERIES.append(Query(name, description, fn, oracle, tuple(tags)))
+        return fn
+
+    return deco
+
+
+@q(
+    "nations_intersect",
+    "Set intersection: nation keys having both customers and suppliers.",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+)
+def nations_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@q(
+    "orders_cube",
+    "CUBE over (priority, status): all 4 grouping combinations in one "
+    "pass (partial aggregation expands grouping ids map-side).",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_cube(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@q(
+    "orders_grouping_sets",
+    "GROUPING SETS via the SQL entry point (spark.sql over a temp view — "
+    "same Catalyst plan as the DataFrame API).",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           {o_davg('o_totalprice')} AS avg_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def orders_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@q(
+    "events_asof_orders",
+    "As-of join (Spark has no native one): for each event, the most recent "
+    "order in the same key group with o_orderdate <= ts. Plan: union both "
+    "sides tagged, one window with last(ignorenulls) over the shared sort — "
+    "a single shuffle on the key, no per-row subqueries.",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 10 AS k, ts, event_id, 1 AS is_event,
+             NULL::BIGINT AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT o_custkey % 10, o_orderdate, NULL, 0, o_orderkey FROM orders
+    ), w AS (
+      SELECT k, ts, event_id, is_event,
+             last_value(o_orderkey IGNORE NULLS) OVER (
+               PARTITION BY k
+               ORDER BY ts, is_event, o_orderkey NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS asof_orderkey
+      FROM u)
+    SELECT event_id, k, asof_orderkey FROM w WHERE is_event = 1
+    """,
+)
+def events_asof_orders(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("k"),
+        F.col("ts"),
+        "event_id",
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 10).alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
+    )
+    u = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(
+            F.col("ts"), F.col("is_event"), F.col("o_orderkey").asc_nulls_last()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "k", "asof_orderkey")
+    )
+
+
+@q(
+    "events_range_join",
+    "Range (band) join: events matched to overlapping value bands derived "
+    "from part sizes. The band table is tiny → broadcast nested-loop with "
+    "the range predicate, which is exactly the right physical plan; counts "
+    "per band.",
+    oracle=f"""
+    WITH bands AS (
+      SELECT DISTINCT p_size AS band_id, p_size * 8.0 AS lo,
+             p_size * 8.0 + 60.0 AS hi
+      FROM part
+    )
+    SELECT b.band_id, COUNT(*) AS n_events, {o_davg('e.value')} AS avg_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    bands = (
+        load(spark, sf_dir, "part")
+        .select(
+            F.col("p_size").alias("band_id"),
+            (F.col("p_size") * 8.0).alias("lo"),
+            (F.col("p_size") * 8.0 + 60.0).alias("hi"),
+        )
+        .distinct()
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value").alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "order_rankings",
+    "Ranking battery: rank, dense_rank, percent_rank, ntile, cume_dist "
+    "per priority by (totalprice, orderkey) — deterministic tiebreaks.",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           ntile(4) OVER w AS quartile,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def order_rankings(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@q(
+    "customer_string_battery",
+    "String-function battery (E1-E3/E17-E18 extended): split_part, "
+    "substr, lpad, replace, instr/strpos, reverse, regexp_extract, "
+    "boolean predicates.",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS cust_num,
+           CAST(split_part(c_name, '#', 2) AS BIGINT) AS cust_num_int,
+           substr(c_name, 1, 8) AS prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS short_name,
+           strpos(c_name, '#') AS hash_pos,
+           reverse(c_mktsegment) AS seg_rev,
+           regexp_extract(c_name, '#(0*)([0-9]+)', 2) AS num_stripped,
+           c_mktsegment = 'BUILDING' AS is_building,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def customer_string_battery(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.split_part(name, F.lit("#"), F.lit(2)).cast("long").alias("cust_num_int"),
+        F.substring(name, 1, 8).alias("prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.regexp_extract(name, r"#(0*)([0-9]+)", 2).alias("num_stripped"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_building"),
+        F.length(name).alias("name_len"),
+    )
+
+
+@q(
+    "conditional_aggs",
+    "Conditional-aggregate battery per segment: FILTER counts, bool "
+    "or/and, deterministic arg-max via encoded ordering.",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000) AS rich,
+           COUNT(*) FILTER (WHERE c_acctbal < 0) AS negative,
+           bool_or(c_acctbal > 9000) AS any_very_rich,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           arg_max(c_custkey, c_acctbal * 1000000 + c_custkey) AS top_custkey
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def conditional_aggs(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    # acctbal has 2 decimals; *1e6 + custkey stays < 2^53 -> exact double,
+    # making the arg-max ordering unique (no nondeterministic ties).
+    order_key = bal * 1000000 + F.col("c_custkey")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.when(bal > 5000, 1)).alias("rich"),
+        F.count(F.when(bal < 0, 1)).alias("negative"),
+        F.max(bal > 9000).alias("any_very_rich"),
+        F.min(bal > -1000).alias("all_above_floor"),
+        F.max_by(F.col("c_custkey"), order_key).alias("top_custkey"),
+    )
+
+
+@q(
+    "daily_counts_unpivot",
+    "Unpivot (wide->long): the daily per-type pivot folded back to rows.",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(ts AS DATE) AS d,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY 1)
+    SELECT d, 'click' AS event_type, click AS n FROM p
+    UNION ALL
+    SELECT d, 'error', error FROM p
+    """,
+)
+def daily_counts_unpivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("d", F.to_date("ts"))
+        .groupBy("d")
+        .pivot("event_type", ["click", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error"])
+    )
+    return wide.unpivot("d", ["click", "error"], "event_type", "n")
+
+
+@q(
+    "approx_aggregates",
+    "Approximate aggregates (HLL distinct, quantile sketch) per event "
+    "type. Engines use different sketches -> no value oracle; rows-only "
+    "(exact-vs-approx error bounds are pytest-asserted).",
+    oracle=None,
+)
+def approx_aggregates(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile_approx("value", [0.25, 0.75]).alias("approx_quartiles"),
+    )

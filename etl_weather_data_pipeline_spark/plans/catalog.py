@@ -117,10 +117,15 @@ def o_dround(x: str, n: int) -> str:
 
 def build_registry() -> dict[str, Query]:
     """Assemble the full query registry from all plan modules."""
-    from etl_weather_data_pipeline_spark.plans import llmops, relational, weather_demo
+    from etl_weather_data_pipeline_spark.plans import (
+        advanced,
+        llmops,
+        relational,
+        weather_demo,
+    )
 
     registry: dict[str, Query] = {}
-    for mod in (relational, llmops, weather_demo):
+    for mod in (relational, advanced, llmops, weather_demo):
         for q in mod.QUERIES:
             assert q.name not in registry, f"duplicate query name {q.name}"
             registry[q.name] = q

@@ -1,0 +1,117 @@
+"""Structured Streaming version of the weather pipeline (SURVEY §7.2 M7).
+
+The reference's daily Airflow batch (weather_etl_dag.py:57) becomes a
+continuous pipeline over a landing directory: files land (from the
+driver-side REST fetch or any collector), the stream cleans/enriches
+incrementally, the hour-dedup D1 becomes watermark + dropDuplicates, and
+``foreachBatch`` merges each micro-batch into the keyed warehouse with the
+same set-based upsert the batch path uses — exactly-once per batch.
+
+Late data: the 1-hour watermark mirrors D1's hour-truncation semantics —
+an observation arriving more than an hour late would have lost the dedup
+race anyway, so dropping its state is semantically free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_weather_data_pipeline_spark.schemas import RAW_SCHEMA
+from etl_weather_data_pipeline_spark.transform import (
+    clean_text,
+    enrich,
+    normalize,
+    validate,
+)
+
+
+def stream_raw(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming source: schema-enforced JSON-lines landing directory."""
+    return spark.readStream.schema(RAW_SCHEMA).json(landing_dir)
+
+
+def streaming_dedup_hourly(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """D1 as a streaming operator: watermark + dropDuplicates on the
+    hour-truncated key. State is bounded by the watermark (keys older than
+    the watermark are evicted)."""
+    return (
+        sdf.withWatermark("timestamp", watermark)
+        .withColumn("__h", F.date_trunc("hour", F.col("timestamp")))
+        .dropDuplicates(["city", "country", "__h"])
+        .drop("__h")
+    )
+
+
+def transform_stream(sdf: DataFrame) -> DataFrame:
+    """Streaming transform: clean → dedup(watermark) → fill → normalize →
+    enrich → validate.
+
+    Median imputation (N2) is inherently batch (global aggregate); the
+    streaming path constant-fills visibility with 0 instead and leaves
+    median backfill to a periodic batch compaction — documented divergence.
+    """
+    out = clean_text(sdf)
+    out = streaming_dedup_hourly(out)
+    out = out.na.fill({"wind_speed": 0.0, "wind_direction": 0, "visibility": 0.0})
+    out = normalize(out)
+    out = enrich(out)
+    return validate(out)
+
+
+def windowed_city_aggs(
+    sdf: DataFrame, window: str = "1 hour", slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """A3 as a streaming windowed aggregate: tumbling (or sliding) window
+    per city with late-data handling via watermark."""
+    win = (
+        F.window("timestamp", window)
+        if slide is None
+        else F.window("timestamp", window, slide)
+    )
+    return (
+        sdf.withWatermark("timestamp", watermark)
+        .groupBy(win.alias("win"), F.col("city"), F.col("country"))
+        .agg(
+            F.avg("temperature").alias("avg_temperature"),
+            F.min("temperature").alias("min_temperature"),
+            F.max("temperature").alias("max_temperature"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "city",
+            "country",
+            "avg_temperature",
+            "min_temperature",
+            "max_temperature",
+            "record_count",
+        )
+    )
+
+
+def start_merge_sink(
+    sdf: DataFrame,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """foreachBatch sink: merge each micro-batch into the keyed warehouse
+    using the same set-based upsert as the batch path (idempotent per
+    batch → effectively exactly-once on replay)."""
+    from etl_weather_data_pipeline_spark.sinks.writers import merge_upsert
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(batch_df.sparkSession, batch_df, f"{warehouse_dir}/weather_data")
+
+    writer = sdf.writeStream.outputMode("append").foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

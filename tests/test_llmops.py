@@ -100,3 +100,31 @@ def test_frame_sample_fanout(spark):
             range(len(rows))
         )
         assert all(r["offset"] == r["frame_idx"] * 16 for r in rows)
+
+
+def test_approx_aggregates_error_bounds(spark):
+    """approx_count_distinct / percentile_approx must be within documented
+    error of exact values (rows-only in the driver, bounded here)."""
+    from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+
+    reg = build_registry()
+    approx = {
+        r["event_type"]: r
+        for r in reg["approx_aggregates"].spark(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.median("value").alias("med"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(0.05 * e["users"], 2)
+        assert abs(a["approx_median"] - e["med"]) <= 0.2 * max(abs(e["med"]), 1)
+        q25, q75 = a["approx_quartiles"]
+        assert q25 <= a["approx_median"] <= q75

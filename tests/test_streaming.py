@@ -1,0 +1,152 @@
+"""Streaming tests: landing-dir ingest → watermark dedup → windowed aggs →
+foreachBatch merge, plus custom stateful operator. Driven synchronously
+via memory sink / processAllAvailable."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+
+import pytest
+
+from etl_weather_data_pipeline_spark.streaming.pipeline import (
+    start_merge_sink,
+    stream_raw,
+    transform_stream,
+    windowed_city_aggs,
+)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    """JSON-lines landing dir with 2 cities x 3 hours + same-hour dup."""
+    rows = []
+    base = dt.datetime(2023, 11, 7, 12, 0, 0)
+    for city, country, lat, lon in [("London", "GB", 51.5, -0.12), ("Tokyo", "JP", 35.6, 139.6)]:
+        for h in range(3):
+            rows.append(
+                dict(
+                    city=city, country=country,
+                    timestamp=(base + dt.timedelta(hours=h)).isoformat(),
+                    temperature=15.0 + h, feels_like=14.0 + h, humidity=60,
+                    pressure=1013, description="ok", wind_speed=3.0,
+                    wind_direction=180, cloudiness=40, visibility=10.0,
+                    lat=lat, lon=lon,
+                )
+            )
+    # same-hour duplicate for London (dropDuplicates should eat it)
+    dup = dict(rows[0])
+    dup["timestamp"] = (base + dt.timedelta(minutes=30)).isoformat()
+    dup["temperature"] = 99.0
+    rows.append(dup)
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(d)
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_transform_dedup(spark, landing):
+    out = transform_stream(stream_raw(spark, landing))
+    _run_to_memory(out, "stream_enriched")
+    rows = spark.sql("SELECT * FROM stream_enriched").collect()
+    # 6 unique (city, hour) slots; the same-hour dup was dropped
+    assert len(rows) == 6
+    assert all(r["temperature"] < 99.0 for r in rows)
+    assert {r["city"] for r in rows} == {"London", "Tokyo"}
+    assert len(rows[0].asDict()) == 26  # full enriched contract
+
+
+def test_streaming_windowed_aggs(spark, landing):
+    agg = windowed_city_aggs(stream_raw(spark, landing), window="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_aggs")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # append mode only emits windows the watermark has closed; with a
+    # single batch the final windows stay open, so check via complete mode
+    q2 = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_aggs_complete")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    rows = spark.sql(
+        "SELECT * FROM stream_aggs_complete ORDER BY city, window_start"
+    ).collect()
+    assert len(rows) == 6  # 2 cities x 3 hourly windows
+    london_first = rows[0]
+    assert london_first["city"] == "London"
+    assert london_first["record_count"] == 2  # original + same-hour dup
+    assert london_first["min_temperature"] == 15.0
+    assert london_first["max_temperature"] == 99.0
+
+
+def test_streaming_merge_sink_idempotent(spark, landing, tmp_path):
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    out = transform_stream(stream_raw(spark, landing))
+    q = start_merge_sink(out, wh, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    stored = spark.read.parquet(f"{wh}/weather_data")
+    assert stored.count() == 6
+    # replay the same data through a fresh checkpoint -> merge keeps keys
+    shutil.rmtree(ckpt)
+    q2 = start_merge_sink(
+        transform_stream(stream_raw(spark, landing)), wh, str(tmp_path / "ckpt2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(f"{wh}/weather_data").count() == 6
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    from etl_weather_data_pipeline_spark.streaming.state import (
+        running_stats_per_key,
+    )
+
+    d = tmp_path / "events_landing"
+    d.mkdir()
+    rows = [
+        {"k": "a", "v": 1.0}, {"k": "a", "v": 3.0},
+        {"k": "b", "v": 10.0}, {"k": "b", "v": 20.0}, {"k": "b", "v": 30.0},
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    sdf = spark.readStream.schema("k string, v double").json(str(d))
+    out = running_stats_per_key(sdf, "k", "v")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_stats")
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch arrives -> state must carry over
+    (d / "b2.json").write_text(json.dumps({"k": "a", "v": 5.0}))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM stateful_stats ORDER BY key, n"
+    ).collect()
+    final_a = [r for r in rows if r["key"] == "a"][-1]
+    final_b = [r for r in rows if r["key"] == "b"][-1]
+    assert (final_a["n"], final_a["total"], final_a["vmin"], final_a["vmax"]) == (3, 9.0, 1.0, 5.0)
+    assert (final_b["n"], final_b["total"], final_b["vmin"], final_b["vmax"]) == (3, 60.0, 10.0, 30.0)
