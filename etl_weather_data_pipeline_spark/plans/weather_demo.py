@@ -202,3 +202,73 @@ def weather_pipeline_e2e(spark, sf_dir):
         (F.col("event_id") % 400 - 200 + 0.25).alias("lon"),
     )
     return transform_weather(raw)
+
+
+def _o_avg2(c: str) -> str:
+    return _O_DROUND.format(
+        x=f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", n=2
+    )
+
+
+@q(
+    "weather_daily_summary",
+    "View layer A3 (daily_weather_summary, sql/schema.sql:82-97) over the "
+    "flagship pipeline output — deterministic decimal-backed averages.",
+    oracle=f"""
+    WITH enriched AS ({_oracle()})
+    SELECT city, country, date,
+           {_o_avg2('temperature')} AS avg_temperature,
+           MIN(temperature) AS min_temperature,
+           MAX(temperature) AS max_temperature,
+           {_o_avg2('humidity')} AS avg_humidity,
+           {_o_avg2('pressure')} AS avg_pressure,
+           {_o_avg2('wind_speed')} AS avg_wind_speed,
+           {_o_avg2('quality_score')} AS avg_quality_score,
+           COUNT(*) AS record_count
+    FROM enriched GROUP BY city, country, date
+    """,
+)
+def weather_daily_summary(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.plans.views import daily_weather_summary
+
+    return daily_weather_summary(weather_pipeline_e2e(spark, sf_dir))
+
+
+@q(
+    "weather_latest",
+    "View layer W1 (latest_weather, sql/schema.sql:100-115): newest "
+    "observation per (city, country) via row_number over the flagship "
+    "output.",
+    oracle=f"""
+    WITH enriched AS ({_oracle()})
+    SELECT * EXCLUDE (rn) FROM (
+      SELECT e.*, row_number() OVER (PARTITION BY city, country
+                 ORDER BY timestamp DESC, temperature, pressure) AS rn
+      FROM enriched e)
+    WHERE rn = 1
+    """,
+)
+def weather_latest(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.plans.views import latest_weather
+
+    return latest_weather(weather_pipeline_e2e(spark, sf_dir))
+
+
+@q(
+    "weather_seasonal_trends",
+    "View layer A5 (seasonal_weather_trends, sql/schema.sql:130-140) over "
+    "the flagship output.",
+    oracle=f"""
+    WITH enriched AS ({_oracle()})
+    SELECT season, temp_category,
+           COUNT(*) AS observation_count,
+           {_o_avg2('temperature')} AS avg_temperature,
+           {_o_avg2('humidity')} AS avg_humidity,
+           {_o_avg2('wind_speed')} AS avg_wind_speed
+    FROM enriched GROUP BY season, temp_category
+    """,
+)
+def weather_seasonal_trends(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.plans.views import seasonal_weather_trends
+
+    return seasonal_weather_trends(weather_pipeline_e2e(spark, sf_dir))
