@@ -452,3 +452,52 @@ def multimodal_decode_features(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return decode_features(payloads)
+
+
+def _lsh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed literal spec — no RNG
+    so both engines and every run agree)."""
+    return [
+        [(((i * (j + 3) + (j + 1) * (j + 1)) % 7) - 3) / 3.0 for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def _o_lsh_bucket(planes: list[list[float]]) -> str:
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@q(
+    "embedding_lsh_buckets",
+    "Random-hyperplane LSH bucketing (the cheap ANN cell assignment when "
+    "no centroids exist): one sign bit per fixed plane packed into a "
+    "bucket id; bucket histogram. Map-only + one tiny agg.",
+    oracle=f"""
+    SELECT {_o_lsh_bucket(_lsh_planes())} AS bucket,
+           COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec_id
+    FROM embeddings GROUP BY 1
+    """,
+)
+def embedding_lsh_buckets(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.similarity import lsh_bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            lsh_bucket(F.col("embedding"), _lsh_planes()).alias("bucket"),
+            "vec_id",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )

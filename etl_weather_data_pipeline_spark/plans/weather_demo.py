@@ -272,3 +272,35 @@ def weather_seasonal_trends(spark, sf_dir):
     from etl_weather_data_pipeline_spark.plans.views import seasonal_weather_trends
 
     return seasonal_weather_trends(weather_pipeline_e2e(spark, sf_dir))
+
+
+@q(
+    "weather_quality_metrics",
+    "A1 (quality-metrics global aggregate, src/transform.py:301-315) over "
+    "the flagship output: one-pass counts, exact distincts, deterministic "
+    "avg quality, timestamp range.",
+    oracle=f"""
+    WITH enriched AS ({_oracle()})
+    SELECT COUNT(*) AS total_records_output,
+           {_O_DROUND.format(
+               x="CAST(SUM(CAST(quality_score AS DECIMAL(18,2))) AS DOUBLE)"
+                 " / COUNT(*)", n=2)} AS average_quality_score,
+           COUNT(DISTINCT city) AS unique_cities,
+           COUNT(DISTINCT country) AS unique_countries,
+           MIN(timestamp) AS timestamp_min,
+           MAX(timestamp) AS timestamp_max
+    FROM enriched
+    """,
+)
+def weather_quality_metrics(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.plans.catalog import davg, dround
+
+    enriched = weather_pipeline_e2e(spark, sf_dir)
+    return enriched.agg(
+        F.count(F.lit(1)).alias("total_records_output"),
+        dround(davg("quality_score"), 2).alias("average_quality_score"),
+        F.countDistinct("city").alias("unique_cities"),
+        F.countDistinct("country").alias("unique_countries"),
+        F.min("timestamp").alias("timestamp_min"),
+        F.max("timestamp").alias("timestamp_max"),
+    )

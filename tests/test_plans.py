@@ -1,0 +1,126 @@
+"""Physical-plan shape assertions — the scale contract.
+
+These tests pin the plan properties that matter at 100 TB: filters reach
+the parquet scan, columns are pruned, small sides broadcast, blocked
+self-joins stay equi-joins (no cartesian products), windowed operators
+shuffle exactly once, and the hot path stays in whole-stage codegen.
+A regression here is a performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+
+from tests.conftest import SF_SMOKE
+
+REG = build_registry()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REG[name].spark(spark, SF_SMOKE)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count operator nodes in a formatted plan (details section lists each
+    node once as '(N) <Op>'; the tree repeats them)."""
+    return len(re.findall(rf"^\(\d+\) {op}", plan, re.M))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    # events has a props column the query never touches; the scan must not
+    # read it.
+    plan = plan_of(spark, "events_enriched")
+    assert "props" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_partial_aggregation(spark):
+    # partial + final hash aggregate (map-side combine before the shuffle)
+    plan = plan_of(spark, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_broadcast_joins_chosen(spark):
+    for name in ("top_revenue_orders", "segment_order_stats", "brand_part_stats"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_nation_revenue_all_dims_broadcast(spark):
+    plan = plan_of(spark, "nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_blocked_selfjoins_are_equijoins(spark):
+    # The pair-generating ops must never degenerate into cartesian products.
+    for name in ("doc_jaccard_pairs", "doc_minhash_lsh_pairs",
+                 "embedding_neardup_pairs"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    # ...while the genuine range join SHOULD be a broadcast nested loop
+    # over the tiny band dim (the right plan for a non-equi predicate).
+    plan = plan_of(spark, "events_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_window_ops_single_shuffle(spark):
+    for name in ("latest_event_per_user", "dedup_events_hourly"):
+        plan = plan_of(spark, name)
+        n_exchanges = n_nodes(plan, "Exchange")
+        assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles"
+        # rank-filter pushdown: partial top-1 per partition before the
+        # shuffle (WindowGroupLimit below AND above the exchange)
+        assert n_nodes(plan, "WindowGroupLimit") == 2, name
+
+
+def test_sessionize_shares_one_shuffle(spark):
+    # lag + running-sum + groupBy on the same key: the window sort must be
+    # reused; allow the final agg exchange but no extra window exchange.
+    plan = plan_of(spark, "user_sessions")
+    assert n_nodes(plan, "Exchange") <= 2
+    assert n_nodes(plan, "Sort") <= 2
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # formatted mode marks codegen'd operators with a '*' prefix. Notes:
+    # AQE-wrapped plans omit stars before execution (isFinalPlan=false), and
+    # higher-order-function projections legitimately fall back — but the
+    # scalar-expression battery and the vectorized parquet read must stay
+    # in codegen.
+    plan = plan_of(spark, "events_enriched")
+    assert "* Project" in plan and "* ColumnarToRow" in plan
+    plan = plan_of(spark, "doc_text_stats")
+    assert "* ColumnarToRow" in plan  # vectorized scan; HOF project falls back
+
+
+def test_topk_is_take_ordered(spark):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (partial
+    # top-k per partition), not a full sort.
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_single_scan(spark):
+    # The whole 26-column pipeline should read events exactly once
+    # (the median imputation pre-pass runs as its own tiny job at build
+    # time and is not part of this plan).
+    plan = plan_of(spark, "weather_pipeline_e2e")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "Exchange") == 1  # only the dedup-window shuffle
