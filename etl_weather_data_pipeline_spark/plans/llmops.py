@@ -501,3 +501,62 @@ def embedding_lsh_buckets(spark, sf_dir):
             F.min("vec_id").alias("min_vec_id"),
         )
     )
+
+
+@q(
+    "corpus_vocab_stats",
+    "Corpus-level vocabulary statistics: per-token document frequency and "
+    "total count (explode -> two-level agg; the building block for TF-IDF "
+    "and stopword discovery at corpus scale).",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({O_TOKS}) AS token FROM documents)
+    SELECT token,
+           COUNT(*) AS total_count,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM tok GROUP BY token
+    """,
+)
+def corpus_vocab_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+@q(
+    "label_centroids",
+    "Per-cell embedding centroids, one row per (label, dimension) — the "
+    "precompute for IVF ANN. posexplode -> partial+final decimal-backed "
+    "mean; linear in rows x dims, no driver collect.",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(embedding, (v, i) -> {'pos': i, 'v': v}))
+                 AS pv
+      FROM embeddings)
+    SELECT label, CAST(pv.pos AS INT) AS pos,
+           CAST(ROUND(CAST(
+             CAST(SUM(CAST(pv.v AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS DECIMAL(28,10)), 6) AS DOUBLE) AS centroid
+    FROM ex GROUP BY label, pv.pos
+    """,
+)
+def label_centroids(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.plans.catalog import dround
+
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    mean = (
+        F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    return exploded.groupBy("label", "pos").agg(
+        dround(mean, 6).alias("centroid")
+    )

@@ -1,0 +1,122 @@
+"""Source tests (SURVEY §2.1 S1-S5) — ports the reference's ingest suite
+(tests/test_ingest.py): mocked HTTP, retry/failure behavior, rate-limit
+call counts, nested JSON parse incl. m→km conversion, config fallback."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_weather_data_pipeline_spark.sources.readers import (
+    load_cities,
+    parse_api_payload,
+    read_api_json,
+    read_raw_csv,
+)
+from etl_weather_data_pipeline_spark.sources.rest import fetch_cities_df, fetch_city
+
+API_PAYLOAD = {
+    "coord": {"lon": -0.1278, "lat": 51.5074},
+    "weather": [
+        {"id": 801, "main": "Clouds", "description": "Partly Cloudy", "icon": "02d"}
+    ],
+    "main": {
+        "temp": 15.5, "feels_like": 14.2, "temp_min": 14.0, "temp_max": 17.0,
+        "pressure": 1013, "humidity": 65,
+    },
+    "visibility": 10000,
+    "wind": {"speed": 3.2, "deg": 180},
+    "clouds": {"all": 40},
+    "dt": 1699358400,
+    "sys": {"type": 1, "id": 1, "country": "GB", "sunrise": 0, "sunset": 0},
+    "timezone": 0, "id": 2643743, "name": "London", "cod": 200,
+}
+
+
+def test_parse_api_payload(spark):
+    """S3 — m→km, epoch→ts, nested flatten (reference src/ingest.py:152-169)."""
+    raw = spark.createDataFrame([(json.dumps(API_PAYLOAD),)], "value string")
+    row = parse_api_payload(raw).first()
+    assert row["city"] == "London" and row["country"] == "GB"
+    assert row["visibility"] == 10.0  # 10000 m -> 10 km
+    assert row["temperature"] == 15.5 and row["humidity"] == 65
+    assert row["wind_speed"] == 3.2 and row["wind_direction"] == 180
+    assert row["timestamp"].year == 2023
+    assert row["description"] == "Partly Cloudy"
+
+
+def test_parse_api_payload_defaults(spark):
+    """Missing wind/visibility default to 0 (reference src/ingest.py:163-166)."""
+    p = {k: v for k, v in API_PAYLOAD.items() if k not in ("wind", "visibility")}
+    raw = spark.createDataFrame([(json.dumps(p),)], "value string")
+    row = parse_api_payload(raw).first()
+    assert row["wind_speed"] == 0.0
+    assert row["wind_direction"] == 0
+    assert row["visibility"] == 0.0
+
+
+def test_fetch_city_retries_then_none():
+    """S1 — errors retry with backoff then return None
+    (reference src/ingest.py:79-120)."""
+    calls = []
+
+    def failing(url, params, timeout):
+        calls.append(params["q"])
+        raise IOError("boom")
+
+    out = fetch_city("London", "GB", "key", http_get=failing, retries=2, backoff=0)
+    assert out is None
+    assert len(calls) == 3  # initial + 2 retries
+
+
+def test_fetch_cities_df_drops_failures(spark):
+    """S2 — failed cities are dropped; successes land typed
+    (reference src/ingest.py:122-150)."""
+
+    def http(url, params, timeout):
+        if params["q"].startswith("Bad"):
+            raise IOError("nope")
+        return API_PAYLOAD
+
+    cities = [
+        {"city": "London", "country_code": "GB"},
+        {"city": "Bad", "country_code": "XX"},
+    ]
+    df = fetch_cities_df(spark, cities, "key", http_get=http, rate_limit_s=0)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["city"] == "London"
+
+
+def test_load_cities_fallback_and_file(spark, tmp_path):
+    """S4 — config file read with hard-coded fallback
+    (reference src/ingest.py:192-213)."""
+    fallback = load_cities(spark)
+    assert fallback.count() == 10
+    cfg = tmp_path / "cities.json"
+    cfg.write_text(json.dumps({"cities": [{"city": "Oslo", "country_code": "NO"}]}))
+    loaded = load_cities(spark, str(cfg))
+    assert [r["city"] for r in loaded.collect()] == ["Oslo"]
+
+
+def test_read_raw_csv_schema_enforced(spark, tmp_path, clean_raw):
+    """S5 — CSV round-trip keeps types (no re-inference; the reference's
+    CSV hand-off hazard, weather_etl_dag.py:182,251-255)."""
+    path = str(tmp_path / "csv")
+    clean_raw.write.option("header", True).csv(path)
+    back = read_raw_csv(spark, path)
+    # CSV sources surface every column as nullable; names and types must
+    # round-trip exactly (the reference re-infers and gets them wrong)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in clean_raw.schema.fields
+    ]
+    assert back.count() == 3
+
+
+def test_read_api_json_lines(spark, tmp_path):
+    f = tmp_path / "landed.json"
+    f.write_text("\n".join([json.dumps(API_PAYLOAD)] * 3))
+    df = read_api_json(spark, str(f))
+    assert df.count() == 3
+    assert df.schema["timestamp"].dataType.typeName() == "timestamp"
