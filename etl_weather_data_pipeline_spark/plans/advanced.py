@@ -326,3 +326,51 @@ def approx_aggregates(spark, sf_dir):
         F.percentile_approx("value", 0.5).alias("approx_median"),
         F.percentile_approx("value", [0.25, 0.75]).alias("approx_quartiles"),
     )
+
+
+@q(
+    "skewed_type_stats",
+    "Skew-mitigated aggregation: salt -> partial agg on (key, salt) -> "
+    "final combine on key. event_type has 5 hot keys over 100k rows — "
+    "exactly the shape that pins one task per key without salting. "
+    "Results are exactly a plain GROUP BY (the oracle).",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {o_dsum('value')} AS total,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def skewed_type_stats(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum),
+            "total": (
+                F.sum(F.col("value").cast("decimal(8,2)")),
+                lambda c: F.sum(c).cast("double"),
+            ),
+            "vmin": (F.min("value"), F.min),
+            "vmax": (F.max("value"), F.max),
+        },
+        n_salts=8,
+        salt_source=F.col("event_id"),
+    )
+
+
+@q(
+    "kmeans_clusters",
+    "Iterative k-means (4 clusters, 3 Lloyd iterations) over embeddings — "
+    "DataFrame-only loop, centroids as plan literals, deterministic "
+    "lowest-id seeding. Iterative => no SQL oracle; rows-only (cluster "
+    "quality asserted in pytest).",
+    oracle=None,
+)
+def kmeans_clusters(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.kmeans import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=4, iterations=3)

@@ -128,3 +128,38 @@ def test_approx_aggregates_error_bounds(spark):
         assert abs(a["approx_median"] - e["med"]) <= 0.2 * max(abs(e["med"]), 1)
         q25, q75 = a["approx_quartiles"]
         assert q25 <= a["approx_median"] <= q75
+
+
+def test_kmeans_improves_over_iterations(spark):
+    """k-means must (a) be deterministic, (b) not increase within-cluster
+    SSE across iterations, (c) produce non-degenerate clusters."""
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    out1 = {r["vec_id"]: r["cluster"] for r in kmeans(emb, k=4, iterations=3).collect()}
+    out2 = {r["vec_id"]: r["cluster"] for r in kmeans(emb, k=4, iterations=3).collect()}
+    assert out1 == out2  # deterministic
+    assert len(set(out1.values())) == 4  # all clusters populated
+
+    def sse(iters):
+        from etl_weather_data_pipeline_spark.operators.kmeans import _centroids_of
+
+        seed = [ [float(x) for x in r["embedding"]]
+                 for r in emb.orderBy("vec_id").limit(4).select("embedding").collect() ]
+        assigned = assign_clusters(emb, seed)
+        cents = seed
+        for _ in range(iters):
+            by_c = _centroids_of(assigned, "embedding", 64)
+            cents = [by_c.get(i, cents[i]) for i in range(4)]
+            assigned = assign_clusters(emb, cents)
+        total = 0.0
+        rows = assigned.select("embedding", "cluster").collect()
+        for r in rows:
+            c = cents[r["cluster"]]
+            total += sum((float(v) - c[i]) ** 2 for i, v in enumerate(r["embedding"]))
+        return total
+
+    assert sse(3) <= sse(1) + 1e-9
