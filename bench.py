@@ -52,8 +52,16 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     registry = build_registry()
 
-    # Warm the JVM/codegen paths once with a trivial job.
-    spark.range(1000).count()
+    # Warm the JVM: run every headline query once at the smallest SF so
+    # whole-stage-codegen compilation and classloading land outside the
+    # timed runs (plans are structurally identical across SFs → codegen
+    # cache hits). Timings below are steady-state per-query wall clock.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            registry[name].spark(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
