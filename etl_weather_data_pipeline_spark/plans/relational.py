@@ -716,3 +716,80 @@ def type_value_buckets(spark, sf_dir):
         .groupBy("event_type", "value_bucket")
         .agg(F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value"))
     )
+
+
+@q(
+    "sliding_window_counts",
+    "Sliding event-time windows (2h window, 1h slide) as a BATCH query — "
+    "the same F.window operator Structured Streaming uses; each event "
+    "lands in exactly 2 overlapping windows.",
+    oracle=f"""
+    WITH w AS (
+      SELECT e.*, unnest([date_trunc('hour', ts),
+                          date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                 AS window_start
+      FROM events e)
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+           event_type, COUNT(*) AS n, {o_dsum('value')} AS total_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "session_window_stats",
+    "Session windows (30-min gap) as a BATCH query via F.session_window — "
+    "per (user, session): span and activity. Oracle mirrors with the "
+    "lag + gap-flag + running-sum formulation.",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM lagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM flagged GROUP BY user_id, session_id
+    """,
+)
+def session_window_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
