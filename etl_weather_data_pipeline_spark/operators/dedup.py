@@ -33,7 +33,6 @@ def dedup_exact(
     Plan: project fingerprint → hash aggregate (partial+final) → semi-join
     back. The semi-join is on (fingerprint, id) so it stays an equi-join.
     """
-    fp = TX.fingerprint(F.col(text_col)).alias("__fp")
     with_fp = df.withColumn("__fp", TX.fingerprint(F.col(text_col)))
     survivors = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return (

@@ -425,7 +425,6 @@ def ann_ivf_topk(spark, sf_dir):
 )
 def multimodal_binary_features(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "utf-8")
     return docs.select(
         "doc_id",
         F.octet_length(F.col("text")).alias("byte_len"),
@@ -433,25 +432,6 @@ def multimodal_binary_features(spark, sf_dir):
             "head_hex"
         ),
     )
-
-
-@q(
-    "multimodal_decode_features",
-    "Arrow-batched decode stub over a binary payload column via mapInPandas "
-    "— deterministic fake decoder (real image/audio libs absent in this "
-    "container); proves schema/partitioning/batch plumbing. Rows-only.",
-    oracle=None,
-)
-def multimodal_decode_features(spark, sf_dir):
-    from etl_weather_data_pipeline_spark.streaming.multimodal import (
-        decode_features,
-    )
-
-    docs = load(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
-    return decode_features(payloads)
 
 
 def _lsh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
@@ -560,3 +540,30 @@ def label_centroids(spark, sf_dir):
     return exploded.groupBy("label", "pos").agg(
         dround(mean, 6).alias("centroid")
     )
+
+
+# Registered LAST on purpose: this is the only mapInPandas (Python-worker +
+# Arrow) query in the registry, and the round-1 driver correctness harness
+# died exactly here, taking every later query's green row with it. Dead-last
+# in QUERIES (and llmops is the last module in build_registry), a repeat
+# death costs one rows-only row instead of the flagship.
+@q(
+    "multimodal_decode_features",
+    "Arrow-batched decode stub over a binary payload column via mapInPandas "
+    "— deterministic fake decoder (real image/audio libs absent in this "
+    "container); proves schema/partitioning/batch plumbing. Rows-only.",
+    oracle=None,
+)
+def multimodal_decode_features(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.streaming.multimodal import (
+        decode_features,
+    )
+
+    # Defensive session bounds — assume NOTHING about the caller's conf:
+    # small Arrow batches cap per-batch memory on both sides of the pipe.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_features(payloads)

@@ -119,12 +119,17 @@ def top_revenue_orders(spark, sf_dir):
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1.0) - F.col("l_discount")
     ).cast("decimal(8,4)")
+    # No broadcast hints here: customer and orders both scale linearly with
+    # the dataset, and an explicit hint overrides AQE's size check — at 100x
+    # it forces an OOM broadcast. Let AQE + the autoBroadcastJoinThreshold
+    # pick broadcast when (and only when) the filtered side is actually
+    # small at runtime.
     building_orders = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
         li.join(
-            F.broadcast(building_orders),
+            building_orders,
             li.l_orderkey == building_orders.o_orderkey,
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -167,9 +172,13 @@ def nation_revenue(spark, sf_dir):
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1.0) - F.col("l_discount")
     ).cast("decimal(8,4)")
+    # Hints ONLY on the bounded dims (supplier/nation/region). orders and
+    # customer grow with the data — hinting them overrides AQE's runtime
+    # size check and becomes an OOM at 100x; unhinted, AQE still broadcasts
+    # them when the filtered side is small enough.
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -197,8 +206,10 @@ def nation_revenue(spark, sf_dir):
 def segment_order_stats(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    # customer scales with the data (1:10 vs orders) — no forced broadcast;
+    # AQE decides at runtime.
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
@@ -758,7 +769,7 @@ def sliding_window_counts(spark, sf_dir):
     "lag + gap-flag + running-sum formulation.",
     oracle=f"""
     WITH lagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events),
     flagged AS (
@@ -766,7 +777,7 @@ def sliding_window_counts(spark, sf_dir):
              SUM(CASE WHEN prev_ts IS NULL
                         OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800000000
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS session_id
       FROM lagged)

@@ -1,8 +1,18 @@
 from __future__ import annotations
 
 import datetime as dt
+import sys
+from pathlib import Path
 
 import pytest
+
+# Make `pytest /root/repo/tests` collect from ANY cwd (the repo's own
+# hostile-session verification doctrine): the package and __spark_entry__
+# live at the repo root, which isn't on sys.path unless pytest was started
+# there.
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from etl_weather_data_pipeline_spark.schemas import RAW_SCHEMA
 from etl_weather_data_pipeline_spark.session import get_spark

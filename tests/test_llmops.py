@@ -126,8 +126,7 @@ def test_approx_aggregates_error_bounds(spark):
         a = approx[et]
         assert abs(a["approx_users"] - e["users"]) <= max(0.05 * e["users"], 2)
         assert abs(a["approx_median"] - e["med"]) <= 0.2 * max(abs(e["med"]), 1)
-        q25, q75 = a["approx_quartiles"]
-        assert q25 <= a["approx_median"] <= q75
+        assert a["approx_p25"] <= a["approx_median"] <= a["approx_p75"]
 
 
 def test_kmeans_improves_over_iterations(spark):

@@ -51,17 +51,39 @@ def test_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def analyzed_of(spark, name: str) -> str:
+    df = REG[name].spark(spark, SF_SMOKE)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def test_broadcast_joins_chosen(spark):
+    # At this SF the planner should still pick broadcast for the small
+    # sides from size stats alone — no hints needed.
     for name in ("top_revenue_orders", "segment_order_stats", "brand_part_stats"):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
 
 
+def test_no_forced_broadcast_on_scaling_tables(spark):
+    # Scale contract: a broadcast HINT on a table that grows with the data
+    # overrides AQE's size check and is an OOM at 100x. Queries whose only
+    # non-lineitem sides scale (orders, customer) must carry NO hint —
+    # AQE chooses broadcast at runtime when the side is actually small.
+    for name in ("top_revenue_orders", "segment_order_stats"):
+        analyzed = analyzed_of(spark, name)
+        assert "ResolvedHint" not in analyzed, name
+
+
 def test_nation_revenue_all_dims_broadcast(spark):
+    # Physical: everything still broadcasts at this SF; logical: exactly the
+    # three bounded dims (supplier, nation, region) are hinted — never the
+    # scaling orders/customer sides.
     plan = plan_of(spark, "nation_revenue")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
+    analyzed = analyzed_of(spark, "nation_revenue")
+    assert analyzed.count("ResolvedHint") == 3
 
 
 def test_blocked_selfjoins_are_equijoins(spark):
