@@ -74,13 +74,15 @@ def quality_bucket(tok_n: Column, sw_ratio: Column, distinct_ratio: Column) -> C
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as array<string> ('w1 w2 w3' joined).
+def word_shingles_of(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from an ALREADY-PROJECTED token-array column.
 
-    Built from sequence+transform over the token array — pure Catalyst,
-    no explode needed at this stage (explode only where a join follows).
+    ``toks`` must be a bound column attribute (project ``tokens(text)``
+    first), not the split expression itself: an outer expression referenced
+    inside a higher-order-function lambda re-evaluates PER ELEMENT, so
+    shingling directly over ``split(text)`` re-tokenizes the document once
+    per shingle — measured ~5x the whole stage's cost on the corpus.
     """
-    toks = tokens(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")  # noqa: E731
@@ -89,6 +91,16 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as array<string> ('w1 w2 w3' joined).
+
+    Convenience single-expression form — fine for small inputs, but on a
+    hot path project ``tokens(text)`` first and use ``word_shingles_of``
+    (see its docstring for the per-element re-tokenization trap).
+    """
+    return word_shingles_of(tokens(text), k)
 
 
 def fingerprint(text: Column) -> Column:
@@ -101,15 +113,25 @@ def fingerprint(text: Column) -> Column:
 def minhash_values(text: Column, num_hashes: int = 4, k: int = 3) -> Column:
     """MinHash signature as array<string> of length ``num_hashes``.
 
-    Hash family h_i(s) = md5(i || ':' || s); the signature component is the
-    lexicographic min over the document's k-shingles. md5-based so the
-    DuckDB oracle can reproduce it bit-for-bit; at scale swap for xxhash64
-    (also built-in) with the same structure.
+    Hash family h_i(s) = substr(md5(i//4 || ':' || s), 8*(i%4)+1, 8) — one
+    md5 split into four 32-bit words (the md5 is the cost; see
+    operators/dedup.py minhash_signatures for the measured explode-based
+    form used on the hot path). md5-based so the DuckDB oracle reproduces
+    it bit-for-bit; at scale swap for xxhash64 with the same structure.
     """
     sh = word_shingles(text, k)
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s, i=i: F.substring(
+                        F.md5(F.concat(F.lit(f"{i // 4}:"), s)),
+                        8 * (i % 4) + 1,
+                        8,
+                    ),
+                )
+            )
             for i in range(num_hashes)
         ]
     )

@@ -66,15 +66,35 @@ def minhash_signatures(
     Plan shape matters here: the naive nested-HOF form
     (``array_min(transform(shingles, md5))`` × num_hashes) recomputes the
     shingle array per hash function and falls out of codegen — 10×+ slower.
-    Instead: explode shingles once → project num_hashes md5s → partial+final
+    Instead: explode shingles once → project the md5s → partial+final
     min aggregate. Everything stays in whole-stage codegen and the map-side
     partial min shrinks the shuffle to one row per doc.
+
+    Hash family: ONE md5 per group of four functions, split into 32-bit
+    (8-hex-char) words — h_i(s) = substr(md5('i//4:' || s), 8*(i%4)+1, 8).
+    The md5 dominated the signature stage's cost, so many-words-from-one-
+    strong-hash cuts it 4x; the separate md5/substr projection layers stay
+    uncollapsed (4 references to a non-cheap expr block CollapseProject),
+    so each md5 evaluates once. Mirrored exactly by the SQL oracle.
     """
-    shingles = TX.word_shingles(F.col(text_col), shingle_k)
-    exploded = df.select(F.col(id_col), F.explode_outer(shingles).alias("__s"))
-    return exploded.groupBy(id_col).agg(
+    # Project the token array first, shingle from the bound column — the
+    # single-expression form re-tokenizes per shingle (see word_shingles_of).
+    toked = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__t"))
+    shingles = TX.word_shingles_of(F.col("__t"), shingle_k)
+    exploded = toked.select(F.col(id_col), F.explode_outer(shingles).alias("__s"))
+    n_seeds = (num_hashes + 3) // 4
+    seeded = exploded.select(
+        id_col,
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"h{i}")
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("__s"))).alias(f"__m{g}")
+            for g in range(n_seeds)
+        ],
+    )
+    return seeded.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(F.col(f"__m{i // 4}"), 8 * (i % 4) + 1, 8)
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -194,6 +214,59 @@ def jaccard_pairs(
     # candidate pair. Marking the predicate non-deterministic (value is
     # unchanged: rand()*0 == 0) keeps it above the project — measured ~2x
     # faster on 600k candidate pairs.
+    return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(threshold) + F.rand(seed=0) * 0
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs (id_a, id_b) with exact token-set Jaccard.
+
+    This is the scale-correct verify stage: the candidate set comes from
+    LSH banding (``minhash_lsh_pairs``), whose size is bounded by signature
+    collisions — NOT from attribute blocking, whose cells grow linearly
+    with the corpus and make the pair count quadratic. Two equi-joins pull
+    each side's token set onto the pair, then the same codegen'd
+    intersect-once arithmetic as ``jaccard_pairs`` scores it.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(TX.tokens(F.col(text_col))).alias("__toks"),
+    ).withColumn("__n", F.size(F.col("__toks")))
+    a = toks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    b = toks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    # Same two-layer projection as jaccard_pairs: isolate the intersect so
+    # it evaluates once per pair (see the measured notes there).
+    paired = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("__inter"),
+            (F.col("__na") + F.col("__nb")).alias("__tot"),
+        )
+    )
+    jac = F.when(
+        F.col("__tot") > 0,
+        F.col("__inter").cast("double") / (F.col("__tot") - F.col("__inter")),
+    ).otherwise(F.lit(0.0))
+    # rand()*0 pushdown barrier, as in jaccard_pairs.
     return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= F.lit(threshold) + F.rand(seed=0) * 0
     )

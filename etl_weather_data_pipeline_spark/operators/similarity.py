@@ -25,6 +25,13 @@ def _as_literal_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _dround6(c: Column) -> Column:
+    """Decimal-routed 6-digit rounding: deterministic across engines
+    (plain double round disagrees with DuckDB on ties — see
+    plans/catalog.py docstring)."""
+    return F.round(c.cast("decimal(28,10)"), 6).cast("double")
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -40,7 +47,7 @@ def brute_force_topk(
     q = _as_literal_vec(query_vec)
     scored = df.select(
         F.col(id_col),
-        F.round(VX.cosine(F.col(vec_col), q), 6).alias("cosine"),
+        _dround6(VX.cosine(F.col(vec_col), q)).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -61,7 +68,7 @@ def topk_join(
     scored = df.crossJoin(F.broadcast(queries)).select(
         F.col(q_id_col),
         F.col(id_col),
-        F.round(VX.cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cosine"),
+        _dround6(VX.cosine(F.col(vec_col), F.col(q_vec_col))).alias("cosine"),
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)

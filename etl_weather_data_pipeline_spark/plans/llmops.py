@@ -17,7 +17,6 @@ from etl_weather_data_pipeline_spark.functions import vector as VX
 from etl_weather_data_pipeline_spark.operators.dedup import (
     dedup_exact,
     duplicate_groups,
-    jaccard_pairs,
     minhash_lsh_pairs,
     simhash_table,
 )
@@ -41,17 +40,29 @@ def q(name, description, oracle=None, tags=()):
 
 # --- shared oracle fragments (mirror functions/text.py exactly) -------------
 
-O_TOKS = "string_split(trim(text), ' ')"
+# \s+ split, exactly like TX.tokens (string_split on ' ' would diverge the
+# moment a document contains tabs/newlines/double spaces).
+O_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+# Mirrors TX.word_shingles incl. the 0<n<k fallback (whole doc as one
+# shingle) — the plain range(1, len-1) form emits nothing for <3 tokens.
 O_SHINGLES = (
+    f"CASE WHEN len({O_TOKS}) >= 3 THEN "
     f"list_transform(range(1, len({O_TOKS}) - 1), "
-    f"i -> {O_TOKS}[i] || ' ' || {O_TOKS}[i+1] || ' ' || {O_TOKS}[i+2])"
+    f"i -> {O_TOKS}[i] || ' ' || {O_TOKS}[i+1] || ' ' || {O_TOKS}[i+2]) "
+    f"WHEN len({O_TOKS}) > 0 THEN [array_to_string({O_TOKS}, ' ')] "
+    f"ELSE CAST([] AS VARCHAR[]) END"
 )
 O_FINGERPRINT = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
 
 def o_minhash(i: int) -> str:
-    """Oracle mirror of TX.minhash_values component i (min over md5('i:'||s))."""
-    return f"list_min(list_transform({O_SHINGLES}, s -> md5('{i}:' || s)))"
+    """Oracle mirror of minhash_signatures component i: min over the i%4-th
+    32-bit word of md5('i//4:' || shingle)."""
+    g, off = i // 4, 8 * (i % 4) + 1
+    return (
+        f"list_min(list_transform({O_SHINGLES}, "
+        f"s -> substr(md5('{g}:' || s), {off}, 8)))"
+    )
 
 
 def o_simhash(bits: int = 16) -> str:
@@ -125,29 +136,27 @@ def doc_minhash_signatures(spark, sf_dir):
     )
 
 
-def _o_lsh_pairs(num_hashes: int = 8, bands: int = 4) -> str:
+def _o_lsh_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    """CTE chain ``sig, bands, cand`` ending in the distinct LSH candidate
+    pairs — composable (``WITH {_o_lsh_ctes()} SELECT ... FROM cand``) so
+    the verify-stage oracle can consume the same candidates."""
     rows = num_hashes // bands
     sig_cols = ", ".join(f"{o_minhash(i)} AS h{i}" for i in range(num_hashes))
-    band_vals = ", ".join(
-        "h" + " || '|' || h".join(
-            str(b * rows + r) for r in range(rows)
-        )
-        for b in range(bands)
-    )
     return f"""
-    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    sig AS (SELECT doc_id, {sig_cols} FROM documents),
     bands AS (
       SELECT doc_id, b.band_idx, b.band_val
       FROM sig, unnest([{', '.join(
           '{' + f"'band_idx': {b}, 'band_val': " + " || '|' || ".join(
               f'h{b * rows + r}' for r in range(rows)) + '}'
           for b in range(bands))}]) AS t(b)
-    )
-    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-    FROM bands l JOIN bands r
-      ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-         AND l.doc_id < r.doc_id
-    """
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+           AND l.doc_id < r.doc_id
+    )"""
 
 
 @q(
@@ -155,7 +164,7 @@ def _o_lsh_pairs(num_hashes: int = 8, bands: int = 4) -> str:
     "MinHash+LSH candidate pairs (8 hashes, 4 bands x 2 rows): signature -> "
     "explode bands -> self equi-join on band value -> distinct pairs. The "
     "shuffle key is the band hash, never a cross join.",
-    oracle=_o_lsh_pairs(8, 4),
+    oracle=f"WITH {_o_lsh_ctes(8, 4)} SELECT id_a, id_b FROM cand",
 )
 def doc_minhash_lsh_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
@@ -174,26 +183,32 @@ def doc_simhash(spark, sf_dir):
 
 @q(
     "doc_jaccard_pairs",
-    "Verified near-dup pairs: blocking on (lang, n_chars//100) bounds the "
-    "candidate set, exact token-set Jaccard >= 0.5 verifies inside codegen.",
-    oracle="""
-    WITH t AS (SELECT doc_id, lang, n_chars // 100 AS bucket,
-                      list_distinct(string_split(trim(text), ' ')) AS toks
-               FROM documents)
-    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+    "Verified near-dup pairs: MinHash-LSH candidates -> exact token-set "
+    "Jaccard >= 0.5 verify. The candidate count is bounded by signature "
+    "collisions, so the pair stage stays sub-quadratic at any corpus size "
+    "(attribute blocking like (lang, len//100) has cells that grow linearly "
+    "with the corpus -> quadratic pairs; kept only as a library form, "
+    "operators/dedup.py jaccard_pairs).",
+    oracle=f"""
+    WITH {_o_lsh_ctes(8, 4)},
+    t AS (SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM documents)
+    SELECT c.id_a, c.id_b,
            CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
-             / len(list_distinct(list_concat(l.toks, r.toks))) AS jaccard
-    FROM t l JOIN t r
-      ON l.lang = r.lang AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+             / (len(l.toks) + len(r.toks)
+                - len(list_intersect(l.toks, r.toks))) AS jaccard
+    FROM cand c JOIN t l ON l.doc_id = c.id_a
+                JOIN t r ON r.doc_id = c.id_b
     WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
-             / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.5
+             / (len(l.toks) + len(r.toks)
+                - len(list_intersect(l.toks, r.toks))) >= 0.5
     """,
 )
 def doc_jaccard_pairs(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "bucket", (F.col("n_chars") / 100).cast("long")
-    )
-    return jaccard_pairs(docs, blocking=["lang", "bucket"], threshold=0.5)
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return jaccard_verify(docs, cand, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +262,7 @@ def doc_text_stats(spark, sf_dir):
 def _o_lang_score(words: list[str]) -> str:
     arr = ", ".join(f"'{w}'" for w in words)
     return (
-        f"len(list_filter(string_split(trim(lower(text)), ' '), "
+        r"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
         f"t -> list_contains([{arr}], t)))"
     )
 
@@ -320,6 +335,26 @@ _O_COS = (
 )
 
 
+def _lsh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed literal spec — no RNG
+    so both engines and every run agree)."""
+    return [
+        [(((i * (j + 3) + (j + 1) * (j + 1)) % 7) - 3) / 3.0 for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def _o_lsh_bucket(planes: list[list[float]], col: str = "embedding") -> str:
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
 @q(
     "ann_cosine_topk",
     "Brute-force cosine top-10 against the vec_id=0 query vector — the "
@@ -349,9 +384,16 @@ def ann_cosine_topk(spark, sf_dir):
 
 @q(
     "embedding_neardup_pairs",
-    "Embedding near-dup pairs inside label cells: cosine >= 0.95 within "
-    "each coarse cell (the IVF-blocked analogue of Jaccard dedup).",
+    "Embedding near-dup pairs blocked on (label, lsh_bucket): cosine >= "
+    "0.95 within each cell. Label alone has fixed cardinality, so its "
+    "cells grow linearly with the corpus (quadratic pairs at scale); the "
+    "4-plane hyperplane bucket multiplies the cell count by up to 16 and, "
+    "like any LSH blocking, keeps near-identical vectors co-bucketed with "
+    "high probability — standard recall-for-scale trade.",
     oracle=f"""
+    WITH b AS (SELECT vec_id, label, embedding,
+                      {_o_lsh_bucket(_lsh_planes())} AS bucket
+               FROM embeddings)
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
            {o_dround(
                'list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) / '
@@ -359,8 +401,8 @@ def ann_cosine_topk(spark, sf_dir):
                ' * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])))',
                6,
            )} AS cosine
-    FROM embeddings l JOIN embeddings r
-      ON l.label = r.label AND l.vec_id < r.vec_id
+    FROM b l JOIN b r
+      ON l.label = r.label AND l.bucket = r.bucket AND l.vec_id < r.vec_id
     WHERE {o_dround(
         'list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) / '
         '(sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))'
@@ -370,7 +412,11 @@ def ann_cosine_topk(spark, sf_dir):
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    from etl_weather_data_pipeline_spark.operators.similarity import lsh_bucket
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), _lsh_planes())
+    )
     left = emb.alias("l")
     right = emb.alias("r")
     cos = dround(VX.cosine(F.col("l.embedding"), F.col("r.embedding")), 6)
@@ -378,6 +424,7 @@ def embedding_neardup_pairs(spark, sf_dir):
         left.join(
             right,
             (F.col("l.label") == F.col("r.label"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
         .select(
@@ -387,6 +434,35 @@ def embedding_neardup_pairs(spark, sf_dir):
         )
         .filter(F.col("cosine") >= 0.95)
     )
+
+
+@q(
+    "ann_multi_query_topk",
+    "Top-5 neighbors for MANY queries at once (vec_id 0-2): broadcast the "
+    "tiny query set, score every (vector, query) pair map-side, window "
+    "top-k per query — the batch-serving shape (one scan regardless of "
+    "query count; the window's partial top-k bounds the shuffle).",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.q_id, e.vec_id, {o_dround(_O_COS, 6)} AS cosine
+      FROM embeddings e, q),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+    SELECT q_id, vec_id, cosine FROM ranked WHERE rn <= 5
+    """,
+)
+def ann_multi_query_topk(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.similarity import topk_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return topk_join(emb, queries, k=5)
 
 
 @q(
@@ -432,26 +508,6 @@ def multimodal_binary_features(spark, sf_dir):
             "head_hex"
         ),
     )
-
-
-def _lsh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (fixed literal spec — no RNG
-    so both engines and every run agree)."""
-    return [
-        [(((i * (j + 3) + (j + 1) * (j + 1)) % 7) - 3) / 3.0 for i in range(dim)]
-        for j in range(n_planes)
-    ]
-
-
-def _o_lsh_bucket(planes: list[list[float]]) -> str:
-    bits = []
-    for j, p in enumerate(planes):
-        arr = "[" + ", ".join(repr(x) for x in p) + "]"
-        bits.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 @q(

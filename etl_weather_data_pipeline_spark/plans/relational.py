@@ -427,6 +427,41 @@ def user_running_value(spark, sf_dir):
 
 
 @q(
+    "customer_running_spend",
+    "Cumulative spend per customer over order history via the running_sum "
+    "operator (one shuffle on the customer key; decimal-backed so the "
+    "accumulation is deterministic — cumulative double sums drift between "
+    "engines even in a fixed order because window implementations "
+    "re-associate).",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+)
+def customer_running_spend(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.windows import running_sum
+
+    o = load(spark, sf_dir, "orders")
+    out = running_sum(
+        o,
+        keys=["o_custkey"],
+        order=["o_orderdate", "o_orderkey"],
+        value=F.col("o_totalprice").cast("decimal(18,2)"),
+        out_col="__rs",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("__rs").cast("double").alias("running_spend"),
+    )
+
+
+@q(
     "user_sessions",
     "Sessionization: lag + gap>30min + running count, then sessions per "
     "user (one shuffle on user_id; both windows share the sort).",

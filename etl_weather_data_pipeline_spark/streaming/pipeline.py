@@ -33,13 +33,22 @@ def stream_raw(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 
 def streaming_dedup_hourly(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """D1 as a streaming operator: watermark + dropDuplicates on the
-    hour-truncated key. State is bounded by the watermark (keys older than
-    the watermark are evicted)."""
+    """D1 as a streaming operator: watermark + dropDuplicatesWithinWatermark
+    on the hour-truncated key.
+
+    Plain ``dropDuplicates`` would NOT evict state here: its keys (city,
+    country, __h) exclude the watermarked ``timestamp`` column, and the
+    derived ``__h`` carries no event-time watermark metadata — so dedup
+    state grows without bound on a long-running stream.
+    ``dropDuplicatesWithinWatermark`` ties every key's state lifetime to
+    the stream's watermark regardless of key columns: a key is dropped once
+    the watermark passes its first-seen event time, which matches D1's
+    semantics (an observation arriving >1h late lost the dedup race anyway).
+    """
     return (
         sdf.withWatermark("timestamp", watermark)
         .withColumn("__h", F.date_trunc("hour", F.col("timestamp")))
-        .dropDuplicates(["city", "country", "__h"])
+        .dropDuplicatesWithinWatermark(["city", "country", "__h"])
         .drop("__h")
     )
 

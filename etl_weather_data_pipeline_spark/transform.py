@@ -55,14 +55,27 @@ def clean_text(df: DataFrame) -> DataFrame:
 
 def handle_missing(df: DataFrame) -> DataFrame:
     """P2 + N1 + N2 — drop critical nulls, constant-fill wind, median-fill
-    visibility (reference src/transform.py:104-123)."""
+    visibility (reference src/transform.py:104-123).
+
+    N2 stays IN the plan: the exact median (Spark >= 3.4) is a 1-row
+    aggregate branch broadcast-joined back into the projection. The
+    aggregate branch and the main branch share the identical upstream
+    (scan → clean → dedup exchange), so exchange reuse executes that
+    shuffle ONCE — unlike an eager ``.first()`` pre-pass, which re-runs
+    the whole upstream as a second job (O(full input) twice at scale).
+    """
     out = df.na.drop(subset=CRITICAL_FIELDS)
     out = out.na.fill({"wind_speed": 0.0, "wind_direction": 0})
-    # N2: exact median (Spark >= 3.4) — one tiny extra job, result folded
-    # into the plan as a literal so the main scan stays single-pass.
-    med_row = out.agg(F.median("visibility").alias("m")).first()
-    med = med_row["m"] if med_row["m"] is not None else 0.0
-    return out.na.fill({"visibility": float(med)})
+    med = out.agg(
+        F.coalesce(F.median("visibility"), F.lit(0.0)).alias("__median_vis")
+    )
+    return (
+        out.crossJoin(F.broadcast(med))
+        .withColumn(
+            "visibility", F.coalesce(F.col("visibility"), F.col("__median_vis"))
+        )
+        .drop("__median_vis")
+    )
 
 
 def normalize(df: DataFrame) -> DataFrame:

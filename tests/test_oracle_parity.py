@@ -17,20 +17,25 @@ import pytest
 import __spark_entry__ as entry_mod
 from etl_weather_data_pipeline_spark.schemas import TESTDATA_TABLES
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 _REG = entry_mod._REGISTRY
 ORACLED = [n for n, q in _REG.items() if q.oracle is not None]
 
 
-@pytest.fixture(scope="module")
-def duck():
+# Both scale factors: SF_SMOKE for speed, SF_ORACLE because that is the SF
+# the driver's gate actually runs at — scale-dependent divergence (e.g. a
+# value overflowing a decimal width only at 10x the rows) must fail HERE
+# first, not in the round report.
+@pytest.fixture(scope="module", params=[SF_SMOKE, SF_ORACLE], ids=["sf0.001", "sf0.01"])
+def duck_sf(request):
+    sf_dir = request.param
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    yield con
+    yield con, sf_dir
     con.close()
 
 
@@ -51,9 +56,10 @@ def _canon(rows, colnames):
 
 
 @pytest.mark.parametrize("name", ORACLED)
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(spark, duck_sf, name):
+    duck, sf_dir = duck_sf
     q = _REG[name]
-    sdf = q.spark(spark, SF_SMOKE)
+    sdf = q.spark(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 

@@ -139,10 +139,18 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_flagship_single_scan(spark):
-    # The whole 26-column pipeline should read events exactly once
-    # (the median imputation pre-pass runs as its own tiny job at build
-    # time and is not part of this plan).
+def test_flagship_one_lazy_action(spark):
+    # The flagship is ONE lazy action: the N2 median is an in-plan 1-row
+    # aggregate branch broadcast back into the projection (scalar-subquery
+    # shape) — building the DataFrame must NOT run an eager median job.
+    # Catalyst column-prunes the median branch, so the plan carries exactly
+    # two parquet scans (wide main + narrow median) and three exchanges
+    # (dedup window shuffle per branch + the median's partial/final agg);
+    # the 1-row median attaches via a broadcast nested-loop join, which is
+    # O(rows) for a single-row build side. Persisting the deduped
+    # intermediate instead would pin the full wide table at 100 TB — the
+    # pruned re-read is the cheaper scale trade.
     plan = plan_of(spark, "weather_pipeline_e2e")
-    assert n_nodes(plan, "Scan parquet") == 1
-    assert n_nodes(plan, "Exchange") == 1  # only the dedup-window shuffle
+    assert n_nodes(plan, "Scan parquet") == 2
+    assert n_nodes(plan, "Exchange") == 3
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1
