@@ -103,6 +103,103 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return word_shingles_of(tokens(text), k)
 
 
+def subword_count(text: Column) -> Column:
+    """BPE-ish token count without a tokenizer model: split into word /
+    punctuation pieces (``[a-z0-9]+|[^a-z0-9\\s]``), each piece contributes
+    ceil(len/4) subwords — the ~4-chars-per-BPE-token rule of thumb used
+    for corpus budgeting. Pure regexp + array fold, mirrored 1:1 by the
+    DuckDB oracle."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+    )
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+    )
+
+
+def chars_of(text: Column) -> Column:
+    """Character array of a string (empty array for empty/null-ish input).
+
+    Project this ONCE as a bound column before building char n-grams or
+    rolling hashes from it — the same per-element re-evaluation trap as
+    word_shingles_of applies to any expression referenced inside a
+    higher-order-function lambda."""
+    return F.when(F.length(text) > 0, F.split(text, "")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams_of(chars: Column, n: int = 3) -> Column:
+    """Distinct character n-grams from an ALREADY-PROJECTED char-array
+    column. Built by slicing the char array (O(1) per position) rather
+    than substr on the string (O(pos) UTF-8 scan per call → quadratic).
+    Texts shorter than ``n`` yield the whole text as one gram."""
+    m = F.size(chars)
+    idx = F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(chars, i, n), ""))
+    return F.array_distinct(
+        F.when(m > 0, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# Rabin–Karp parameters: base 31, Mersenne-prime modulus 2^31-1. Products
+# stay under 2^63 so plain BIGINT arithmetic is exact in both engines.
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647
+
+
+def char_codes_of(chars: Column) -> Column:
+    """Per-character code points of an already-projected char array."""
+    return F.transform(chars, lambda c: F.ascii(c))
+
+
+def rolling_kgram_hashes_of(codes: Column, k: int = 8) -> Column:
+    """Polynomial (Rabin–Karp) hash of every k-char gram, as array<long>.
+
+    ``codes`` must be a bound char-code array column. Hash values equal the
+    classic rolling hash h = sum(c_j * B^(k-1-j)) mod M; each gram folds
+    its own k codes (element_at on the array is O(1), so the stage is
+    O(n·k) per doc and fully map-side). Texts shorter than ``k`` hash the
+    whole text; empty texts yield an empty array."""
+    n = F.size(codes)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+
+    def gram_hash(i: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * ROLL_BASE + F.element_at(codes, i + j))
+            % ROLL_MOD,
+        )
+
+    whole = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD,
+    )
+    return (
+        F.when(n >= k, F.transform(idx, gram_hash))
+        .when(n > 0, F.array(whole))
+        .otherwise(F.array().cast("array<long>"))
+    )
+
+
+def winnow_fingerprints_of(hashes: Column, w: int = 4) -> Column:
+    """Winnowing (MOSS-style) document fingerprints: the distinct set of
+    per-window minima over the k-gram hash sequence. Guarantees any shared
+    substring of length >= k+w-1 chars produces a shared fingerprint —
+    the standard local-similarity sketch for plagiarism/near-dup detection.
+    ``hashes`` must be a bound array column (see rolling_kgram_hashes_of)."""
+    m = F.size(hashes)
+    idx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+    wins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_distinct(
+        F.when(m > 0, wins).otherwise(F.array().cast("array<long>"))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized,
     lowercased text. Collision-safe enough for exact-dedup keys and

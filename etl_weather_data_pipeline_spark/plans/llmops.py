@@ -211,6 +211,80 @@ def doc_jaccard_pairs(spark, sf_dir):
     return jaccard_verify(docs, cand, threshold=0.5)
 
 
+@q(
+    "doc_ngram_jaccard_pairs",
+    "Character-3-gram Jaccard verify over MinHash-LSH candidates — the "
+    "n-gram flavor of near-dup detection (robust to word-boundary edits "
+    "that break token Jaccard). Gram sets come from slicing a once-"
+    "projected char array (substr-per-position would be a quadratic UTF-8 "
+    "scan); candidates stay LSH-bounded, never attribute-blocked.",
+    oracle=f"""
+    WITH {_o_lsh_ctes(8, 4)},
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ch) > 0 THEN
+                list_transform(range(1, greatest(len(ch) - 2, 1) + 1),
+                               i -> array_to_string(ch[i:i+2], ''))
+                ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id,
+                   CASE WHEN length(norm) > 0 THEN string_split(norm, '')
+                        ELSE CAST([] AS VARCHAR[]) END AS ch
+            FROM (SELECT doc_id,
+                         lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                             AS norm
+                  FROM documents))
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+             / (len(l.grams) + len(r.grams)
+                - len(list_intersect(l.grams, r.grams))) AS trigram_jaccard
+    FROM cand c JOIN g l ON l.doc_id = c.id_a
+                JOIN g r ON r.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+             / (len(l.grams) + len(r.grams)
+                - len(list_intersect(l.grams, r.grams))) >= 0.6
+    """,
+)
+def doc_ngram_jaccard_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    # Project chars once (bound column), THEN build grams from slices —
+    # the HOF re-evaluation trap (word_shingles_of) applies here too.
+    chars = docs.select("doc_id", TX.chars_of(norm).alias("__c"))
+    grams = chars.select(
+        "doc_id", TX.char_ngrams_of(F.col("__c"), 3).alias("__g")
+    ).withColumn("__n", F.size("__g"))
+    a = grams.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__g").alias("__ga"),
+        F.col("__n").alias("__na"),
+    )
+    b = grams.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__g").alias("__gb"),
+        F.col("__n").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    paired = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("__inter"),
+            (F.col("__na") + F.col("__nb")).alias("__tot"),
+        )
+    )
+    jac = F.when(
+        F.col("__tot") > 0,
+        F.col("__inter").cast("double") / (F.col("__tot") - F.col("__inter")),
+    ).otherwise(F.lit(0.0))
+    return paired.select("id_a", "id_b", jac.alias("trigram_jaccard")).filter(
+        F.col("trigram_jaccard") >= F.lit(0.6) + F.rand(seed=0) * 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -320,6 +394,109 @@ def doc_fingerprints(spark, sf_dir):
         fp.alias("fingerprint"),
         F.substring(fp, 1, 16).alias("shard_key"),
     )
+
+
+@q(
+    "doc_token_counts",
+    "Token budgeting: whitespace token count plus a BPE-ish subword "
+    "estimate (word/punct pieces via regexp, ceil(len/4) subwords per "
+    "piece — the ~4-chars-per-token rule). Map-only regexp + array fold.",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]', 0),
+                t -> (length(t) + 3) // 4)), 0) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        TX.subword_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+# Winnowing fragment shared between the Spark plan and the oracle spec:
+# k=8-char grams hashed with Rabin-Karp (base 31 mod 2^31-1), window w=4
+# minima, distinct. Any shared substring of >= k+w-1 = 11 normalized chars
+# yields a shared fingerprint.
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+def _o_winnow(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    base, mod = TX.ROLL_BASE, TX.ROLL_MOD
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) > 0 THEN
+                list_transform(string_split(norm, ''), ch -> unicode(ch))
+             ELSE CAST([] AS INT[]) END AS codes
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+            FROM documents)),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN len(codes) >= {k} THEN
+                list_transform(range(1, len(codes) - {k} + 2),
+                  i -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT), codes[i:i+{k - 1}]),
+                         (a, x) -> (a * {base} + x) % {mod}))
+             WHEN len(codes) > 0 THEN
+                [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                             (a, x) -> (a * {base} + x) % {mod})]
+             ELSE CAST([] AS BIGINT[]) END AS hashes
+      FROM c),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN len(hashes) > 0 THEN
+                list_distinct(list_transform(
+                  range(1, greatest(len(hashes) - {w - 1}, 1) + 1),
+                  i -> list_min(hashes[i:i+{w - 1}])))
+             ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM h)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+    """
+
+
+@q(
+    "doc_winnow_fingerprints",
+    "Winnowing (rolling-hash) document fingerprints: Rabin-Karp polynomial "
+    "hash of every 8-char gram over alnum-normalized text, then the "
+    "distinct per-4-window minima (MOSS local-similarity sketch). Char "
+    "codes project once; each gram folds k codes with O(1) element_at — "
+    "map-only, O(n*k) per doc, no shuffle until the consumer joins on "
+    "fingerprint.",
+    oracle=_o_winnow(),
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    # Each stage projects a bound column for the next (HOF re-eval trap).
+    chars = docs.select("doc_id", TX.chars_of(norm).alias("__ch"))
+    codes = chars.select(
+        "doc_id", TX.char_codes_of(F.col("__ch")).alias("__codes")
+    )
+    hashes = codes.select(
+        "doc_id",
+        TX.rolling_kgram_hashes_of(F.col("__codes"), _WINNOW_K).alias("__h"),
+    )
+    fps = hashes.select(
+        "doc_id",
+        TX.winnow_fingerprints_of(F.col("__h"), _WINNOW_W).alias("__fps"),
+    )
+    # explode_OUTER, not explode: a plain explode makes the optimizer infer
+    # a `size(__fps) > 0` row filter (InferFiltersFromGenerate) and push it
+    # below every projection, substituting aliases as it goes — the pushed
+    # filter then re-evaluates the ENTIRE nested winnow chain per row
+    # (measured: >100x this stage's cost, superlinear in doc length). The
+    # outer variant infers no filter; the cheap isNotNull on the GENERATED
+    # attribute can't sink below the Generate, so the layering survives.
+    return fps.select(
+        "doc_id", F.explode_outer(F.col("__fps")).alias("fingerprint")
+    ).filter(F.col("fingerprint").isNotNull())
 
 
 # ---------------------------------------------------------------------------

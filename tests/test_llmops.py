@@ -162,3 +162,77 @@ def test_kmeans_improves_over_iterations(spark):
         return total
 
     assert sse(3) <= sse(1) + 1e-9
+
+
+def test_winnow_fingerprint_edges(spark):
+    """Rolling-hash winnowing: known value for a short doc, whole-text hash
+    for sub-k docs, no rows for empty docs; shared substrings of >= k+w-1
+    chars must share a fingerprint."""
+    from etl_weather_data_pipeline_spark.functions import text as TX
+
+    rows = [
+        (1, "abcdefghijklmnop"),        # 16 alnum chars -> 9 grams, 6 windows
+        (2, "ab"),                       # shorter than k=8 -> one whole-hash
+        (3, "!!! ???"),                  # normalizes to empty -> no rows
+        (4, "XXXabcdefghijklmnopXXX"),   # shares a long substring with doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    chars = df.select("doc_id", TX.chars_of(norm).alias("c"))
+    codes = chars.select("doc_id", TX.char_codes_of(F.col("c")).alias("k"))
+    hashes = codes.select(
+        "doc_id", TX.rolling_kgram_hashes_of(F.col("k"), 8).alias("h")
+    )
+    fps = hashes.select(
+        "doc_id", TX.winnow_fingerprints_of(F.col("h"), 4).alias("f")
+    )
+    got = {r["doc_id"]: r["f"] for r in fps.collect()}
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * TX.ROLL_BASE + ord(ch)) % TX.ROLL_MOD
+        return acc
+
+    text1 = "abcdefghijklmnop"
+    grams1 = [poly(text1[i : i + 8]) for i in range(9)]
+    want1 = sorted({min(grams1[i : i + 4]) for i in range(6)})
+    assert sorted(got[1]) == want1
+    assert got[2] == [poly("ab")]
+    assert got[3] == []
+    assert set(got[1]) & set(got[4])  # shared substring -> shared fingerprint
+
+
+def test_subword_count_rule(spark):
+    """BPE-ish estimate: ceil(len/4) per word/punct piece."""
+    from etl_weather_data_pipeline_spark.functions.text import subword_count
+
+    df = spark.createDataFrame(
+        [(1, "Hello, wonderful world!!"), (2, ""), (3, "a bb ccc dddd eeeee")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", subword_count(F.col("text")).alias("n")).collect()
+    }
+    # hello(2) + ,(1) + wonderful(3) + world(2) + !(1) + !(1) = 10
+    assert got[1] == 10
+    assert got[2] == 0
+    assert got[3] == 1 + 1 + 1 + 1 + 2
+
+
+def test_char_ngrams_short_text(spark):
+    """Texts shorter than n fall back to the whole text as one gram."""
+    from etl_weather_data_pipeline_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, "")], "id long, text string"
+    )
+    out = df.select(
+        "id",
+        TX.char_ngrams_of(TX.chars_of(F.col("text")), 3).alias("g"),
+    )
+    got = {r["id"]: sorted(r["g"]) for r in out.collect()}
+    assert got[1] == ["abc", "bcd"]
+    assert got[2] == ["ab"]
+    assert got[3] == []

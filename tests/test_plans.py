@@ -154,3 +154,20 @@ def test_flagship_one_lazy_action(spark):
     assert n_nodes(plan, "Scan parquet") == 2
     assert n_nodes(plan, "Exchange") == 3
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1
+
+
+def test_winnow_is_maponly_without_inferred_filter(spark):
+    # Winnowing fingerprints must stay a map-only projection chain +
+    # Generate: zero shuffles, and NO inferred `size(...) > 0` pre-filter —
+    # InferFiltersFromGenerate on a plain explode sinks one below every
+    # projection, alias-substituting the whole nested HOF chain into a
+    # per-row re-computation (measured >100x; the query uses explode_outer
+    # + isNotNull on the generated attribute instead).
+    plan = plan_of(spark, "doc_winnow_fingerprints")
+    assert n_nodes(plan, "Exchange") == 0
+    assert n_nodes(plan, "Generate") == 1
+    df = REG["doc_winnow_fingerprints"].spark(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    filters = [ln for ln in optimized.splitlines() if "Filter" in ln]
+    assert len(filters) == 1 and "isnotnull" in filters[0]
+    assert "size(" not in filters[0]
