@@ -136,14 +136,15 @@ def doc_minhash_signatures(spark, sf_dir):
     )
 
 
-def _o_lsh_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+def _o_lsh_ctes(num_hashes: int = 8, bands: int = 4, table: str = "documents") -> str:
     """CTE chain ``sig, bands, cand`` ending in the distinct LSH candidate
     pairs — composable (``WITH {_o_lsh_ctes()} SELECT ... FROM cand``) so
-    the verify-stage oracle can consume the same candidates."""
+    the verify-stage oracle can consume the same candidates. ``table`` lets
+    the chain run over a CTE (any relation with doc_id + text)."""
     rows = num_hashes // bands
     sig_cols = ", ".join(f"{o_minhash(i)} AS h{i}" for i in range(num_hashes))
     return f"""
-    sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    sig AS (SELECT doc_id, {sig_cols} FROM {table}),
     bands AS (
       SELECT doc_id, b.band_idx, b.band_val
       FROM sig, unnest([{', '.join(
@@ -497,6 +498,88 @@ def doc_winnow_fingerprints(spark, sf_dir):
     return fps.select(
         "doc_id", F.explode_outer(F.col("__fps")).alias("fingerprint")
     ).filter(F.col("fingerprint").isNotNull())
+
+
+# Quality-bucket CASE over a relation with a `text` column (mirrors
+# TX.quality_bucket + its input ratios exactly; reused by doc_text_stats'
+# oracle semantics and the curation pipeline).
+_O_QUALITY = (
+    f"CASE WHEN len({O_TOKS}) < 5 THEN 'too_short' "
+    f"WHEN CAST(len(list_distinct({O_TOKS})) AS DOUBLE) / len({O_TOKS}) < 0.3 "
+    f"THEN 'repetitive' "
+    f"WHEN CAST(len(list_filter({O_TOKS}, "
+    f"t -> list_contains(['the','a','of','and','to','in','is','it'], t))) "
+    f"AS DOUBLE) / len({O_TOKS}) > 0.6 THEN 'boilerplate' ELSE 'ok' END"
+)
+
+_O_SUBWORDS = (
+    r"CAST(coalesce(list_sum(list_transform("
+    r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]', 0), "
+    r"t -> (length(t) + 3) // 4)), 0) AS BIGINT)"
+)
+
+
+@q(
+    "corpus_curation_pipeline",
+    "The LLM-data flagship: quality-filter ('ok' bucket) -> exact dedup "
+    "(fingerprint, min-id survivor) -> near-dup removal (MinHash-LSH "
+    "candidates, Jaccard >= 0.5 verify, drop the larger id of each "
+    "verified pair) -> per-language doc/token budget. Every stage is the "
+    "already-benchmarked bucketed operator; the whole chain is hash-agg + "
+    "equi-join shuffles only, no stage quadratic in the corpus.",
+    oracle=f"""
+    WITH ok_docs AS (
+      SELECT doc_id, lang, text FROM documents WHERE {_O_QUALITY} = 'ok'),
+    survivors AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM ok_docs d
+      JOIN (SELECT {O_FINGERPRINT} AS fp, MIN(doc_id) AS doc_id
+            FROM ok_docs GROUP BY 1) s
+        ON d.doc_id = s.doc_id),
+    {_o_lsh_ctes(8, 4, table="survivors")},
+    toksets AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM survivors),
+    dropped AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN toksets l ON l.doc_id = c.id_a
+                  JOIN toksets r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    final AS (
+      SELECT * FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({O_TOKS})) AS BIGINT) AS ws_tokens,
+           SUM({_O_SUBWORDS}) AS bpe_tokens
+    FROM final GROUP BY lang
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    quality = TX.quality_bucket(
+        TX.token_count(text),
+        TX.stopword_ratio(text),
+        TX.distinct_token_ratio(text),
+    )
+    ok = docs.filter(quality == "ok")
+    kept = dedup_exact(ok)
+    cand = minhash_lsh_pairs(kept, num_hashes=8, bands=4)
+    dropped = (
+        jaccard_verify(kept, cand, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = kept.join(dropped, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(text).cast("long")).alias("ws_tokens"),
+        F.sum(TX.subword_count(text)).alias("bpe_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------

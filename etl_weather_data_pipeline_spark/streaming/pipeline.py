@@ -102,6 +102,50 @@ def windowed_city_aggs(
     )
 
 
+def enrich_stream_with_dim(
+    sdf: DataFrame, dim: DataFrame, on: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a bounded dimension table
+    (city metadata, config). The static side is re-evaluated per
+    micro-batch — dim updates between batches are picked up — and the
+    broadcast hint keeps the join map-side: no shuffle of the stream, no
+    join state at all (unlike stream-stream joins, stream-static joins are
+    stateless)."""
+    return sdf.join(F.broadcast(dim), on=on, how=how)
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join, watermark-bounded: pair rows sharing
+    ``key`` whose right-side event time falls in [left_ts, left_ts +
+    within].
+
+    Both watermarks AND the time-range predicate are load-bearing for
+    state cleanup: the range tells Spark how long a buffered left row can
+    still find matches, the watermarks bound how late either side may
+    arrive — together the join state is capped at watermark + within of
+    history per side instead of growing forever. Columns keep their side's
+    name via the l/r prefixes the caller selects from."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond)
+
+
 def start_merge_sink(
     sdf: DataFrame,
     warehouse_dir: str,

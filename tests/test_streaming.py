@@ -150,3 +150,53 @@ def test_stateful_running_stats(spark, tmp_path):
     final_b = [r for r in rows if r["key"] == "b"][-1]
     assert (final_a["n"], final_a["total"], final_a["vmin"], final_a["vmax"]) == (3, 9.0, 1.0, 5.0)
     assert (final_b["n"], final_b["total"], final_b["vmin"], final_b["vmax"]) == (3, 60.0, 10.0, 30.0)
+
+
+def test_stream_static_join_enriches(spark, landing):
+    from etl_weather_data_pipeline_spark.streaming.pipeline import (
+        enrich_stream_with_dim,
+    )
+
+    dim = spark.createDataFrame(
+        [("London", "GB", "Europe/London"), ("Tokyo", "JP", "Asia/Tokyo")],
+        "city string, country string, tz string",
+    )
+    out = enrich_stream_with_dim(
+        stream_raw(spark, landing), dim, on=["city", "country"]
+    )
+    _run_to_memory(out, "stream_dimjoin")
+    rows = spark.sql("SELECT city, tz FROM stream_dimjoin").collect()
+    assert len(rows) == 7  # stateless: every input row passes through
+    assert {(r["city"], r["tz"]) for r in rows} == {
+        ("London", "Europe/London"),
+        ("Tokyo", "Asia/Tokyo"),
+    }
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    import datetime as dt
+
+    from etl_weather_data_pipeline_spark.streaming.pipeline import (
+        join_streams_within,
+    )
+
+    base = dt.datetime(2023, 11, 7, 12, 0, 0)
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+    lrows = [{"k": "a", "timestamp": base.isoformat(), "lv": 1}]
+    rrows = [
+        {"k": "a", "timestamp": (base + dt.timedelta(minutes=30)).isoformat(), "rv": 10},
+        {"k": "a", "timestamp": (base + dt.timedelta(hours=2)).isoformat(), "rv": 20},
+        {"k": "b", "timestamp": (base + dt.timedelta(minutes=5)).isoformat(), "rv": 30},
+    ]
+    (ldir / "b1.json").write_text("\n".join(json.dumps(x) for x in lrows))
+    (rdir / "b1.json").write_text("\n".join(json.dumps(x) for x in rrows))
+    left = spark.readStream.schema("k string, timestamp timestamp, lv long").json(str(ldir))
+    right = spark.readStream.schema("k string, timestamp timestamp, rv long").json(str(rdir))
+    out = join_streams_within(left, right, key="k", within="1 hour").select(
+        "l.k", "lv", "rv"
+    )
+    _run_to_memory(out, "stream_joined")
+    rows = spark.sql("SELECT * FROM stream_joined").collect()
+    # only the rv=10 row is the same key AND within [ts, ts+1h]
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [("a", 1, 10)]
