@@ -39,8 +39,9 @@ HEADLINE = [
     "doc_jaccard_pairs",
     "doc_text_stats",
     "ann_cosine_topk",
-    # flagship: full weather transform pipeline
+    # flagships: full weather transform pipeline + corpus curation chain
     "weather_pipeline_e2e",
+    "corpus_curation_pipeline",
 ]
 
 

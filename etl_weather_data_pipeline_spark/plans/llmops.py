@@ -567,7 +567,20 @@ def corpus_curation_pipeline(spark, sf_dir):
         TX.distinct_token_ratio(text),
     )
     ok = docs.filter(quality == "ok")
-    kept = dedup_exact(ok)
+    # Materialize the deduped intermediate ONCE: four DAG branches consume
+    # it (LSH signatures, both verify sides, the final aggregate) and
+    # without a persist each branch re-scans + re-dedups the corpus — a 5x
+    # read amplification that dwarfs everything at 100 TB. Narrow to the
+    # three consumed columns first so the cached footprint is minimal;
+    # MEMORY_AND_DISK spills instead of OOMing on big corpora (a real
+    # cluster job would use a reliable checkpoint for executor-loss safety).
+    from pyspark import StorageLevel
+
+    kept = (
+        dedup_exact(ok)
+        .select("doc_id", "lang", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = minhash_lsh_pairs(kept, num_hashes=8, bands=4)
     dropped = (
         jaccard_verify(kept, cand, threshold=0.5)

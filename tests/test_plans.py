@@ -171,3 +171,14 @@ def test_winnow_is_maponly_without_inferred_filter(spark):
     filters = [ln for ln in optimized.splitlines() if "Filter" in ln]
     assert len(filters) == 1 and "isnotnull" in filters[0]
     assert "size(" not in filters[0]
+
+
+def test_curation_flagship_shape(spark):
+    # The curation chain must stay equi-join only (LSH band join + verify
+    # joins + anti-join), and the deduped intermediate must be a cached
+    # reuse point (InMemoryRelation) so the corpus is scanned once, not
+    # once per DAG branch.
+    plan = plan_of(spark, "corpus_curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
