@@ -1,0 +1,72 @@
+"""Connected components over an edge list — iterative min-label propagation.
+
+The transitive-closure stage of near-duplicate deduplication: LSH+Jaccard
+verification emits PAIRS, but a dedup decision needs CLUSTERS (a~b and
+b~c put a, b, c in one group even when a~c was never scored). Label
+propagation finds each node's component as the minimum node id reachable
+from it.
+
+Scale shape: each iteration is one equi-join (labels onto the undirected
+edge list) + one min-aggregate — both hash-partitioned on node id, no
+driver-side graph. Iterations are bounded by the component DIAMETER, not
+the graph size; near-dup clusters are shallow (diameter a handful), so a
+few rounds converge. Lineage is cut with localCheckpoint per round —
+without it the plan doubles every iteration and the optimizer re-walks an
+exponentially growing tree (a real cluster job would use reliable
+checkpointing for executor-loss safety).
+
+Convergence is detected with a changed-label count, one tiny action per
+round, same pattern as operators/kmeans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``edges``.
+
+    Returns (doc_id, cluster_id) for every node appearing in an edge,
+    where cluster_id is the minimum node id in the component —
+    deterministic, order-independent.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        msgs = und.join(labels, und.a == labels.id).select(
+            F.col("b").alias("id"), "label"
+        )
+        new = (
+            msgs.union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

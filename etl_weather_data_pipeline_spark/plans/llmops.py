@@ -213,6 +213,47 @@ def doc_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "doc_neardup_clusters",
+    "Near-dup CLUSTERS, not just pairs: LSH candidates -> Jaccard >= 0.5 "
+    "verify -> connected components (iterative min-label propagation; "
+    "a~b, b~c groups a,b,c even though a~c was never scored). cluster_id "
+    "= min doc_id in the component. The Spark side is the iterative "
+    "operator (equi-join + min-agg per round, bounded by component "
+    "diameter); the oracle is the same closure via recursive SQL.",
+    oracle=f"""
+    WITH RECURSIVE
+    {_o_lsh_ctes(8, 4)},
+    toksets AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM documents),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN toksets l ON l.doc_id = c.id_a
+                  JOIN toksets r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+    SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def doc_neardup_clusters(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    pairs = jaccard_verify(docs, cand, threshold=0.5).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+@q(
     "doc_ngram_jaccard_pairs",
     "Character-3-gram Jaccard verify over MinHash-LSH candidates — the "
     "n-gram flavor of near-dup detection (robust to word-boundary edits "

@@ -236,3 +236,25 @@ def test_char_ngrams_short_text(spark):
     assert got[1] == ["abc", "bcd"]
     assert got[2] == ["ab"]
     assert got[3] == []
+
+
+def test_connected_components_synthetic(spark):
+    """Chain, triangle-cycle, and disjoint pair must resolve to min-id
+    components regardless of edge direction or order."""
+    from etl_weather_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (3, 1), (1, 2),           # chain {1,2,3} -> cluster 1
+            (10, 11), (11, 12), (12, 10),  # cycle {10,11,12} -> cluster 10
+            (20, 21),                 # disjoint pair -> cluster 20
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
