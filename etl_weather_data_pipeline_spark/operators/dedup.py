@@ -167,6 +167,69 @@ def simhash_table(
     )
 
 
+def simhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via band blocking + Hamming verify.
+
+    Pigeonhole: two signatures within Hamming distance < ``bands`` collide
+    on at least one band, so the band equi-join finds all such pairs with
+    NO cross join — the same blocked self-join shape as MinHash-LSH, with
+    candidate volume bounded by band-bucket collisions (2^(bits/bands)
+    buckets per band). Survivors are verified exactly with
+    bit_count(xor) <= max_hamming inside codegen.
+    """
+    rb = bits // bands
+    mask = (1 << rb) - 1
+    sig = simhash_table(df, text_col, id_col, bits)
+    banded = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("simhash"), rb * b)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("__sa"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("__sb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     blocking: Sequence[str],

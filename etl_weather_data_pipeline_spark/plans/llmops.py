@@ -183,6 +183,37 @@ def doc_simhash(spark, sf_dir):
 
 
 @q(
+    "doc_simhash_pairs",
+    "SimHash near-dup pairs: 2 bands x 8 bits block the self-join "
+    "(pigeonhole finds every pair within Hamming < 2 bands; 256 buckets "
+    "per band bound candidate volume), bit_count(xor) <= 3 verifies "
+    "exactly. Same blocked shape as MinHash-LSH, integer ops end to end.",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {o_simhash(16)} AS simhash FROM documents),
+    b AS (
+      SELECT doc_id, simhash, t.b AS band_idx,
+             (simhash >> (8 * t.b)) & 255 AS band_val
+      FROM s, unnest([0, 1]) AS t(b)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.simhash AS sa, r.simhash AS sb
+      FROM b l JOIN b r
+        ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+           AND l.doc_id < r.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def doc_simhash_pairs(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        simhash_band_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_band_pairs(docs, bits=16, bands=2, max_hamming=3)
+
+
+@q(
     "doc_jaccard_pairs",
     "Verified near-dup pairs: MinHash-LSH candidates -> exact token-set "
     "Jaccard >= 0.5 verify. The candidate count is bounded by signature "

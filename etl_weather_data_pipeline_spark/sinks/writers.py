@@ -54,6 +54,21 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """ORC sink — same contract as the parquet sink for warehouses that
+    standardize on ORC (both are columnar with predicate pushdown and
+    partition pruning; Spark supports them natively)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def _delta_available(spark: SparkSession) -> bool:
     try:
         # Both the Python package and the JVM class must be present; py4j

@@ -93,6 +93,12 @@ def read_raw_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(RAW_SCHEMA).csv(path, header=True)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — schema travels with the files (columnar, self-
+    describing), so unlike CSV no re-enforcement is needed."""
+    return spark.read.orc(path)
+
+
 def load_cities(spark: SparkSession, path: str | None = None) -> DataFrame:
     """S4 — cities config with hard-coded fallback
     (reference src/ingest.py:192-213)."""

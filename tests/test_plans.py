@@ -89,7 +89,8 @@ def test_nation_revenue_all_dims_broadcast(spark):
 def test_blocked_selfjoins_are_equijoins(spark):
     # The pair-generating ops must never degenerate into cartesian products.
     for name in ("doc_jaccard_pairs", "doc_minhash_lsh_pairs",
-                 "embedding_neardup_pairs"):
+                 "embedding_neardup_pairs", "doc_simhash_pairs",
+                 "doc_ngram_jaccard_pairs"):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -120,3 +120,20 @@ def test_read_api_json_lines(spark, tmp_path):
     df = read_api_json(spark, str(f))
     assert df.count() == 3
     assert df.schema["timestamp"].dataType.typeName() == "timestamp"
+
+
+def test_orc_round_trip(spark, tmp_path, clean_raw):
+    """ORC sink/reader round-trip: schema and values survive exactly, and
+    predicate pushdown works on the columnar scan."""
+    from etl_weather_data_pipeline_spark.sinks.writers import write_orc
+    from etl_weather_data_pipeline_spark.sources.readers import read_orc
+
+    path = str(tmp_path / "orc")
+    write_orc(clean_raw, path)
+    back = read_orc(spark, path)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in clean_raw.schema.fields
+    ]
+    assert back.count() == 3
+    plan = back.filter(back.city == "London")._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "London" in plan
