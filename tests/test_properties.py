@@ -118,3 +118,89 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+# --- text-function properties: Spark expressions vs pure-Python references.
+# Alphabet sticks to ASCII + space/tab/newline: Java, RE2 (DuckDB), and
+# Python agree on \s there, which is the contract the oracles rely on
+# (testdata is ASCII; exotic-whitespace semantics differ per engine and
+# are deliberately out of contract).
+
+_TEXT = st.text(
+    alphabet=" \t\nabcdefghijklmnopqrstuvwxyzABCDE01239.,!?-",
+    max_size=60,
+)
+
+
+def _py_subwords(text: str) -> int:
+    import re
+
+    pieces = re.findall(r"[a-z0-9]+|[^a-z0-9\s]", text.lower())
+    return sum((len(p) + 3) // 4 for p in pieces)
+
+
+def _py_winnow(text: str, k: int = 8, w: int = 4) -> set[int]:
+    import re
+
+    norm = re.sub(r"[^a-z0-9]", "", text.lower())
+    if not norm:
+        return set()
+
+    def poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 2147483647
+        return acc
+
+    if len(norm) < k:
+        hashes = [poly(norm)]
+    else:
+        hashes = [poly(norm[i : i + k]) for i in range(len(norm) - k + 1)]
+    if len(hashes) < w:
+        return {min(hashes)}
+    return {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+
+
+def _py_ngrams(text: str, n: int = 3) -> set[str]:
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip(" ")).lower()
+    if not norm:
+        return set()
+    if len(norm) < n:
+        return {norm}
+    return {norm[i : i + n] for i in range(len(norm) - n + 1)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=25))
+def test_text_functions_match_python_reference(spark, texts):
+    from etl_weather_data_pipeline_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    ngram_norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    win_norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    staged = df.select(
+        "id",
+        TX.subword_count(F.col("text")).alias("sub"),
+        TX.char_ngrams_of(TX.chars_of(ngram_norm), 3).alias("grams"),
+        TX.chars_of(win_norm).alias("__ch"),
+    )
+    coded = staged.select(
+        "id", "sub", "grams", TX.char_codes_of(F.col("__ch")).alias("__co")
+    )
+    hashed = coded.select(
+        "id", "sub", "grams",
+        TX.rolling_kgram_hashes_of(F.col("__co"), 8).alias("__h"),
+    )
+    out = hashed.select(
+        "id", "sub", "grams",
+        TX.winnow_fingerprints_of(F.col("__h"), 4).alias("fps"),
+    )
+    for r in out.collect():
+        t = texts[r["id"]]
+        assert r["sub"] == _py_subwords(t), repr(t)
+        assert set(r["grams"]) == _py_ngrams(t), repr(t)
+        assert set(r["fps"]) == _py_winnow(t), repr(t)
