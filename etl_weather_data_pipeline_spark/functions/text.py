@@ -208,13 +208,14 @@ def fingerprint(text: Column) -> Column:
 
 
 def minhash_values(text: Column, num_hashes: int = 4, k: int = 3) -> Column:
-    """MinHash signature as array<string> of length ``num_hashes``.
+    """MinHash signature as array<long> of length ``num_hashes``.
 
-    Hash family h_i(s) = substr(md5(i//4 || ':' || s), 8*(i%4)+1, 8) — one
-    md5 split into four 32-bit words (the md5 is the cost; see
+    Hash family h_i(s) = int(substr(md5(i//4 || ':' || s), 8*(i%4)+1, 8),
+    16) — one md5 split into four 32-bit words (the md5 is the cost; see
     operators/dedup.py minhash_signatures for the measured explode-based
-    form used on the hot path). md5-based so the DuckDB oracle reproduces
-    it bit-for-bit; at scale swap for xxhash64 with the same structure.
+    form used on the hot path, which this family matches exactly).
+    md5-based so the DuckDB oracle reproduces it bit-for-bit; at scale
+    swap for xxhash64 with the same structure.
     """
     sh = word_shingles(text, k)
     return F.array(
@@ -222,11 +223,15 @@ def minhash_values(text: Column, num_hashes: int = 4, k: int = 3) -> Column:
             F.array_min(
                 F.transform(
                     sh,
-                    lambda s, i=i: F.substring(
-                        F.md5(F.concat(F.lit(f"{i // 4}:"), s)),
-                        8 * (i % 4) + 1,
-                        8,
-                    ),
+                    lambda s, i=i: F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i // 4}:"), s)),
+                            8 * (i % 4) + 1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
                 )
             )
             for i in range(num_hashes)

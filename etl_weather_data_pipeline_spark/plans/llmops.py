@@ -57,11 +57,12 @@ O_FINGERPRINT = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
 def o_minhash(i: int) -> str:
     """Oracle mirror of minhash_signatures component i: min over the i%4-th
-    32-bit word of md5('i//4:' || shingle)."""
+    32-bit word of md5('i//4:' || shingle), as BIGINT (the Spark side
+    aggregates LONG words so min() stays in HashAggregate)."""
     g, off = i // 4, 8 * (i % 4) + 1
     return (
         f"list_min(list_transform({O_SHINGLES}, "
-        f"s -> substr(md5('{g}:' || s), {off}, 8)))"
+        f"s -> ('0x' || substr(md5('{g}:' || s), {off}, 8))::BIGINT))"
     )
 
 
