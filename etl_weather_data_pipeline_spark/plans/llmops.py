@@ -911,6 +911,64 @@ def corpus_vocab_stats(spark, sf_dir):
 
 
 @q(
+    "doc_tfidf_top_terms",
+    "Top-3 TF-IDF terms per document: token explode -> tf (per doc) and "
+    "df (per corpus) aggregates -> score join -> windowed top-k. The "
+    "corpus size N enters the plan as a broadcast 1-row aggregate (no "
+    "driver round-trip); scores are decimal-rounded BEFORE ranking so the "
+    "sort order can't flip on engine-specific ln() last-ulp noise.",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({O_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+              FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token,
+             {o_dround("t.tf * ln(n.n / d.df)", 6)} AS tfidf
+      FROM tf t JOIN dfreq d USING (token), n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored)
+    SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            dround(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@q(
     "label_centroids",
     "Per-cell embedding centroids, one row per (label, dimension) — the "
     "precompute for IVF ANN. posexplode -> partial+final decimal-backed "
