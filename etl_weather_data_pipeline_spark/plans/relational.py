@@ -661,6 +661,32 @@ def median_value_by_type(spark, sf_dir):
     )
 
 
+@q(
+    "value_percentiles_by_type",
+    "EXACT percentile battery per group (p25/p50/p90, continuous "
+    "interpolation — Spark percentile() and DuckDB quantile_cont share "
+    "the definition; results decimal-rounded). Scalar columns, never an "
+    "array result: the driver's canonicalizer cannot sort list cells "
+    "(round-1 approx_aggregates lesson). The exact sort-based percentile "
+    "is the small-group tool; percentile_approx is the 100 TB path "
+    "(approx_aggregates).",
+    oracle=f"""
+    SELECT event_type,
+           {o_dround('quantile_cont(value, 0.25)', 6)} AS p25,
+           {o_dround('quantile_cont(value, 0.50)', 6)} AS p50,
+           {o_dround('quantile_cont(value, 0.90)', 6)} AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        dround(F.percentile("value", 0.25), 6).alias("p25"),
+        dround(F.percentile("value", 0.50), 6).alias("p50"),
+        dround(F.percentile("value", 0.90), 6).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping extensions: pivot, rollup, daily quality (A4)
 # ---------------------------------------------------------------------------
