@@ -200,3 +200,37 @@ def test_stream_stream_join_within_window(spark, tmp_path):
     rows = spark.sql("SELECT * FROM stream_joined").collect()
     # only the rv=10 row is the same key AND within [ts, ts+1h]
     assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [("a", 1, 10)]
+
+
+def test_streaming_multimodal_decode(spark, tmp_path):
+    """The Arrow mapInPandas decode runs under Structured Streaming too:
+    binary payloads land as parquet, stream through decode_features, and
+    produce the same deterministic features as the batch path."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.streaming.multimodal import (
+        decode_features,
+    )
+
+    landing = tmp_path / "payloads"
+    batch = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias(
+            "payload"
+        ),
+    )
+    batch.write.parquet(str(landing))
+    sdf = spark.readStream.schema("doc_id long, payload binary").parquet(
+        str(landing)
+    )
+    out = decode_features(sdf)
+    _run_to_memory(out, "stream_decoded")
+    got = {
+        r["doc_id"]: (r["byte_len"], r["checksum"])
+        for r in spark.sql("SELECT * FROM stream_decoded").collect()
+    }
+    want = {
+        r["doc_id"]: (r["byte_len"], r["checksum"])
+        for r in decode_features(batch).collect()
+    }
+    assert got == want and len(got) == 8
