@@ -1,0 +1,51 @@
+"""Deterministic sampling and dataset splits for training pipelines.
+
+`df.sample` / `sampleBy` draw from a seeded RNG: rows change when the
+partitioning, Spark version, or row order changes — useless for a
+reproducible train/val/test split over a growing corpus. These operators
+derive the decision from a HASH OF THE ROW KEY instead: a document keeps
+its split assignment forever, across engines, re-runs, and re-shuffles,
+and joining new data never moves old rows between splits.
+
+md5-based (any engine reproduces the buckets bit-for-bit, so the DuckDB
+oracle can verify them); at production scale the same structure runs on
+xxhash64 for speed when cross-engine parity is not required. Everything
+is a map-only Column expression — no RNG state, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets): the first 32-bit word
+    of md5(key) mod buckets."""
+    word = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return word % buckets
+
+
+def assign_split(
+    key: Column, train: float = 0.8, val: float = 0.1
+) -> Column:
+    """'train' / 'val' / 'test' label from the key hash. Fractions are in
+    thousandths of the bucket space, so train=0.8 is exactly 800/1000."""
+    b = hash_bucket(key)
+    return (
+        F.when(b < int(train * BUCKETS), "train")
+        .when(b < int((train + val) * BUCKETS), "val")
+        .otherwise("test")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by key hash — stable across runs,
+    engines, and partitionings (unlike df.sample)."""
+    return df.filter(hash_bucket(F.col(key_col)) < int(fraction * BUCKETS))

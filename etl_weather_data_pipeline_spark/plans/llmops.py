@@ -911,6 +911,41 @@ def corpus_vocab_stats(spark, sf_dir):
 
 
 @q(
+    "corpus_train_split",
+    "Deterministic train/val/test assignment (80/10/10) from a hash of "
+    "the doc id — reproducible across runs, engines, partitionings, and "
+    "corpus growth (a doc NEVER changes split when new data arrives), "
+    "unlike the RNG-seeded df.sample/sampleBy. Map-only, no shuffle "
+    "except the summary aggregate.",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 1000 < 800 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def corpus_train_split(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        assign_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", assign_split(F.col("doc_id"), 0.8, 0.1).alias("split")
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@q(
     "doc_tfidf_top_terms",
     "Top-3 TF-IDF terms per document: token explode -> tf (per doc) and "
     "df (per corpus) aggregates -> score join -> windowed top-k. The "

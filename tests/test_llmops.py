@@ -258,3 +258,30 @@ def test_connected_components_synthetic(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_deterministic_sample_stability(spark):
+    """Hash-based sampling: same rows across repartitionings; fraction in a
+    sane band; split assignment is a partition of the corpus."""
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 0.2).collect()
+    }
+    assert s1 == s2
+    assert 0.1 <= len(s1) / docs.count() <= 0.3
+    splits = docs.select(
+        "doc_id", assign_split(F.col("doc_id")).alias("split")
+    ).collect()
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in splits:
+        counts[r["split"]] += 1
+    assert sum(counts.values()) == len(splits)
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
