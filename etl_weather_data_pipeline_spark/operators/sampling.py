@@ -49,3 +49,24 @@ def deterministic_sample(
     """Keep ~fraction of rows, chosen by key hash — stable across runs,
     engines, and partitionings (unlike df.sample)."""
     return df.filter(hash_bucket(F.col(key_col)) < int(fraction * BUCKETS))
+
+
+def stratified_take_n(
+    df: DataFrame, strata_cols: list[str], n: int, key_col: str
+) -> DataFrame:
+    """EXACTLY min(n, group size) rows per stratum, deterministically:
+    rank rows within each stratum by (md5(key), key) and keep the first n.
+    The hash makes the pick pseudo-random yet reproducible; the key
+    tiebreak makes it total. One shuffle on the strata columns; Spark
+    plans the rank-filter as WindowGroupLimit, so each partition keeps
+    only n rows per group before the exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

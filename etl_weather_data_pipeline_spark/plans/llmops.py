@@ -946,6 +946,32 @@ def corpus_train_split(spark, sf_dir):
 
 
 @q(
+    "doc_stratified_sample",
+    "Exactly 20 docs per language, picked deterministically: rank within "
+    "each stratum by (md5(doc_id), doc_id), keep the first 20 — a "
+    "pseudo-random yet fully reproducible stratified sample "
+    "(WindowGroupLimit caps each partition's rows per group before the "
+    "shuffle).",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """,
+)
+def doc_stratified_sample(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        stratified_take_n,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_take_n(docs, ["lang"], 20, "doc_id")
+
+
+@q(
     "doc_tfidf_top_terms",
     "Top-3 TF-IDF terms per document: token explode -> tf (per doc) and "
     "df (per corpus) aggregates -> score join -> windowed top-k. The "

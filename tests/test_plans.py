@@ -183,3 +183,11 @@ def test_curation_flagship_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    # Rank-filter sampling must plan as WindowGroupLimit: each partition
+    # keeps only n rows per stratum BEFORE the shuffle, so the exchange
+    # carries O(strata x n), not the corpus.
+    plan = plan_of(spark, "doc_stratified_sample")
+    assert "WindowGroupLimit" in plan
