@@ -279,6 +279,29 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+# PII scrubbing — ASCII-only patterns so Java (Spark), RE2 (DuckDB), and
+# Python agree exactly. Production sets are larger; the mechanism (chained
+# global regexp_replace, counts via regexp_extract_all) is the same.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_DIGITS = r"[0-9]{9,}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_long_digit_runs) found in the text."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PII_LONG_DIGITS), 0)),
+    )
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails then long digit runs (IDs/phone-ish) with typed
+    placeholders. Order matters: emails first, or the digit rule would
+    chew the local part of numeric addresses."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, PII_LONG_DIGITS, "<NUM>")
+
+
 # Language-ID heuristic: score = stopword hits per language profile, pick the
 # argmax. Profiles are tiny fixed lists so the whole thing is a when-chain.
 LANG_PROFILES: dict[str, list[str]] = {

@@ -910,6 +910,92 @@ def corpus_vocab_stats(spark, sf_dir):
     )
 
 
+# Fixed "benchmark" phrases for the decontamination demo — in production
+# this set comes from the eval suites' n-grams and is broadcast the same
+# way (it is small relative to the corpus by construction).
+_BENCH_PHRASES = [
+    "the quick brown",
+    "lorem ipsum dolor",
+    "to be or",
+    "data science is",
+]
+
+
+@q(
+    "doc_contamination_flags",
+    "Benchmark decontamination: flag documents whose 3-word shingles "
+    "overlap a benchmark phrase set. The phrase set is tiny by "
+    "construction -> broadcast semi-join against the exploded shingles "
+    "(one scan, no shuffle of the corpus); flagged docs are dropped "
+    "before training so eval answers never leak into the training set.",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({O_SHINGLES}) AS shingle FROM documents),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE shingle IN ({", ".join(f"'{p}'" for p in _BENCH_PHRASES)}))
+    SELECT d.doc_id, d.lang,
+           (f.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    """,
+)
+def doc_contamination_flags(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("__t")
+    )
+    sh = toked.select(
+        "doc_id",
+        F.explode_outer(TX.word_shingles_of(F.col("__t"), 3)).alias("__s"),
+    )
+    flagged = (
+        sh.filter(F.col("__s").isin(_BENCH_PHRASES))
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(flagged), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+@q(
+    "doc_pii_scrub",
+    "PII scrubbing: count + redact emails and long digit runs (chained "
+    "global regexp_replace; ASCII patterns so Java and RE2 agree). "
+    "Output carries the scrubbed text's md5 so the oracle verifies the "
+    "REDACTION ITSELF, not just the counts. Map-only.",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '{TX.PII_EMAIL}', 0)) AS n_emails,
+           len(regexp_extract_all(text,
+               '{TX.PII_LONG_DIGITS}', 0)) AS n_long_digits,
+           md5(regexp_replace(regexp_replace(text,
+               '{TX.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{TX.PII_LONG_DIGITS}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def doc_pii_scrub(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n_email, n_digits = TX.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_digits.alias("n_long_digits"),
+        F.md5(TX.pii_scrub(F.col("text"))).alias("scrubbed_md5"),
+    )
+
+
 @q(
     "corpus_train_split",
     "Deterministic train/val/test assignment (80/10/10) from a hash of "

@@ -285,3 +285,26 @@ def test_deterministic_sample_stability(spark):
         counts[r["split"]] += 1
     assert sum(counts.values()) == len(splits)
     assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+
+
+def test_pii_scrub_redacts(spark):
+    from etl_weather_data_pipeline_spark.functions.text import (
+        pii_counts,
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call 12345678901 now"),
+        (2, "no pii here, just 1234 digits"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    n_e, n_d = pii_counts(F.col("text"))
+    got = {
+        r["id"]: (r["e"], r["d"], r["s"])
+        for r in df.select(
+            "id", n_e.alias("e"), n_d.alias("d"), pii_scrub(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert got[1][0] == 1 and got[1][1] == 1
+    assert got[1][2] == "mail me at <EMAIL> or call <NUM> now"
+    assert got[2] == (0, 0, "no pii here, just 1234 digits")
