@@ -968,6 +968,50 @@ def doc_contamination_flags(spark, sf_dir):
 
 
 @q(
+    "source_quality_stats",
+    "Per-source curation dashboard: doc count, exact-duplicate rate "
+    "(1 - distinct fingerprints / docs), language diversity, token "
+    "budget, and ok-quality share. The decide-what-to-crawl-more view; "
+    "one hash aggregate over map-side expressions.",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {o_dround("1.0 - CAST(COUNT(DISTINCT " + O_FINGERPRINT + ") AS DOUBLE)"
+                     " / COUNT(*)", 6)} AS dup_rate,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(len({O_TOKS})) AS BIGINT) AS ws_tokens,
+           {o_dround("CAST(COUNT(*) FILTER (WHERE " + _O_QUALITY + " = 'ok') AS DOUBLE)"
+                     " / COUNT(*)", 6)} AS ok_share
+    FROM documents GROUP BY source
+    """,
+)
+def source_quality_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    quality = TX.quality_bucket(
+        TX.token_count(text),
+        TX.stopword_ratio(text),
+        TX.distinct_token_ratio(text),
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dround(
+            F.lit(1.0)
+            - F.countDistinct(TX.fingerprint(text)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(TX.token_count(text).cast("long")).alias("ws_tokens"),
+        dround(
+            F.count(F.when(quality == "ok", 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ok_share"),
+    )
+
+
+@q(
     "doc_pii_scrub",
     "PII scrubbing: count + redact emails and long digit runs (chained "
     "global regexp_replace; ASCII patterns so Java and RE2 agree). "

@@ -228,3 +228,54 @@ def test_partition_pruning_on_date(spark, batch, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert stored.filter(F.col("date") == "2023-11-08").count() == 1
+
+
+def test_sorted_parquet_layout_enables_skipping(spark, tmp_path):
+    """write_parquet_sorted must produce files whose row-group min/max
+    ranges on the sort key are narrow and mostly disjoint — the footer
+    stats a reader uses to skip row groups. Verified against the actual
+    parquet metadata, and against an unsorted write of the same data."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        write_parquet,
+        write_parquet_sorted,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def key_ranges(root):
+        spans = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "user_id"
+                )
+                spans.append((col.statistics.min, col.statistics.max))
+        return spans
+
+    write_parquet_sorted(
+        ev.repartition(8), str(tmp_path / "sorted"), ["user_id"], num_files=8
+    )
+    write_parquet(ev.repartition(8), str(tmp_path / "plain"))
+    lo = ev.agg(F.min("user_id")).first()[0]
+    hi = ev.agg(F.max("user_id")).first()[0]
+
+    def total_span(spans):
+        return sum(mx - mn for mn, mx in spans)
+
+    sorted_spans = key_ranges(str(tmp_path / "sorted"))
+    plain_spans = key_ranges(str(tmp_path / "plain"))
+    assert len(sorted_spans) > 1
+    # unsorted row groups each cover ~the whole key domain; sorted ones
+    # tile it — total covered span collapses by the row-group count
+    assert total_span(sorted_spans) < (hi - lo) * 1.5
+    assert total_span(plain_spans) > (hi - lo) * (len(plain_spans) - 1)
