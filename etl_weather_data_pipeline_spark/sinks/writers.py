@@ -85,6 +85,42 @@ def write_parquet_sorted(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_by: Sequence[str] = (),
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """Small-file compaction — the maintenance op every streaming/upsert
+    sink needs: micro-batches and per-partition overwrites accumulate
+    files far below the scan-efficient size, and at 100 TB the scheduler
+    drowns in file-open overhead before any byte is read.
+
+    Sizes the rewrite from the ACTUAL on-disk bytes (files_before //
+    target), repartitions to that count, and overwrites in place — the
+    data is localCheckpoint-ed first so the write never re-reads the
+    files it replaces (same pattern as merge_upsert). Returns
+    {"files_before": n, "files_after": m}.
+    """
+    import glob
+    import os
+
+    def _files() -> list[str]:
+        return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+    before = _files()
+    total_mb = sum(os.path.getsize(f) for f in before) // (1024 * 1024)
+    n_out = max(1, int(total_mb // target_file_mb) or 1)
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    if partition_by:
+        # One task (-> one file) per hive-partition value.
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    elif len(before) > n_out:
+        df = df.repartition(n_out)
+    write_parquet(df, path, "overwrite", partition_by)
+    return {"files_before": len(before), "files_after": len(_files())}
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -279,3 +279,33 @@ def test_sorted_parquet_layout_enables_skipping(spark, tmp_path):
     # tile it — total covered span collapses by the row-group count
     assert total_span(sorted_spans) < (hi - lo) * 1.5
     assert total_span(plain_spans) > (hi - lo) * (len(plain_spans) - 1)
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Many small files collapse to few; data survives byte-for-byte.
+    Partitioned variant keeps the partition layout (one file per date)."""
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.sinks.writers import compact_parquet
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("date")
+    )
+    flat = str(tmp_path / "flat")
+    ev.repartition(32).write.parquet(flat)
+    before_rows = spark.read.parquet(flat).count()
+    counts = compact_parquet(spark, flat)
+    assert counts["files_before"] == 32
+    assert counts["files_after"] < 8
+    after = spark.read.parquet(flat)
+    assert after.count() == before_rows
+
+    part = str(tmp_path / "part")
+    ev.repartition(16).write.partitionBy("date").parquet(part)
+    counts = compact_parquet(spark, part, partition_by=["date"])
+    assert counts["files_after"] < counts["files_before"]
+    got = spark.read.parquet(part)
+    assert got.count() == before_rows
+    import glob
+
+    for d in glob.glob(f"{part}/date=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
