@@ -122,10 +122,14 @@ def join_streams_within(
     right_ts: str = "timestamp",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join, watermark-bounded: pair rows sharing
-    ``key`` whose right-side event time falls in [left_ts, left_ts +
-    within].
+    """Stream-stream join, watermark-bounded: pair rows sharing ``key``
+    whose right-side event time falls in [left_ts, left_ts + within].
+    ``how='left_outer'`` emits the null-padded left row once the watermark
+    proves no match can still arrive (outer results are inherently
+    delayed by the watermark — that is the correctness price of not
+    holding state forever).
 
     Both watermarks AND the time-range predicate are load-bearing for
     state cleanup: the range tells Spark how long a buffered left row can
@@ -143,7 +147,36 @@ def join_streams_within(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
         )
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
+
+
+def sessionized_city_aggs(
+    sdf: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming SESSION windows: per-city sessions close after ``gap`` of
+    event-time silence. Unlike tumbling windows the window bounds are
+    data-driven; state for a session is dropped once the watermark passes
+    its close. (The batch analogue is the oracled session_window_stats.)"""
+    return (
+        sdf.withWatermark("timestamp", watermark)
+        .groupBy(
+            F.session_window("timestamp", gap).alias("win"),
+            F.col("city"),
+            F.col("country"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.avg("temperature").alias("avg_temperature"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "city",
+            "country",
+            "n_obs",
+            "avg_temperature",
+        )
+    )
 
 
 def start_merge_sink(

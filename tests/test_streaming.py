@@ -234,3 +234,80 @@ def test_streaming_multimodal_decode(spark, tmp_path):
         for r in decode_features(batch).collect()
     }
     assert got == want and len(got) == 8
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    import datetime as dt
+
+    from etl_weather_data_pipeline_spark.streaming.pipeline import (
+        sessionized_city_aggs,
+    )
+
+    base = dt.datetime(2023, 11, 7, 12, 0, 0)
+    d = tmp_path / "landing"
+    d.mkdir()
+    rows = [
+        # London: two obs 10 min apart (one session), then one 2h later
+        dict(city="London", country="GB", timestamp=base.isoformat(),
+             temperature=15.0, feels_like=14.0, humidity=60, pressure=1013,
+             description="ok", wind_speed=3.0, wind_direction=180,
+             cloudiness=40, visibility=10.0, lat=51.5, lon=-0.12),
+    ]
+    rows.append(dict(rows[0], timestamp=(base + dt.timedelta(minutes=10)).isoformat()))
+    rows.append(dict(rows[0], timestamp=(base + dt.timedelta(hours=2)).isoformat(),
+                     temperature=17.0))
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    agg = sessionized_city_aggs(stream_raw(spark, str(d)), gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("stream_sessions").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT * FROM stream_sessions ORDER BY session_start"
+    ).collect()
+    assert len(got) == 2  # 30-min gap splits the 2h-later obs into its own
+    assert got[0]["n_obs"] == 2 and got[1]["n_obs"] == 1
+    # session end = last event + gap
+    assert (got[0]["session_end"] - got[0]["session_start"]).seconds == 40 * 60
+
+
+def test_stream_stream_left_outer_join_emits_on_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from etl_weather_data_pipeline_spark.streaming.pipeline import (
+        join_streams_within,
+    )
+
+    base = dt.datetime(2023, 11, 7, 12, 0, 0)
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+    (ldir / "b1.json").write_text(json.dumps(
+        {"k": "a", "timestamp": base.isoformat(), "lv": 1}))
+    (rdir / "b1.json").write_text(json.dumps(
+        {"k": "b", "timestamp": base.isoformat(), "rv": 9}))
+    left = spark.readStream.schema("k string, timestamp timestamp, lv long").json(str(ldir))
+    right = spark.readStream.schema("k string, timestamp timestamp, rv long").json(str(rdir))
+    out = join_streams_within(
+        left, right, key="k", within="10 minutes", watermark="10 minutes",
+        how="left_outer",
+    ).select("l.k", "lv", "rv")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("stream_louter").start()
+    )
+    q.processAllAvailable()
+    first = spark.sql("SELECT * FROM stream_louter").collect()
+    # no match yet AND watermark hasn't passed -> nothing emitted
+    assert first == []
+    # a much later event on BOTH sides pushes the watermark past the
+    # left row's match window -> the null-padded row must flush
+    late = (base + dt.timedelta(hours=3)).isoformat()
+    (ldir / "b2.json").write_text(json.dumps({"k": "zz", "timestamp": late, "lv": 0}))
+    (rdir / "b2.json").write_text(json.dumps({"k": "zz", "timestamp": late, "rv": 0}))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["k"], r["lv"], r["rv"]) for r in spark.sql("SELECT * FROM stream_louter").collect()}
+    assert ("a", 1, None) in rows
