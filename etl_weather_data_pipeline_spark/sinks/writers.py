@@ -8,9 +8,10 @@ pruning, which is the scan-reduction mechanism that actually works at
 Upsert (K6): the reference does a per-row INSERT..ON CONFLICT loop
 (src/load.py:386-426) — O(n) round-trips. Here it is ONE set-based merge.
 Without Delta on the classpath the merge is emulated as
-anti-join + union + dynamic-partition overwrite: atomic per partition, and
-only the partitions containing updated keys are rewritten. With Delta
-available, ``merge_upsert`` dispatches to a real MERGE INTO.
+anti-join + union + staged write + per-partition directory rename: only
+the partitions containing updated keys are read or rewritten, and the old
+data is never deleted before its replacement is durably written. With
+Delta available, ``merge_upsert`` dispatches to a real MERGE INTO.
 Semantics: whole-row update on key match (SURVEY §7.3 item 4).
 """
 
@@ -85,6 +86,26 @@ def write_parquet_sorted(
     w.parquet(path)
 
 
+def _swap_dirs(live: str, staged: str) -> None:
+    """Replace directory ``live`` with ``staged`` via two renames.
+
+    The original survives intact until ``staged`` is fully written; the
+    only non-atomic window is between the two renames, where a crash
+    leaves the complete old table at ``<live>.old-*`` (recover by renaming
+    it back). At no point can both copies be lost — unlike an in-place
+    ``mode=overwrite``, whose delete-then-write loses the table if the
+    driver dies mid-write.
+    """
+    import os
+    import shutil
+    import uuid
+
+    old = live.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+    os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -96,29 +117,74 @@ def compact_parquet(
     files far below the scan-efficient size, and at 100 TB the scheduler
     drowns in file-open overhead before any byte is read.
 
-    Sizes the rewrite from the ACTUAL on-disk bytes (files_before //
-    target), repartitions to that count, and overwrites in place — the
-    data is localCheckpoint-ed first so the write never re-reads the
-    files it replaces (same pattern as merge_upsert). Returns
+    Sizing comes from the ACTUAL on-disk bytes: globally for flat tables,
+    PER HIVE PARTITION for partitioned ones — a hot partition holding
+    10 GB gets ceil(10 GB / target) output files/tasks, not one giant
+    task+file (which would be the small-file problem's mirror image plus
+    an executor OOM at scale). Buckets are assigned row-round-robin
+    within each partition value and the rewrite is hash-distributed on
+    (partition cols, bucket).
+
+    Crash safety: the compacted table is staged to a sibling temp dir and
+    swapped in with two renames (see :func:`_swap_dirs`) — the original
+    is never deleted before the replacement is complete, and the staged
+    write reads the live files directly (no localCheckpoint copy of the
+    whole table through executor memory). Returns
     {"files_before": n, "files_after": m}.
     """
     import glob
     import os
+    import uuid
 
-    def _files() -> list[str]:
-        return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    def _files(root: str) -> list[str]:
+        return glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
 
-    before = _files()
-    total_mb = sum(os.path.getsize(f) for f in before) // (1024 * 1024)
-    n_out = max(1, int(total_mb // target_file_mb) or 1)
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    before = _files(path)
+    target_bytes = target_file_mb * 1024 * 1024
+    df = spark.read.parquet(path)
     if partition_by:
-        # One task (-> one file) per hive-partition value.
-        df = df.repartition(*[F.col(c) for c in partition_by])
-    elif len(before) > n_out:
-        df = df.repartition(n_out)
-    write_parquet(df, path, "overwrite", partition_by)
-    return {"files_before": len(before), "files_after": len(_files())}
+        # Per-partition-value byte totals from the hive directory layout.
+        part_bytes: dict[tuple[str, ...], int] = {}
+        for f in before:
+            rel = os.path.relpath(os.path.dirname(f), path)
+            vals = dict(seg.split("=", 1) for seg in rel.split(os.sep))
+            key = tuple(vals[c] for c in partition_by)
+            part_bytes[key] = part_bytes.get(key, 0) + os.path.getsize(f)
+        pv_cols = [f"__pv_{c}" for c in partition_by]
+        buckets = spark.createDataFrame(
+            [k + (max(1, -(-b // target_bytes)),) for k, b in part_bytes.items()],
+            pv_cols + ["__n_buckets"],
+        )
+        # Left join on hive-encoded string values; a value whose string
+        # cast doesn't round-trip the hive encoding (url-escaped chars,
+        # __HIVE_DEFAULT_PARTITION__) just falls back to 1 bucket — rows
+        # are never dropped.
+        cond = [
+            df[c].cast("string") == F.col(p)
+            for c, p in zip(partition_by, pv_cols)
+        ]
+        out = (
+            df.join(F.broadcast(buckets), cond, "left")
+            .withColumn(
+                "__bucket",
+                F.pmod(
+                    F.monotonically_increasing_id(),
+                    F.coalesce(F.col("__n_buckets"), F.lit(1)),
+                ),
+            )
+            .drop(*pv_cols, "__n_buckets")
+        )
+        n_tasks = max(1, sum(max(1, -(-b // target_bytes)) for b in part_bytes.values()))
+        out = out.repartition(
+            n_tasks, *[F.col(c) for c in partition_by], F.col("__bucket")
+        ).drop("__bucket")
+    else:
+        n_out = max(1, sum(os.path.getsize(f) for f in before) // target_bytes)
+        out = df.repartition(int(n_out))
+    staged = path.rstrip("/") + f".compact-tmp-{uuid.uuid4().hex[:8]}"
+    write_parquet(out, staged, "overwrite", partition_by)
+    _swap_dirs(path, staged)
+    return {"files_before": len(before), "files_after": len(_files(path))}
 
 
 def write_orc(
@@ -169,38 +235,85 @@ def merge_upsert(
 
     Contract: every partition column must be functionally dependent on the
     merge key (here date = date(timestamp), timestamp ∈ keys), so a key
-    collision can never hide in an untouched partition. Untouched
-    partitions are never read, written, or deleted; a crash mid-write can
-    leave the touched partitions partial (recoverable by re-running the
-    batch — the merge is idempotent) but never drops the rest of the table.
-    Returns {"inserted": n, "updated": n}.
+    collision can never hide in an untouched partition. The batch side of
+    the contract is CHECKED (one batch-proportional agg: no two batch rows
+    may share a key, and with ``partition_by=()`` the merge falls back to
+    the full-table path instead of a degenerate zero-column join). The
+    existing-table side is the caller's schema-design invariant — checking
+    it would require scanning untouched partitions, defeating the point.
+
+    Crash safety: touched partitions are staged to a sibling temp dir and
+    swapped in one directory-rename per partition. Untouched partitions
+    are never read, written, or deleted; a crash mid-swap leaves each
+    touched partition either old-complete or new-complete (recoverable by
+    re-running the batch — the merge is idempotent), and never drops the
+    rest of the table. Returns {"inserted": n, "updated": n}.
     """
+    import glob
     import os
+    import shutil
+    import uuid
 
     keys = list(keys)
     parts = list(partition_by)
     if not _delta_available(spark):
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        if os.path.exists(path):
+        if not os.path.exists(path):
+            write_parquet(df, path, "overwrite", parts)
+            return {"inserted": df.count(), "updated": 0}
+        dup_keys = (
+            df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup_keys:
+            raise ValueError(
+                f"merge_upsert batch contains duplicate rows for keys {keys}; "
+                "dedup the batch first (last-write-wins is ambiguous here)"
+            )
+        existing = spark.read.parquet(path)
+        if parts:
             batch_parts = df.select(*parts).distinct()
-            existing = spark.read.parquet(path).join(
-                F.broadcast(batch_parts), parts, "left_semi"
-            )
-            batch_keys = df.select(*keys).distinct()
-            updated = (
-                existing.join(F.broadcast(batch_keys), keys, "left_semi").count()
-            )
-            kept = existing.join(F.broadcast(batch_keys), keys, "left_anti")
-            out = kept.select(*existing.columns).unionByName(
-                df.select(*existing.columns)
-            )
-            inserted = df.count() - updated
-            # Materialize before overwriting the files `kept` reads from.
-            out = out.localCheckpoint(eager=True)
-            write_parquet(out, path, "overwrite", parts)
+            existing = existing.join(F.broadcast(batch_parts), parts, "left_semi")
+        batch_keys = df.select(*keys).distinct()
+        updated = (
+            existing.join(F.broadcast(batch_keys), keys, "left_semi").count()
+        )
+        kept = existing.join(F.broadcast(batch_keys), keys, "left_anti")
+        out = kept.select(*existing.columns).unionByName(
+            df.select(*existing.columns)
+        )
+        inserted = df.count() - updated
+        staged = path.rstrip("/") + f".upsert-tmp-{uuid.uuid4().hex[:8]}"
+        # The staged write streams from the live files — they are only
+        # replaced after the new data is durably on disk.
+        write_parquet(out, staged, "overwrite", parts)
+        if not parts:
+            _swap_dirs(path, staged)
             return {"inserted": inserted, "updated": updated}
-        write_parquet(df, path, "overwrite", parts)
-        return {"inserted": df.count(), "updated": 0}
+        # Two renames per touched hive partition directory: old moves to a
+        # trash dir OUTSIDE the table tree (an `.old` dir left inside it on
+        # crash would be picked up by partition discovery), then the staged
+        # replacement moves in. A crash leaves each partition old-complete
+        # (still in live or in trash) or new-complete — never both gone.
+        staged_parts = sorted(
+            {
+                os.path.relpath(os.path.dirname(f), staged)
+                for f in glob.glob(
+                    os.path.join(staged, "**", "*.parquet"), recursive=True
+                )
+            }
+        )
+        trash = path.rstrip("/") + f".upsert-old-{uuid.uuid4().hex[:8]}"
+        for rel in staged_parts:
+            dest = os.path.join(path, rel)
+            src = os.path.join(staged, rel)
+            if os.path.exists(dest):
+                moved = os.path.join(trash, rel)
+                os.makedirs(os.path.dirname(moved), exist_ok=True)
+                os.rename(dest, moved)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(src, dest)
+        shutil.rmtree(staged)
+        shutil.rmtree(trash, ignore_errors=True)
+        return {"inserted": inserted, "updated": updated}
     # Delta path: real MERGE INTO, whole-row WHEN MATCHED UPDATE SET *.
     from delta.tables import DeltaTable
 

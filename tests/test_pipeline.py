@@ -309,3 +309,109 @@ def test_compact_parquet(spark, tmp_path):
 
     for d in glob.glob(f"{part}/date=*"):
         assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
+
+def test_compact_parquet_splits_hot_partition(spark, tmp_path):
+    """A hive partition far above target_file_mb must compact to MULTIPLE
+    bounded files (one giant task/file per hot partition is the small-file
+    problem's mirror image plus an OOM at 100 TB)."""
+    import glob
+
+    from etl_weather_data_pipeline_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "hot")
+    # ~6 MB of random-ish payload in date=hot, a few KB in date=cold.
+    hot = (
+        spark.range(60_000)
+        .select(
+            F.col("id"),
+            F.lit("hot").alias("date"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+    )
+    cold = spark.range(10).select(
+        F.col("id"),
+        F.lit("cold").alias("date"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    hot.unionByName(cold).repartition(24).write.partitionBy("date").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    counts = compact_parquet(spark, path, partition_by=["date"], target_file_mb=1)
+    hot_files = glob.glob(f"{path}/date=hot/*.parquet")
+    cold_files = glob.glob(f"{path}/date=cold/*.parquet")
+    assert len(hot_files) > 1, "hot partition must split by size"
+    assert len(cold_files) == 1
+    assert counts["files_after"] < counts["files_before"]
+    assert spark.read.parquet(path).count() == before_rows
+
+
+def test_compact_parquet_crash_preserves_original(spark, tmp_path, monkeypatch):
+    """A failure during the staged rewrite must leave the live table
+    untouched and fully readable (crash-safe overwrite contract)."""
+    from etl_weather_data_pipeline_spark.sinks import writers
+
+    path = str(tmp_path / "t")
+    spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("k")).repartition(
+        8
+    ).write.parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    real = writers.write_parquet
+
+    def boom(df, p, mode="overwrite", partition_by=()):
+        real(df, p, mode, partition_by)  # staged files hit disk...
+        raise RuntimeError("driver died mid-compaction")
+
+    monkeypatch.setattr(writers, "write_parquet", boom)
+    with pytest.raises(RuntimeError):
+        writers.compact_parquet(spark, path, target_file_mb=1)
+    monkeypatch.undo()
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+
+
+def test_upsert_crash_preserves_original(spark, batch, tmp_path, monkeypatch):
+    """A failure during the staged upsert write must leave every live
+    partition readable with its pre-upsert contents."""
+    from etl_weather_data_pipeline_spark.sinks import writers
+
+    wh = str(tmp_path / "wh")
+    merge_upsert(spark, transform_weather(batch), f"{wh}/weather_data")
+    before = spark.read.parquet(f"{wh}/weather_data")
+    before_rows = before.count()
+    before_temp = before.filter(
+        (F.col("city") == "London") & (F.col("hour") == 0)
+    ).first()["temperature"]
+
+    real = writers.write_parquet
+
+    def boom(df, p, mode="overwrite", partition_by=()):
+        real(df, p, mode, partition_by)
+        raise RuntimeError("driver died mid-upsert")
+
+    monkeypatch.setattr(writers, "write_parquet", boom)
+    bumped = transform_weather(
+        batch.withColumn("temperature", F.col("temperature") + 1.0)
+    )
+    with pytest.raises(RuntimeError):
+        merge_upsert(spark, bumped, f"{wh}/weather_data")
+    monkeypatch.undo()
+    after = spark.read.parquet(f"{wh}/weather_data")
+    assert after.count() == before_rows
+    assert (
+        after.filter((F.col("city") == "London") & (F.col("hour") == 0)).first()[
+            "temperature"
+        ]
+        == before_temp
+    )
+
+
+def test_upsert_rejects_duplicate_batch_keys(spark, batch, tmp_path):
+    """Contract check: two batch rows sharing the merge key make
+    last-write-wins ambiguous — the upsert must refuse loudly."""
+    wh = str(tmp_path / "wh")
+    enriched = transform_weather(batch)
+    merge_upsert(spark, enriched, f"{wh}/weather_data")
+    dup = enriched.unionByName(enriched.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert(spark, dup, f"{wh}/weather_data")
