@@ -36,9 +36,14 @@ HEADLINE = [
     # LLM-data ops
     "doc_dedup_exact",
     "doc_minhash_lsh_pairs",
+    "doc_minhash_lsh_pairs_xxh",  # xxhash64 family: records the md5 delta
     "doc_jaccard_pairs",
     "doc_text_stats",
     "ann_cosine_topk",
+    # heaviest round-2 additions — regression-visible from round 3 on
+    "doc_winnow_fingerprints",
+    "doc_neardup_clusters",
+    "doc_tfidf_top_terms",
     # flagships: full weather transform pipeline + corpus curation chain
     "weather_pipeline_e2e",
     "corpus_curation_pipeline",
@@ -57,12 +62,17 @@ def main() -> None:
     # whole-stage-codegen compilation and classloading land outside the
     # timed runs (plans are structurally identical across SFs → codegen
     # cache hits). Timings below are steady-state per-query wall clock.
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             registry[name].spark(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+        release_curation_cache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -70,6 +80,7 @@ def main() -> None:
         t0 = time.monotonic()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+    release_curation_cache()
 
     total = round(sum(timings.values()), 3)
     print(

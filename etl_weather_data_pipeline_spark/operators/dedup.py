@@ -23,8 +23,32 @@ from pyspark.sql.window import Window
 from etl_weather_data_pipeline_spark.functions import text as TX
 
 
+def pin_once(c):
+    """Value-identical nondeterministic no-op: ``c + int(rand(0) * 0)``.
+
+    Aliasing an expensive expression behind this marks the enclosing
+    PROJECTION nondeterministic, which blocks PushDownPredicates from
+    substituting any downstream predicate through it — the expression is
+    guaranteed to evaluate exactly once per row, with filters staying
+    above the projection as attribute references.
+
+    Why the projection and not the filter: a nondeterministic term in the
+    FILTER only stops join/aggregate pushdown; Spark 4.1 still pushes a
+    nondeterministic filter through deterministic projects, re-inlining
+    the aliased expression into the predicate (observed: array_intersect
+    evaluated 2x per candidate pair inside the pushed filter, plus once in
+    the surviving project). Pinned by
+    tests/test_plans.py::test_jaccard_pushdown_barrier_holds so an
+    optimizer change that folds rand*0 fails loudly.
+    """
+    return c + (F.rand(seed=0) * F.lit(0)).cast("int")
+
+
 def dedup_exact(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Exact dedup on normalized-content fingerprint; the survivor is the
     lowest id (deterministic). Generalizes the reference's keyed dedup D1
@@ -32,8 +56,15 @@ def dedup_exact(
 
     Plan: project fingerprint → hash aggregate (partial+final) → semi-join
     back. The semi-join is on (fingerprint, id) so it stays an equi-join.
+
+    ``hash_family``: "md5" (oracle-reproducible default) or "xxhash64"
+    (production fast path: cheaper per byte, 8-byte shuffle keys). The
+    surviving ROWS are identical either way — only the internal key
+    representation changes (see functions/text.py fingerprint).
     """
-    with_fp = df.withColumn("__fp", TX.fingerprint(F.col(text_col)))
+    with_fp = df.withColumn(
+        "__fp", TX.fingerprint(F.col(text_col), hash_family)
+    )
     survivors = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return (
         with_fp.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")
@@ -41,11 +72,14 @@ def dedup_exact(
 
 
 def duplicate_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Exact-duplicate cluster summary: fingerprint → size + canonical id."""
     return (
-        df.withColumn("fingerprint", TX.fingerprint(F.col(text_col)))
+        df.withColumn("fingerprint", TX.fingerprint(F.col(text_col), hash_family))
         .groupBy("fingerprint")
         .agg(
             F.count("*").alias("n_dups"),
@@ -60,6 +94,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 4,
     shingle_k: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Per-document MinHash signature as columns h0..h{n-1}.
 
@@ -91,6 +126,24 @@ def minhash_signatures(
     toked = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__t"))
     shingles = TX.word_shingles_of(F.col("__t"), shingle_k)
     exploded = toked.select(F.col(id_col), F.explode_outer(shingles).alias("__s"))
+    if hash_family == "xxhash64":
+        # Production fast path: one 64-bit non-crypto hash per function
+        # (seeded by the function index), no hex parsing. Same plan shape
+        # — project → partial/final min(long) HashAggregate — but the
+        # per-shingle hash cost drops ~10x vs md5. Signatures are NOT
+        # equal to the md5 family's (different hash values, same MinHash
+        # semantics), so the DuckDB oracle keeps md5.
+        hashed = exploded.select(
+            id_col,
+            *[
+                F.xxhash64(F.lit(i), F.col("__s")).alias(f"__h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        return hashed.groupBy(id_col).agg(
+            *[F.min(F.col(f"__h{i}")).alias(f"h{i}") for i in range(num_hashes)]
+        )
+    assert hash_family == "md5", hash_family
     n_seeds = (num_hashes + 3) // 4
     seeded = exploded.select(
         id_col,
@@ -120,6 +173,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -132,7 +186,9 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hash_family
+    )
     banded = sig.select(
         id_col,
         F.explode(
@@ -266,13 +322,17 @@ def jaccard_pairs(
     cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     for c in blocking:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    inter = F.size(F.array_intersect(F.col("l.__toks"), F.col("r.__toks")))
+    inter = pin_once(
+        F.size(F.array_intersect(F.col("l.__toks"), F.col("r.__toks")))
+    )
     # Two chained projects, intersect isolated in the first: array_intersect
     # is referenced twice downstream (numerator + union arithmetic), so
     # CollapseProject keeps the layers separate and the expensive intersect
     # runs ONCE per pair. Inlining it under a when()/filter re-evaluates it
     # up to 4x (CSE skips conditional branches) — measured 2.5x slower.
     # |A∪B| = |A|+|B|-|A∩B| avoids materializing the union array.
+    # pin_once makes this projection a pushdown barrier so the threshold
+    # filter below can never substitute the intersect into a predicate.
     paired = left.join(right, cond).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
@@ -284,14 +344,8 @@ def jaccard_pairs(
         F.col("__tot") > 0,
         F.col("__inter").cast("double") / (F.col("__tot") - F.col("__inter")),
     ).otherwise(F.lit(0.0))
-    # The +rand()*0 term is a pushdown barrier: a deterministic threshold
-    # predicate gets pushed through the project INTO the join condition,
-    # substituting the jaccard alias and re-evaluating array_intersect per
-    # candidate pair. Marking the predicate non-deterministic (value is
-    # unchanged: rand()*0 == 0) keeps it above the project — measured ~2x
-    # faster on 600k candidate pairs.
     return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= F.lit(threshold) + F.rand(seed=0) * 0
+        F.col("jaccard") >= threshold
     )
 
 
@@ -325,9 +379,10 @@ def jaccard_verify(
         F.col("__toks").alias("__tb"),
         F.col("__n").alias("__nb"),
     )
-    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
-    # Same two-layer projection as jaccard_pairs: isolate the intersect so
-    # it evaluates once per pair (see the measured notes there).
+    inter = pin_once(F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))))
+    # Same two-layer projection as jaccard_pairs: isolate the intersect
+    # behind the pin_once barrier so it evaluates once per pair (see the
+    # measured notes there).
     paired = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -342,9 +397,8 @@ def jaccard_verify(
         F.col("__tot") > 0,
         F.col("__inter").cast("double") / (F.col("__tot") - F.col("__inter")),
     ).otherwise(F.lit(0.0))
-    # rand()*0 pushdown barrier, as in jaccard_pairs.
     return paired.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= F.lit(threshold) + F.rand(seed=0) * 0
+        F.col("jaccard") >= threshold
     )
 
 

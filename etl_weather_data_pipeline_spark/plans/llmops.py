@@ -18,6 +18,7 @@ from etl_weather_data_pipeline_spark.operators.dedup import (
     dedup_exact,
     duplicate_groups,
     minhash_lsh_pairs,
+    pin_once,
     simhash_table,
 )
 from etl_weather_data_pipeline_spark.plans.catalog import (
@@ -171,6 +172,21 @@ def _o_lsh_ctes(num_hashes: int = 8, bands: int = 4, table: str = "documents") -
 def doc_minhash_lsh_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+
+
+@q(
+    "doc_minhash_lsh_pairs_xxh",
+    "doc_minhash_lsh_pairs on the xxhash64 production hash family — same "
+    "plan shape (explode once -> partial/final min HashAggregate -> band "
+    "equi-join), ~10x cheaper per-shingle hashing, no hex parsing. "
+    "Rows-only: signatures differ from the md5 family by construction, so "
+    "there is no cross-engine oracle; the md5 variant is the correctness "
+    "witness for the shared structure, bench.py records the speed delta.",
+    oracle=None,
+)
+def doc_minhash_lsh_pairs_xxh(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=8, bands=4, hash_family="xxhash64")
 
 
 @q(
@@ -339,7 +355,9 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
         F.col("__g").alias("__gb"),
         F.col("__n").alias("__nb"),
     )
-    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    # pin_once: the intersect evaluates once per pair; the threshold filter
+    # cannot be substituted through the (nondeterministic) projection.
+    inter = pin_once(F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))))
     paired = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -355,7 +373,7 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
         F.col("__inter").cast("double") / (F.col("__tot") - F.col("__inter")),
     ).otherwise(F.lit(0.0))
     return paired.select("id_a", "id_b", jac.alias("trigram_jaccard")).filter(
-        F.col("trigram_jaccard") >= F.lit(0.6) + F.rand(seed=0) * 0
+        F.col("trigram_jaccard") >= 0.6
     )
 
 
@@ -591,6 +609,24 @@ _O_SUBWORDS = (
     r"t -> (length(t) + 3) // 4)), 0) AS BIGINT)"
 )
 
+# The curation flagship's persisted intermediate must outlive the (lazy)
+# query function so the caller's action can consume the cache — but an
+# unbounded lifetime leaks one MEMORY_AND_DISK cache per invocation in a
+# long-lived session (bench loops, two-SF parity runs). Bound it to AT MOST
+# ONE alive: each invocation releases the previous, and harnesses call
+# release_curation_cache() when done with the result.
+_CURATION_PERSISTED: list[DataFrame] = []
+
+
+def release_curation_cache() -> None:
+    """Unpersist the curation flagship's cached intermediate (idempotent).
+
+    Call after the returned DataFrame's action has run; the result itself
+    stays valid (it would just recompute without the cache).
+    """
+    while _CURATION_PERSISTED:
+        _CURATION_PERSISTED.pop().unpersist()
+
 
 @q(
     "corpus_curation_pipeline",
@@ -647,13 +683,19 @@ def corpus_curation_pipeline(spark, sf_dir):
     # three consumed columns first so the cached footprint is minimal;
     # MEMORY_AND_DISK spills instead of OOMing on big corpora (a real
     # cluster job would use a reliable checkpoint for executor-loss safety).
+    # Lifecycle: the cache must outlive this (lazy) function so the
+    # caller's action can hit it, so it is tracked module-level with AT
+    # MOST ONE alive — each invocation releases the previous one, and
+    # release_curation_cache() frees the last (bench/tests call it).
     from pyspark import StorageLevel
 
+    release_curation_cache()
     kept = (
         dedup_exact(ok)
         .select("doc_id", "lang", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _CURATION_PERSISTED.append(kept)
     cand = minhash_lsh_pairs(kept, num_hashes=8, bands=4)
     dropped = (
         jaccard_verify(kept, cand, threshold=0.5)
@@ -1210,11 +1252,12 @@ def multimodal_decode_features(spark, sf_dir):
         decode_features,
     )
 
-    # Defensive session bounds — assume NOTHING about the caller's conf:
-    # small Arrow batches cap per-batch memory on both sides of the pipe.
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     docs = load(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return decode_features(payloads)
+    # Per-batch memory is bounded INSIDE the operator (max_batch_rows
+    # re-chunks the session's Arrow batches) — no shared session conf is
+    # mutated, so callers running other Arrow queries afterward are
+    # unaffected.
+    return decode_features(payloads, max_batch_rows=256)

@@ -651,13 +651,21 @@ def events_json_props(spark, sf_dir):
     """,
 )
 def median_value_by_type(spark, sf_dir):
+    # The global median stays IN the plan as a 1-row aggregate broadcast
+    # back via crossJoin (same shape as transform.handle_missing) — an
+    # eager .first() here would run the events scan as a separate job
+    # every time the query is built.
     ev = load(spark, sf_dir, "events")
-    global_med = ev.agg(F.median("value")).first()[0]
-    return ev.groupBy("event_type").agg(
-        F.median("value").alias("median_value"),
-        F.count(F.when(F.col("value") > global_med, 1)).alias(
-            "above_global_median"
-        ),
+    gmed = ev.agg(F.median("value").alias("__global_med"))
+    return (
+        ev.crossJoin(F.broadcast(gmed))
+        .groupBy("event_type")
+        .agg(
+            F.median("value").alias("median_value"),
+            F.count(F.when(F.col("value") > F.col("__global_med"), 1)).alias(
+                "above_global_median"
+            ),
+        )
     )
 
 

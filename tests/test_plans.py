@@ -185,6 +185,46 @@ def test_curation_flagship_shape(spark):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
 
 
+def test_jaccard_pushdown_barrier_holds(spark):
+    # The intersect-count alias is wrapped in pin_once (+int(rand(0)*0)):
+    # the nondeterministic PROJECTION is a pushdown barrier, so the
+    # threshold filter can never be alias-substituted through it and
+    # array_intersect evaluates exactly ONCE per candidate pair. (A
+    # nondeterministic term on the filter alone is NOT enough — Spark
+    # pushes nondeterministic filters through deterministic projects,
+    # re-inlining the intersect 2x into the pushed predicate; observed on
+    # 4.1, measured ~2x slower.) Pin: exactly one plan line computes
+    # array_intersect (the projection, which also carries the rand
+    # barrier), and no Filter/Join line contains it. Red if an optimizer
+    # change folds rand*0 or collapses the projection.
+    for name in ("doc_jaccard_pairs", "doc_ngram_jaccard_pairs"):
+        df = REG[name].spark(spark, SF_SMOKE)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = opt.splitlines()
+        inter = [ln for ln in lines if "array_intersect" in ln]
+        assert len(inter) == 1, (
+            f"{name}: intersect must appear exactly once\n{opt}"
+        )
+        assert "rand(" in inter[0] and "Project" in inter[0], (
+            f"{name}: barrier not in the intersect projection\n{opt}"
+        )
+        for ln in lines:
+            if "Filter" in ln or "Join" in ln:
+                assert "array_intersect" not in ln, (
+                    f"{name}: intersect re-computed inside a predicate\n{opt}"
+                )
+
+
+def test_median_by_type_one_lazy_action(spark):
+    # The global median must be an in-plan 1-row aggregate attached via
+    # broadcast nested-loop join (O(rows) for a 1-row build side), not an
+    # eager .first() pre-pass that runs the events scan as a separate job
+    # at DataFrame-build time.
+    plan = plan_of(spark, "median_value_by_type")
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert n_nodes(plan, "Scan parquet") == 2
+
+
 def test_stratified_sample_uses_window_group_limit(spark):
     # Rank-filter sampling must plan as WindowGroupLimit: each partition
     # keeps only n rows per stratum BEFORE the shuffle, so the exchange
