@@ -200,11 +200,23 @@ def winnow_fingerprints_of(hashes: Column, w: int = 4) -> Column:
     )
 
 
-def fingerprint(text: Column) -> Column:
-    """Deterministic document fingerprint: md5 of the whitespace-normalized,
-    lowercased text. Collision-safe enough for exact-dedup keys and
-    engine-independent (md5 exists everywhere)."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+def fingerprint(text: Column, hash_family: str = "md5") -> Column:
+    """Deterministic document fingerprint of the whitespace-normalized,
+    lowercased text.
+
+    ``hash_family="md5"`` (default): engine-independent (md5 exists
+    everywhere), so the DuckDB oracle reproduces it bit-for-bit.
+    ``hash_family="xxhash64"``: the production fast path — one 64-bit
+    non-crypto hash, ~an order of magnitude cheaper per byte than md5 and
+    an 8-byte shuffle key instead of a 32-char string. Same dedup
+    semantics (equality of normalized content); 64-bit collisions are
+    ~n²/2⁶⁵ — fine for dedup keys, not for adversarial content.
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    if hash_family == "xxhash64":
+        return F.xxhash64(normalized)
+    assert hash_family == "md5", hash_family
+    return F.md5(normalized)
 
 
 def minhash_values(text: Column, num_hashes: int = 4, k: int = 3) -> Column:

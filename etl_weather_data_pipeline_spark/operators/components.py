@@ -21,8 +21,16 @@ round, same pattern as operators/kmeans.py.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ComponentsNotConverged(RuntimeWarning):
+    """Label propagation exhausted max_iter with labels still changing —
+    some cluster_ids are NOT the true component minimum. Distinguishes a
+    diameter overflow from an oracle/correctness bug."""
 
 
 def connected_components(
@@ -36,6 +44,11 @@ def connected_components(
     Returns (doc_id, cluster_id) for every node appearing in an edge,
     where cluster_id is the minimum node id in the component —
     deterministic, order-independent.
+
+    If a component's diameter exceeds ``max_iter`` the loop exits with
+    labels still moving; a :class:`ComponentsNotConverged` warning is
+    emitted so the (now possibly split) clusters are diagnosable rather
+    than a silent wrong answer.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -48,6 +61,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iter):
         msgs = und.join(labels, und.a == labels.id).select(
             F.col("b").alias("id"), "label"
@@ -67,6 +81,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed:
+        warnings.warn(
+            f"connected_components: {changed} labels still changing after "
+            f"max_iter={max_iter} — a component's diameter exceeds the "
+            "iteration budget and its cluster_ids are not fully propagated",
+            ComponentsNotConverged,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -7,10 +7,11 @@ derive the decision from a HASH OF THE ROW KEY instead: a document keeps
 its split assignment forever, across engines, re-runs, and re-shuffles,
 and joining new data never moves old rows between splits.
 
-md5-based (any engine reproduces the buckets bit-for-bit, so the DuckDB
-oracle can verify them); at production scale the same structure runs on
-xxhash64 for speed when cross-engine parity is not required. Everything
-is a map-only Column expression — no RNG state, no shuffle.
+Default hash family is md5 (any engine reproduces the buckets
+bit-for-bit, so the DuckDB oracle can verify them); pass
+``hash_family="xxhash64"`` for the production fast path when
+cross-engine parity is not required. Everything is a map-only Column
+expression — no RNG state, no shuffle.
 """
 
 from __future__ import annotations
@@ -21,9 +22,21 @@ from pyspark.sql import functions as F
 BUCKETS = 1000
 
 
-def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
-    """Uniform deterministic bucket in [0, buckets): the first 32-bit word
-    of md5(key) mod buckets."""
+def hash_bucket(
+    key: Column, buckets: int = BUCKETS, hash_family: str = "md5"
+) -> Column:
+    """Uniform deterministic bucket in [0, buckets).
+
+    "md5" (default): first 32-bit word of md5(key) mod buckets —
+    bit-reproducible in any engine, so the DuckDB oracle can verify
+    splits. "xxhash64": pmod(xxhash64(key), buckets) — the production
+    fast path (no hex formatting/parsing, ~10x cheaper per key); equally
+    stable across runs/partitionings, just a different (Spark-side)
+    bucket assignment.
+    """
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(key.cast("string")), F.lit(buckets))
+    assert hash_family == "md5", hash_family
     word = F.conv(
         F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -31,11 +44,14 @@ def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
 
 
 def assign_split(
-    key: Column, train: float = 0.8, val: float = 0.1
+    key: Column,
+    train: float = 0.8,
+    val: float = 0.1,
+    hash_family: str = "md5",
 ) -> Column:
     """'train' / 'val' / 'test' label from the key hash. Fractions are in
     thousandths of the bucket space, so train=0.8 is exactly 800/1000."""
-    b = hash_bucket(key)
+    b = hash_bucket(key, hash_family=hash_family)
     return (
         F.when(b < int(train * BUCKETS), "train")
         .when(b < int((train + val) * BUCKETS), "val")
@@ -44,11 +60,14 @@ def assign_split(
 
 
 def deterministic_sample(
-    df: DataFrame, key_col: str, fraction: float
+    df: DataFrame, key_col: str, fraction: float, hash_family: str = "md5"
 ) -> DataFrame:
     """Keep ~fraction of rows, chosen by key hash — stable across runs,
     engines, and partitionings (unlike df.sample)."""
-    return df.filter(hash_bucket(F.col(key_col)) < int(fraction * BUCKETS))
+    return df.filter(
+        hash_bucket(F.col(key_col), hash_family=hash_family)
+        < int(fraction * BUCKETS)
+    )
 
 
 def stratified_take_n(

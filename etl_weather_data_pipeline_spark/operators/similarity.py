@@ -92,28 +92,17 @@ def lsh_bucket(
     return bucket
 
 
-def ivf_topk(
+def cell_centroids(
     df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
     cell_col: str = "label",
-    n_probe: int = 3,
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: centroids per existing cell column, probe the
-    ``n_probe`` cells whose centroids are nearest the query, brute-force
-    inside them. Two small jobs (centroids, probe choice) + one pruned scan.
-
-    At 100 TB the table is written partitioned/clustered by cell id, so the
-    probe scan prunes to n_probe partitions — the candidate set (and the
-    shuffle) shrinks by cells/n_probe.
+    """Per-cell mean vector via posexplode + two-level groupBy — scales
+    linearly, no collect. Compute ONCE per table (or per table version)
+    and pass to every :func:`ivf_topk` call: the centroid scan is the
+    expensive half of an IVF probe, and it is query-independent.
     """
-    q = _as_literal_vec(query_vec)
-    dim = len(query_vec)
-    # Cell centroids: mean per dimension via posexplode + groupBy — scales
-    # linearly; computed once and reusable across queries.
-    cent = (
+    return (
         df.select(F.col(cell_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
         .groupBy(cell_col, "pos")
         .agg(F.avg("v").alias("c"))
@@ -123,6 +112,36 @@ def ivf_topk(
             cell_col,
             F.transform(F.col("pc"), lambda s: s["c"]).alias("centroid"),
         )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    n_probe: int = 3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: centroids per existing cell column, probe the
+    ``n_probe`` cells whose centroids are nearest the query, brute-force
+    inside them. Two small jobs (centroids, probe choice) + one pruned scan.
+
+    ``centroids``: pass a precomputed (ideally cached) result of
+    :func:`cell_centroids` to amortize the centroid scan across queries —
+    otherwise each call recomputes it from ``df``.
+
+    At 100 TB the table is written partitioned/clustered by cell id, so the
+    probe scan prunes to n_probe partitions — the candidate set (and the
+    shuffle) shrinks by cells/n_probe.
+    """
+    q = _as_literal_vec(query_vec)
+    cent = (
+        centroids
+        if centroids is not None
+        else cell_centroids(df, cell_col, vec_col)
     )
     probe_rows = (
         cent.select(cell_col, VX.cosine(F.col("centroid"), q).alias("sim"))

@@ -308,3 +308,138 @@ def test_pii_scrub_redacts(spark):
     assert got[1][0] == 1 and got[1][1] == 1
     assert got[1][2] == "mail me at <EMAIL> or call <NUM> now"
     assert got[2] == (0, 0, "no pii here, just 1234 digits")
+
+
+def test_curation_cache_lifecycle(spark):
+    """The flagship's persisted intermediate must not accumulate across
+    invocations (at most one alive), and release_curation_cache() must
+    leave the session with zero persistent RDDs while keeping the result
+    valid (it recomputes without the cache)."""
+    from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    from etl_weather_data_pipeline_spark.plans import llmops
+
+    q = build_registry()["corpus_curation_pipeline"]
+
+    def persistent_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    release_curation_cache()
+    assert llmops._CURATION_PERSISTED == []
+    base_ids = persistent_ids()
+    df1 = q.spark(spark, SF_SMOKE)
+    rows = df1.collect()
+    assert rows
+    assert len(llmops._CURATION_PERSISTED) == 1
+    first = llmops._CURATION_PERSISTED[0]
+    assert first.storageLevel.useMemory  # actually cached
+    for _ in range(3):  # each invocation must release the previous cache
+        q.spark(spark, SF_SMOKE).collect()
+    assert len(llmops._CURATION_PERSISTED) == 1, "caches accumulated"
+    assert len(persistent_ids() - base_ids) <= 1, "cached RDDs accumulated"
+    release_curation_cache()
+    assert llmops._CURATION_PERSISTED == []
+    assert not first.storageLevel.useMemory, "cache not released"
+    assert persistent_ids() - base_ids == set()
+    # result stays valid after release (recomputes without the cache)
+    assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, rows))
+
+
+def test_xxhash64_fast_path_families(spark):
+    """hash_family="xxhash64" must preserve operator semantics: identical
+    dedup survivors, identical docs still LSH-pair, sampling still
+    partition-invariant. (Values differ from md5 by construction — the md5
+    family remains the oracle witness.)"""
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        dedup_exact,
+        minhash_lsh_pairs,
+    )
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    md5_ids = sorted(r["doc_id"] for r in dedup_exact(docs).select("doc_id").collect())
+    xxh_ids = sorted(
+        r["doc_id"]
+        for r in dedup_exact(docs, hash_family="xxhash64").select("doc_id").collect()
+    )
+    assert md5_ids == xxh_ids  # same duplicate groups -> same survivors
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, same), (2, same), (3, "completely different words over here now")],
+        "doc_id long, text string",
+    )
+    for fam in ("md5", "xxhash64"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, num_hashes=8, bands=4, hash_family=fam
+            ).collect()
+        }
+        assert (1, 2) in pairs, fam  # identical docs always collide
+        assert not any(3 in p for p in pairs), fam
+
+    ids = docs.select("doc_id")
+    s1 = {
+        r["doc_id"]
+        for r in deterministic_sample(ids, "doc_id", 0.2, hash_family="xxhash64").collect()
+    }
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            ids.repartition(17), "doc_id", 0.2, hash_family="xxhash64"
+        ).collect()
+    }
+    assert s1 == s2 and s1
+    assert 0.1 <= len(s1) / ids.count() <= 0.3
+
+
+def test_connected_components_warns_on_diameter_overflow(spark):
+    """A component whose diameter exceeds max_iter must emit
+    ComponentsNotConverged instead of silently returning split clusters."""
+    import pytest
+
+    from etl_weather_data_pipeline_spark.operators.components import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.warns(ComponentsNotConverged):
+        connected_components(chain, max_iter=2).collect()
+    # and with enough iterations it converges silently to one cluster
+    import warnings as W
+
+    with W.catch_warnings():
+        W.simplefilter("error", ComponentsNotConverged)
+        out = connected_components(chain, max_iter=15).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_ivf_topk_reuses_precomputed_centroids(spark):
+    """Passing cached cell_centroids must give the same answer as the
+    self-computing path (the centroid scan is query-independent)."""
+    from etl_weather_data_pipeline_spark.operators.similarity import (
+        cell_centroids,
+        ivf_topk,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    qv = _query_vec(spark)
+    cents = cell_centroids(emb).cache()
+    try:
+        with_reuse = [
+            tuple(r) for r in ivf_topk(emb, qv, k=10, n_probe=3, centroids=cents).collect()
+        ]
+        fresh = [tuple(r) for r in ivf_topk(emb, qv, k=10, n_probe=3).collect()]
+        assert with_reuse == fresh
+    finally:
+        cents.unpersist()
