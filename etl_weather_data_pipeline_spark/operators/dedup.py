@@ -174,6 +174,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     hash_family: str = "md5",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -183,11 +184,20 @@ def minhash_lsh_pairs(
     band_value) → distinct pairs. The join key is the band hash, so the
     shuffle is uniform unless the corpus has giant exact-dup clusters —
     those should be removed by dedup_exact first.
+
+    ``signatures``: pass a precomputed (ideally persisted)
+    :func:`minhash_signatures` result with h0..h{num_hashes-1} columns to
+    amortize the signature scan when a pipeline consumes both the
+    signatures and the candidate pairs (e.g. banding + estimate stages).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, hash_family
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_k, hash_family
+        )
     )
     banded = sig.select(
         id_col,

@@ -161,6 +161,16 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "label_centroids",
     "ann_ivf_topk",
     "multimodal_decode_features",
+    # Round-3 additions (never checked before round 3): slots 25+ — they
+    # displace only r02-banked-green weather/relational entries from the
+    # 50-query window.
+    "doc_minhash_jaccard_estimate",
+    "doc_span_dedup",
+    "doc_quality_quantile_filter",
+    "embedding_quantize_stats",
+    "neardup_degree_stats",
+    "doc_repetition_stats",
+    "corpus_length_histogram",
 )
 
 

@@ -23,8 +23,10 @@ from etl_weather_data_pipeline_spark.operators.dedup import (
 )
 from etl_weather_data_pipeline_spark.plans.catalog import (
     Query,
+    davg,
     dround,
     load,
+    o_davg,
     o_dround,
 )
 
@@ -1235,11 +1237,338 @@ def label_centroids(spark, sf_dir):
     )
 
 
-# Registered LAST on purpose: this is the only mapInPandas (Python-worker +
-# Arrow) query in the registry, and the round-1 driver correctness harness
-# died exactly here, taking every later query's green row with it. Dead-last
-# in QUERIES (and llmops is the last module in build_registry), a repeat
-# death costs one rows-only row instead of the flagship.
+# ---------------------------------------------------------------------------
+# Round-3 curation additions: estimate ladder, span dedup, quantile gating,
+# quantization, dup-graph stats, repetition, length histogram
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_minhash_jaccard_estimate",
+    "Signature-based Jaccard ESTIMATE on LSH candidate pairs — the cheap "
+    "middle rung of the dedup ladder (band -> estimate -> exact verify): "
+    "est = fraction of matching minhash values, computed from the 8-long "
+    "signatures already in hand, no token arrays touched. At 100 TB the "
+    "estimate prunes most candidates before the exact verify's array "
+    "intersects; persist the signature table to share it between the "
+    "banding and estimate joins (the curation flagship shows the pattern).",
+    oracle=f"""
+    WITH {_o_lsh_ctes(8, 4)}
+    SELECT c.id_a, c.id_b,
+           CAST({' + '.join(
+               f'(CASE WHEN l.h{i} = r.h{i} THEN 1 ELSE 0 END)'
+               for i in range(8))} AS DOUBLE) / 8.0 AS jaccard_est
+    FROM cand c JOIN sig l ON l.doc_id = c.id_a
+                JOIN sig r ON r.doc_id = c.id_b
+    """,
+)
+def doc_minhash_jaccard_estimate(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=8)
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4, signatures=sig)
+    left = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"__la{i}") for i in range(8)],
+    )
+    right = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"__lb{i}") for i in range(8)],
+    )
+    matches = sum(
+        F.when(F.col(f"__la{i}") == F.col(f"__lb{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(8.0)).alias("jaccard_est"),
+        )
+    )
+
+
+_SPAN_W = 8
+
+
+@q(
+    "doc_span_dedup",
+    "Span-level (pseudo-paragraph) boilerplate detection: chunk each doc "
+    "into consecutive 8-token spans, find spans occurring in >= 2 distinct "
+    "docs. The line/span-level dedup every LLM corpus pipeline runs on "
+    "headers/footers/license blocks. Map-only chunking (tokens projected "
+    "once, explode_outer to dodge the inferred-filter recompute trap) + "
+    "one hash aggregate on the span string.",
+    oracle=f"""
+    WITH toked AS (SELECT doc_id, {O_TOKS} AS t FROM documents),
+    spans AS (
+      SELECT doc_id, s.span
+      FROM toked, unnest(list_transform(
+             range(0, CAST(ceil(len(t) / {_SPAN_W}.0) AS INT)),
+             i -> array_to_string(t[i*{_SPAN_W}+1 : i*{_SPAN_W}+{_SPAN_W}], ' ')
+           )) AS s(span))
+    SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc_id
+    FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def doc_span_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    n_spans = F.ceil(F.size("__t") / F.lit(float(_SPAN_W))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("__t"), i * _SPAN_W + F.lit(1), F.lit(_SPAN_W))
+        ),
+    )
+    ex = toked.select("doc_id", F.explode_outer(spans).alias("span")).filter(
+        F.col("span").isNotNull()
+    )
+    return (
+        ex.groupBy("span")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@q(
+    "doc_quality_quantile_filter",
+    "Quantile-based quality gating PER SOURCE: percent_rank of the "
+    "distinct-token-ratio score within each source, drop the bottom decile "
+    "— relative thresholds track each source's own distribution instead of "
+    "a global cutoff that over-prunes clean sources. One window shuffle on "
+    "source; the rank ordering key is an exact int/int ratio so both "
+    "engines rank identically.",
+    oracle=f"""
+    SELECT doc_id, source,
+           {o_dround('score', 6)} AS score,
+           {o_dround('pct_rank', 6)} AS pct_rank
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(list_distinct({O_TOKS})) AS DOUBLE) / len({O_TOKS})
+               AS score,
+             percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY CAST(len(list_distinct({O_TOKS})) AS DOUBLE)
+                          / len({O_TOKS})) AS pct_rank
+      FROM documents)
+    WHERE pct_rank >= 0.1
+    """,
+)
+def doc_quality_quantile_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        TX.distinct_token_ratio(F.col("text")).alias("__score"),
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("__score")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            F.col("__score").alias("__s"),
+            pr.alias("__pr"),
+        )
+        .filter(F.col("__pr") >= 0.1)
+        .select(
+            "doc_id",
+            "source",
+            dround(F.col("__s"), 6).alias("score"),
+            dround(F.col("__pr"), 6).alias("pct_rank"),
+        )
+    )
+
+
+@q(
+    "embedding_quantize_stats",
+    "L2-normalize + int8-quantize every embedding (the storage/ANN "
+    "compression step), reporting scalar stats per vector (norm, "
+    "quantized sum/min/max — scalars because the driver canonicalizer "
+    "cannot sort array cells). One posexplode; the window norm and the "
+    "final aggregate share the vec_id shuffle. Determinism: the squared "
+    "sum goes through decimal so both engines accumulate exactly; "
+    "sqrt/division/floor are then bit-identical IEEE ops.",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, CAST(u.v AS DOUBLE) AS v
+      FROM embeddings, unnest(embedding) AS u(v)),
+    n AS (
+      SELECT vec_id, v,
+             CAST(SUM(CAST(v*v AS DECIMAL(28,10)))
+                  OVER (PARTITION BY vec_id) AS DOUBLE) AS norm2
+      FROM ex),
+    qv AS (
+      SELECT vec_id, norm2,
+             CASE WHEN norm2 > 0
+                  THEN CAST(floor(v * 127.0 / sqrt(norm2)) AS BIGINT)
+                  ELSE 0 END AS q
+      FROM n)
+    SELECT vec_id,
+           CAST(ROUND(CAST(sqrt(norm2) AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS l2_norm,
+           CAST(SUM(q) AS BIGINT) AS q_sum,
+           MIN(q) AS q_min, MAX(q) AS q_max
+    FROM qv GROUP BY vec_id, norm2
+    """,
+)
+def embedding_quantize_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("__pos", "__vf")
+    ).select("vec_id", F.col("__vf").cast("double").alias("__v"))
+    w = Window.partitionBy("vec_id")
+    n = ex.select(
+        "vec_id",
+        "__v",
+        F.sum((F.col("__v") * F.col("__v")).cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+        .alias("__norm2"),
+    )
+    q = F.when(
+        F.col("__norm2") > 0,
+        F.floor(F.col("__v") * 127.0 / F.sqrt(F.col("__norm2"))).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        n.select("vec_id", "__norm2", q.alias("__q"))
+        .groupBy("vec_id", "__norm2")
+        .agg(
+            F.sum("__q").alias("q_sum"),
+            F.min("__q").alias("q_min"),
+            F.max("__q").alias("q_max"),
+        )
+        .select(
+            "vec_id",
+            dround(F.sqrt(F.col("__norm2")), 6).alias("l2_norm"),
+            "q_sum",
+            "q_min",
+            "q_max",
+        )
+    )
+
+
+@q(
+    "neardup_degree_stats",
+    "Near-dup graph degree per document (how many verified partners each "
+    "doc has) — the diagnostic that finds template/boilerplate hubs before "
+    "clustering. Verified pairs -> union both endpoints -> one count "
+    "aggregate.",
+    oracle=f"""
+    WITH {_o_lsh_ctes(8, 4)},
+    toksets AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM documents),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN toksets l ON l.doc_id = c.id_a
+                  JOIN toksets r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    ends AS (SELECT id_a AS doc_id FROM pairs
+             UNION ALL SELECT id_b FROM pairs)
+    SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id
+    """,
+)
+def neardup_degree_stats(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    pairs = jaccard_verify(docs, cand, threshold=0.5).select("id_a", "id_b")
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+@q(
+    "doc_repetition_stats",
+    "Within-document repetition profile: total/distinct token counts and "
+    "the dominant token's frequency share (catches 'aaaa aaaa ...' style "
+    "degenerate docs that length/stopword filters miss). Explode once -> "
+    "(doc, token) count -> per-doc aggregate; both shuffles are on doc_id "
+    "prefixes.",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, u.tok
+      FROM (SELECT doc_id, {O_TOKS} AS t FROM documents), unnest(t) AS u(tok)),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_token_count,
+           {o_dround('CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)', 6)}
+             AS top_token_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    ex = toked.select(
+        "doc_id", F.explode_outer(F.col("__t")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("__c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("__c").alias("top_token_count"),
+        dround(
+            F.max("__c").cast("double") / F.sum("__c").cast("double"), 6
+        ).alias("top_token_ratio"),
+    )
+
+
+@q(
+    "corpus_length_histogram",
+    "Document length histogram (64-char buckets) with per-bucket token "
+    "budget — the corpus-shape dashboard behind max-length truncation "
+    "choices. Integer bucket arithmetic, one hash aggregate.",
+    oracle=f"""
+    SELECT n_chars // 64 AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({O_TOKS})) AS BIGINT) AS total_tokens,
+           {o_davg(f'len({O_TOKS})', 0)} AS avg_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_length_histogram(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr("n_chars div 64").alias("len_bucket"),
+            TX.token_count(F.col("text")).alias("__tc"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__tc").cast("long")).alias("total_tokens"),
+            davg(F.col("__tc"), 0).alias("avg_tokens"),
+        )
+    )
+
+
+# The only mapInPandas (Python-worker + Arrow) query in the registry; the
+# round-1 driver harness died exactly here. Driver-window placement is now
+# set by catalog._DRIVER_WINDOW_PRIORITY (dead-last among the priority
+# block's rows-only entries) so a repeat death can only cost rows-only rows.
 @q(
     "multimodal_decode_features",
     "Arrow-batched decode stub over a binary payload column via mapInPandas "

@@ -231,3 +231,28 @@ def test_stratified_sample_uses_window_group_limit(spark):
     # carries O(strata x n), not the corpus.
     plan = plan_of(spark, "doc_stratified_sample")
     assert "WindowGroupLimit" in plan
+
+
+def test_round3_additions_plan_shapes(spark):
+    # embedding_quantize_stats: the window norm and the final aggregate
+    # must SHARE the vec_id exchange (one shuffle total) — a second
+    # exchange means the groupBy re-shuffled what the window already
+    # partitioned.
+    p = plan_of(spark, "embedding_quantize_stats")
+    assert n_nodes(p, "Exchange") == 1 and n_nodes(p, "Window") == 1
+    # quantile gating: one window shuffle on source, nothing else
+    p = plan_of(spark, "doc_quality_quantile_filter")
+    assert n_nodes(p, "Exchange") == 1 and n_nodes(p, "Window") == 1
+    # histogram: single partial+final hash aggregate
+    p = plan_of(spark, "corpus_length_histogram")
+    assert n_nodes(p, "Exchange") == 1 and p.count("HashAggregate") >= 2
+    # span dedup: map-side chunking (one Generate), no cartesian anywhere,
+    # and the count_distinct agg stays in hash aggregates
+    p = plan_of(spark, "doc_span_dedup")
+    assert n_nodes(p, "Generate") == 1
+    assert "CartesianProduct" not in p and "SortAggregate" not in p
+    # estimate + degree: pair generation must stay equi-join only
+    for name in ("doc_minhash_jaccard_estimate", "neardup_degree_stats"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
