@@ -1,0 +1,93 @@
+"""Streaming corpus ingest: the incremental half of corpus curation.
+
+A training-data pipeline rarely re-curates from scratch — new documents
+arrive continuously (crawls, uploads, partner feeds) and must be
+quality-gated and deduplicated against the recent stream BEFORE they are
+appended to the corpus store. This module runs the curation flagship's
+first two stages (quality bucket filter, exact content dedup) as a
+structured stream:
+
+- quality gating is stateless (pure column expressions — identical code
+  to the batch path, `functions/text.py`);
+- exact dedup keys on the content fingerprint with
+  ``dropDuplicatesWithinWatermark``, so dedup state is evicted as the
+  watermark advances instead of growing with the corpus (the batch-side
+  full-history dedup stays the job of `operators/dedup.py dedup_exact`
+  over the stored table — the stream only guarantees no duplicates
+  WITHIN the watermark horizon, which is the standard lambda split).
+
+Near-dup (LSH) curation is NOT attempted in-stream: signature banding
+needs a self-join over the whole corpus, which is a batch shape; run
+`corpus_curation_pipeline` over the store periodically instead.
+
+At 100 TB-a-day ingest the only state is the fingerprint dedup map
+bounded by the watermark horizon; everything else is map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_weather_data_pipeline_spark.functions import text as TX
+
+DOC_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, "
+    "ingest_ts timestamp"
+)
+
+
+def stream_docs(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming source: schema-enforced JSON-lines document landing dir."""
+    return spark.readStream.schema(DOC_STREAM_SCHEMA).json(landing_dir)
+
+
+def curate_stream(
+    sdf: DataFrame,
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Quality-gate + watermarked exact dedup for a document stream.
+
+    Returns the curated stream with a ``quality_bucket`` column ('ok'
+    rows only) and the internal fingerprint dropped. The dedup key is the
+    normalized-content fingerprint (xxhash64 by default — the stream has
+    no cross-engine oracle, so the production hash family is the right
+    default here); state lifetime is bounded by ``watermark``.
+    """
+    text = F.col(text_col)
+    bucket = TX.quality_bucket(
+        TX.token_count(text),
+        TX.stopword_ratio(text),
+        TX.distinct_token_ratio(text),
+    )
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .withColumn("quality_bucket", bucket)
+        .filter(F.col("quality_bucket") == "ok")
+        .withColumn("__fp", TX.fingerprint(text, hash_family))
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
+def start_corpus_append_sink(
+    curated: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: tuple[str, ...] = ("lang",),
+):
+    """Append the curated stream to the corpus store, partitioned for the
+    downstream batch curation scans. Exactly-once via the streaming
+    checkpoint; the periodic batch `corpus_curation_pipeline` +
+    `compact_parquet` pass owns global dedup and file sizing."""
+    return (
+        curated.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*partition_by)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )

@@ -204,3 +204,87 @@ def test_text_functions_match_python_reference(spark, texts):
         assert r["sub"] == _py_subwords(t), repr(t)
         assert set(r["grams"]) == _py_ngrams(t), repr(t)
         assert set(r["fps"]) == _py_winnow(t), repr(t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc xyz",  # spaces make multi-token docs likely
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_chunking_covers_all_tokens(spark, texts):
+    """Every token of every doc lands in exactly one 8-token span, in
+    order — chunking loses nothing and duplicates nothing."""
+    from etl_weather_data_pipeline_spark.plans.llmops import _SPAN_W
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    toked = df.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("__t")
+    )
+    n_spans = F.ceil(F.size("__t") / F.lit(float(_SPAN_W))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("__t"), i * _SPAN_W + F.lit(1), F.lit(_SPAN_W))
+        ),
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in toked.select("doc_id", spans.alias("s")).collect()
+    }
+    for doc_id, text in enumerate(texts):
+        toks = text.strip(" ").split()
+        if text.strip(" ") == "":
+            toks = [""]  # split('', \s+) -> [''] in both engines
+        rejoined = [t for s in got[doc_id] for t in (s.split(" ") if s else [""])]
+        # concat_ws flattens the span back to tokens; edge: empty-token doc
+        if toks != [""]:
+            assert rejoined == toks, (toks, got[doc_id])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8, max_value=8, allow_nan=False, allow_infinity=False
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantize_stats_invariants(spark, vecs):
+    """Quantized values are bounded by the int8 range and the reported
+    norm is non-negative; zero vectors quantize to all-zero."""
+    from pyspark.sql import Window
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ex = df.select("vec_id", F.explode("embedding").alias("__v"))
+    w = Window.partitionBy("vec_id")
+    n = ex.select(
+        "vec_id",
+        "__v",
+        F.sum((F.col("__v") * F.col("__v")).cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+        .alias("__norm2"),
+    )
+    q = F.when(
+        F.col("__norm2") > 0,
+        F.floor(F.col("__v") * 127.0 / F.sqrt(F.col("__norm2"))).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = n.select("vec_id", q.alias("q")).collect()
+    for r in out:
+        assert -128 <= r["q"] <= 127

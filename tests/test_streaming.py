@@ -311,3 +311,56 @@ def test_stream_stream_left_outer_join_emits_on_watermark(spark, tmp_path):
     q.stop()
     rows = {(r["k"], r["lv"], r["rv"]) for r in spark.sql("SELECT * FROM stream_louter").collect()}
     assert ("a", 1, None) in rows
+
+
+def test_streaming_corpus_curation(spark, tmp_path):
+    """Streaming quality gate + watermarked fingerprint dedup: low-quality
+    docs dropped, exact duplicates within the watermark collapse to one,
+    output lands partitioned by lang."""
+    import json as _json
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        curate_stream,
+        start_corpus_append_sink,
+        stream_docs,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = "2024-01-01T00:{m:02d}:00"
+    good = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        {"doc_id": 1, "text": good, "lang": "en", "source": "s0",
+         "ingest_ts": base.format(m=1)},
+        # exact duplicate content (same fingerprint) -> must collapse
+        {"doc_id": 2, "text": good, "lang": "en", "source": "s1",
+         "ingest_ts": base.format(m=2)},
+        # degenerate repetition -> 'repetitive' bucket -> dropped
+        {"doc_id": 3, "text": "spam spam spam spam spam spam spam spam",
+         "lang": "en", "source": "s0", "ingest_ts": base.format(m=3)},
+        # too short -> dropped
+        {"doc_id": 4, "text": "tiny", "lang": "de", "source": "s2",
+         "ingest_ts": base.format(m=3)},
+        # distinct good doc, other lang -> kept
+        {"doc_id": 5, "text": good + " with a different tail appended here",
+         "lang": "de", "source": "s2", "ingest_ts": base.format(m=4)},
+    ]
+    with open(landing / "batch0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    curated = curate_stream(stream_docs(spark, str(landing)))
+    out = tmp_path / "corpus"
+    q = start_corpus_append_sink(
+        curated, str(out), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(str(out))
+    got = {r["doc_id"]: r for r in stored.collect()}
+    assert set(got) == {1, 5}, got  # dup 2 collapsed; 3, 4 gated out
+    assert all(r["quality_bucket"] == "ok" for r in got.values())
+    import glob as _glob
+
+    langs = {p.split("=")[-1] for p in _glob.glob(f"{out}/lang=*")}
+    assert langs == {"en", "de"}
