@@ -171,6 +171,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "neardup_degree_stats",
     "doc_repetition_stats",
     "corpus_length_histogram",
+    "doc_chunk_spans",
+    "corpus_sequence_pack",
+    "corpus_temperature_sample",
+    "doc_gopher_quality_flags",
+    "embedding_semdedup_keep",
+    "corpus_dataset_card",
 )
 
 

@@ -1590,3 +1590,357 @@ def multimodal_decode_features(spark, sf_dir):
     # mutated, so callers running other Arrow queries afterward are
     # unaffected.
     return decode_features(payloads, max_batch_rows=256)
+
+
+# --- round-3 batch 2: chunking, packing, mixture sampling, quality rules ----
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # tokens between chunk starts (overlap = 8)
+
+
+@q(
+    "doc_chunk_spans",
+    "Overlapping fixed-size token chunks (32-token windows, stride 24) "
+    "with chunk index and per-chunk token count — the context-window "
+    "chunking step every RAG / training pipeline runs before embedding. "
+    "Map-only: tokens projected once, the CHEAP index sequence is "
+    "exploded (explode_outer + isNotNull, dodging the inferred-filter "
+    "recompute trap) and the slice is taken after the explode, so the "
+    "token array is never re-tokenized per chunk.",
+    oracle=f"""
+    WITH toked AS (SELECT doc_id, {O_TOKS} AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, CAST(u.i AS BIGINT) AS chunk_idx
+      FROM toked, unnest(range(0, CAST(greatest(1,
+             ceil((len(t) - {_CHUNK_W - _CHUNK_STRIDE})
+                  / {_CHUNK_STRIDE}.0)) AS BIGINT))) AS u(i))
+    SELECT doc_id, chunk_idx,
+           array_to_string(
+             t[chunk_idx*{_CHUNK_STRIDE}+1
+               : chunk_idx*{_CHUNK_STRIDE}+{_CHUNK_W}], ' ') AS chunk_text,
+           CAST(len(t[chunk_idx*{_CHUNK_STRIDE}+1
+               : chunk_idx*{_CHUNK_STRIDE}+{_CHUNK_W}]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM idx
+    """,
+)
+def doc_chunk_spans(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(
+            (F.size("__t") - F.lit(_CHUNK_W - _CHUNK_STRIDE))
+            / F.lit(float(_CHUNK_STRIDE))
+        ),
+    )
+    ex = toked.select(
+        "doc_id",
+        "__t",
+        F.explode_outer(
+            F.sequence(F.lit(0).cast("long"), n_chunks - F.lit(1))
+        ).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx").isNotNull())
+    start = (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int")
+    piece = F.slice(F.col("__t"), start, _CHUNK_W)
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@q(
+    "corpus_sequence_pack",
+    "Sequence packing for training: concatenate each source's docs in "
+    "doc_id order and cut every 256 tokens — seq_id = floor(start_offset "
+    "/ budget) from a running token sum, the standard concat-then-chunk "
+    "packing that turns ragged docs into fixed-budget training rows. "
+    "ONE shuffle: the window partitions by source and the downstream "
+    "(source, seq_id) aggregate reuses that partitioning (hash(source) "
+    "already clusters every (source, seq_id) group).",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, source, CAST(len({O_TOKS}) AS BIGINT) AS n_toks
+      FROM documents),
+    run AS (
+      SELECT source, doc_id, n_toks,
+             CAST(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+      FROM toked)
+    SELECT source,
+           CAST(FLOOR((running - n_toks) / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+    FROM run GROUP BY 1, 2
+    """,
+)
+def corpus_sequence_pack(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = toked.withColumn("running", F.sum("n_toks").over(w))
+    seq_id = F.floor(
+        (F.col("running") - F.col("n_toks")) / F.lit(float(_PACK_BUDGET))
+    )
+    return (
+        run.select("source", seq_id.alias("seq_id"), "n_toks", "doc_id")
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+# Oracle mirror of operators/sampling.hash_bucket (md5 family, 1000 buckets).
+_O_BUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000)"
+)
+
+
+@q(
+    "corpus_temperature_sample",
+    "Temperature-balanced source mixture (alpha = 0.5): per-source "
+    "sampling rate r_s = min(1, sqrt(mass_s)/SUM(sqrt(mass)) * target / "
+    "n_s) over the token mass, then a deterministic keep decision from "
+    "the doc-id hash — the multinomial source re-weighting used to stop "
+    "head domains drowning the mixture. The rates come from a tiny "
+    "projected aggregate (20 rows) broadcast back onto the fact scan: "
+    "no fact-side shuffle at any scale. Determinism: sqrt is a "
+    "correctly-rounded IEEE op, and the cross-source sum of sqrts is "
+    "routed through exact decimals so neither engine's accumulation "
+    "order matters.",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len({O_TOKS}) AS BIGINT)) AS BIGINT) AS mass
+      FROM documents GROUP BY source),
+    s AS (SELECT source, n_docs, {o_dround("sqrt(mass)", 6)} AS sq FROM m),
+    d AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS denom,
+                 CAST(SUM(n_docs) AS BIGINT) AS total_docs
+          FROM s),
+    r AS (SELECT source,
+                 least(1.0, (sq / denom) * (0.5 * total_docs) / n_docs)
+                   AS rate
+          FROM s, d)
+    SELECT doc.doc_id, doc.source, {o_dround("r.rate", 6)} AS sample_rate
+    FROM documents doc JOIN r ON doc.source = r.source
+    WHERE {_O_BUCKET} / 1000.0 < r.rate
+    """,
+)
+def corpus_temperature_sample(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    m = (
+        docs.select(
+            "source", F.size(TX.tokens(F.col("text"))).cast("long").alias("__n")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.sum("__n").alias("__mass"),
+        )
+    )
+    s = m.select(
+        "source",
+        "__n_docs",
+        dround(F.sqrt(F.col("__mass")), 6).alias("__sq"),
+    )
+    d = s.agg(
+        F.sum(F.col("__sq").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("__denom"),
+        F.sum("__n_docs").alias("__total_docs"),
+    )
+    rates = s.crossJoin(F.broadcast(d)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("__sq") / F.col("__denom"))
+            * (F.lit(0.5) * F.col("__total_docs"))
+            / F.col("__n_docs"),
+        ).alias("__rate"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id")) / F.lit(1000.0) < F.col("__rate"))
+        .select(
+            "doc_id", "source", dround(F.col("__rate"), 6).alias("sample_rate")
+        )
+    )
+
+
+_O_SW = "['the','a','of','and','to','in','is','it']"
+
+
+@q(
+    "doc_gopher_quality_flags",
+    "Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 heuristics, "
+    "re-derived over this corpus's signals): per-doc boolean flags for "
+    "token-count bounds, mean word length, stopword floor, alphabetic-"
+    "token ratio, and repetition, plus the conjunctive pass verdict. "
+    "Pure map-side Column expressions — tokens projected once, every "
+    "rule in whole-stage codegen, no shuffle, no UDF.",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {O_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) BETWEEN 20 AND 1000 AS flag_word_count,
+           (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks)) BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+           len(list_filter(toks, x -> list_contains({_O_SW}, x))) >= 2
+             AS flag_stopword,
+           (CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+             AS DOUBLE) / len(toks)) >= 0.8 AS flag_alpha,
+           (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) >= 0.3
+             AS flag_repetition,
+           (len(toks) BETWEEN 20 AND 1000)
+             AND ((CAST(list_sum(list_transform(toks, x -> length(x)))
+                   AS DOUBLE) / len(toks)) BETWEEN 3.0 AND 10.0)
+             AND (len(list_filter(toks, x -> list_contains({_O_SW}, x))) >= 2)
+             AND ((CAST(len(list_filter(toks,
+                   x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / len(toks)) >= 0.8)
+             AND ((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                   >= 0.3)
+             AS pass_gopher
+    FROM t
+    """,
+)
+def doc_gopher_quality_flags(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    mean_len = (
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
+            "double"
+        )
+        / n
+    )
+    sw = F.array(*[F.lit(w) for w in TX.EN_STOPWORDS])
+    n_sw = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    alpha_ratio = (
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double") / n
+    )
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n
+    f_wc = (n >= 20) & (n <= 1000)
+    f_ml = (mean_len >= 3.0) & (mean_len <= 10.0)
+    f_sw = n_sw >= 2
+    f_al = alpha_ratio >= 0.8
+    f_rep = distinct_ratio >= 0.3
+    return toked.select(
+        "doc_id",
+        f_wc.alias("flag_word_count"),
+        f_ml.alias("flag_mean_word_len"),
+        f_sw.alias("flag_stopword"),
+        f_al.alias("flag_alpha"),
+        f_rep.alias("flag_repetition"),
+        (f_wc & f_ml & f_sw & f_al & f_rep).alias("pass_gopher"),
+    )
+
+
+_O_PAIR_COS = (
+    "list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])))"
+)
+
+
+@q(
+    "embedding_semdedup_keep",
+    "SemDeDup-style keep-set (Abbas et al. 2023): within each (label, "
+    "LSH-bucket) cell, a vector is DROPPED if any smaller-id vector in "
+    "the cell has cosine >= 0.95 with it — min-id survivor pruning, the "
+    "semantic twin of exact dedup's keep-first. Reuses the blocked "
+    "near-dup pair plan (linear cells, no cartesian) and finishes with a "
+    "distinct + left_anti join, so the fact table never shuffles on "
+    "anything but the pair block keys.",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, label, embedding,
+                      {_o_lsh_bucket(_lsh_planes())} AS bucket
+               FROM embeddings),
+    losers AS (
+      SELECT DISTINCT r.vec_id
+      FROM b l JOIN b r
+        ON l.label = r.label AND l.bucket = r.bucket
+           AND l.vec_id < r.vec_id
+      WHERE {o_dround(_O_PAIR_COS, 6)} >= 0.95)
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+)
+def embedding_semdedup_keep(spark, sf_dir):
+    pairs = embedding_neardup_pairs(spark, sf_dir)
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@q(
+    "corpus_dataset_card",
+    "Dataset-card summary: per (split, lang) doc and token totals with "
+    "mean tokens per doc — the table every training-data release ships. "
+    "Split assignment is the same deterministic doc-id hash as "
+    "corpus_train_split (a doc never migrates splits as the corpus "
+    "grows); one projected scan, one hash aggregate.",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, CAST(len({O_TOKS}) AS BIGINT) AS n_toks,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 1000 < 800 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           {o_dround("CAST(SUM(n_toks) AS DOUBLE) / COUNT(*)", 6)}
+             AS avg_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def corpus_dataset_card(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        assign_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("__n"),
+            assign_split(F.col("doc_id"), 0.8, 0.1).alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            dround(
+                F.sum("__n").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tokens"),
+        )
+    )

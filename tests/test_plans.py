@@ -256,3 +256,27 @@ def test_round3_additions_plan_shapes(spark):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_round3_batch2_plan_shapes(spark):
+    # chunking: map-only — the index sequence explodes (one Generate),
+    # the slice happens AFTER the explode, and nothing shuffles
+    p = plan_of(spark, "doc_chunk_spans")
+    assert n_nodes(p, "Exchange") == 0 and n_nodes(p, "Generate") == 1
+    # sequence packing: the (source, seq_id) aggregate must REUSE the
+    # window's hash(source) partitioning — exactly one exchange
+    p = plan_of(spark, "corpus_sequence_pack")
+    assert n_nodes(p, "Exchange") == 1 and n_nodes(p, "Window") == 1
+    # gopher rules: pure map-side codegen, no shuffle, no UDF
+    p = plan_of(spark, "doc_gopher_quality_flags")
+    assert n_nodes(p, "Exchange") == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # temperature sample: rates join back as a BROADCAST onto the doc
+    # scan — the fact side must never sort-merge or shuffle for the join
+    p = plan_of(spark, "corpus_temperature_sample")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # semdedup keep: blocked pair join stays equi-join; the keep filter is
+    # a broadcast left-anti (losers are a shrinking minority of the table)
+    p = plan_of(spark, "embedding_semdedup_keep")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
