@@ -70,6 +70,40 @@ def dedup_exact(
         with_fp.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")
     )
 
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus, then within
+    itself — the shape every periodic ingest runs: yesterday's 100 TB is
+    already clean; today's slice must not re-admit anything seen before,
+    nor its own internal duplicates.
+
+    Two stages, both linear:
+      1. within-batch exact dedup (hash aggregate on the fingerprint,
+         min-id survivor) — the batch never self-joins;
+      2. left_anti against the corpus's fingerprint projection — a single
+         equi-join on the 32-char hash. At scale the corpus side is a
+         narrow fingerprint store (hash + nothing else, column-pruned from
+         the full table or maintained as its own table); the join shuffles
+         16-byte keys, never documents. Idempotent: re-running over an
+         already-merged corpus yields zero survivors.
+
+    Returns the surviving ``(id, fingerprint)`` pairs; join back on the
+    id to recover full rows.
+    """
+    fp = TX.fingerprint(F.col(text_col), hash_family=hash_family)
+    batch = new_df.select(F.col(id_col), fp.alias("fingerprint"))
+    survivors = batch.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    corpus_fp = corpus_df.select(fp.alias("fingerprint"))
+    return survivors.join(corpus_fp, "fingerprint", "left_anti").select(
+        id_col, "fingerprint"
+    )
+
+
 
 def duplicate_groups(
     df: DataFrame,

@@ -177,6 +177,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_gopher_quality_flags",
     "embedding_semdedup_keep",
     "corpus_dataset_card",
+    "doc_incremental_dedup",
 )
 
 

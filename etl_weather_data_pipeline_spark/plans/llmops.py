@@ -1944,3 +1944,37 @@ def corpus_dataset_card(spark, sf_dir):
             ).alias("avg_tokens"),
         )
     )
+
+
+@q(
+    "doc_incremental_dedup",
+    "Incremental ingest dedup: treat doc_id % 5 == 0 as today's batch and "
+    "the rest as the already-clean corpus; the batch first self-dedups "
+    "(min-id per fingerprint, one hash aggregate) then anti-joins the "
+    "corpus's fingerprint projection — the periodic-ingest shape where "
+    "the corpus side is a narrow 16-byte-key store and documents "
+    "themselves never shuffle. Idempotent by construction.",
+    oracle=f"""
+    WITH newb AS (
+      SELECT doc_id, {O_FINGERPRINT} AS fingerprint
+      FROM documents WHERE doc_id % 5 = 0),
+    self_deduped AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id
+      FROM newb GROUP BY fingerprint),
+    corpus AS (
+      SELECT DISTINCT {O_FINGERPRINT} AS fingerprint
+      FROM documents WHERE doc_id % 5 <> 0)
+    SELECT s.doc_id, s.fingerprint
+    FROM self_deduped s
+    WHERE s.fingerprint NOT IN (SELECT fingerprint FROM corpus)
+    """,
+)
+def doc_incremental_dedup(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup_incremental(new_batch, corpus)

@@ -17,7 +17,7 @@ from etl_weather_data_pipeline_spark.streaming.multimodal import (
     frame_sample,
 )
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _query_vec(spark):
@@ -443,3 +443,167 @@ def test_ivf_topk_reuses_precomputed_centroids(spark):
         assert with_reuse == fresh
     finally:
         cents.unpersist()
+
+
+def test_chunk_spans_reconstruct_documents(spark):
+    """The chunking SPEC (not just oracle parity): stride-aligned slices
+    must tile every document — concatenating the non-overlap prefix of
+    each chunk (plus the last chunk's tail) reproduces the token stream,
+    and every chunk obeys the size bound."""
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+        doc_chunk_spans,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in load(spark, SF_SMOKE, "documents").limit(40).collect()
+    }
+    out = doc_chunk_spans(spark, SF_SMOKE)
+    chunks = {}
+    for r in out.filter(F.col("doc_id").isin(*docs)).collect():
+        assert 0 < r["n_chunk_tokens"] <= _CHUNK_W
+        chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r[
+            "chunk_text"
+        ].split()
+    for doc_id, toks in docs.items():
+        got = chunks[doc_id]
+        idxs = sorted(got)
+        assert idxs == list(range(len(idxs)))  # contiguous from 0
+        # each chunk is exactly the stride-aligned slice of the original
+        for i in idxs:
+            assert got[i] == toks[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_W]
+        # chunks cover the whole document
+        assert (len(idxs) - 1) * _CHUNK_STRIDE + len(got[idxs[-1]]) == len(toks)
+
+
+def test_sequence_pack_conserves_tokens_and_docs(spark):
+    """Packing is a partition of each source's doc stream: token and doc
+    totals are conserved, seq ids are contiguous from 0, and no sequence
+    starts beyond the total token count / budget."""
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        _PACK_BUDGET,
+        corpus_sequence_pack,
+    )
+
+    toks = (
+        load(spark, SF_SMOKE, "documents")
+        .select("source", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    expect = {r["source"]: (r["total"], r["n_docs"]) for r in toks.collect()}
+    packed = corpus_sequence_pack(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in packed:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(expect)
+    for src, rows in by_src.items():
+        total, n_docs = expect[src]
+        assert sum(r["seq_tokens"] for r in rows) == total
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        ids = sorted(r["seq_id"] for r in rows)
+        assert ids == list(range(len(ids)))
+        assert ids[-1] <= total // _PACK_BUDGET
+
+
+def test_temperature_sample_rate_math(spark):
+    """Rates follow the alpha=0.5 closed form and the kept fraction per
+    source tracks its rate (hash buckets are uniform)."""
+    import math
+
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        corpus_temperature_sample,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    mass = {
+        r["source"]: (r["m"], r["n"])
+        for r in docs.select(
+            "source", F.size(F.split(F.trim("text"), r"\s+")).alias("t")
+        )
+        .groupBy("source")
+        .agg(F.sum("t").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    denom = sum(round(math.sqrt(m), 6) for m, _ in mass.values())
+    total_docs = sum(n for _, n in mass.values())
+    out = corpus_temperature_sample(spark, SF_SMOKE).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["source"], []).append(r)
+        m, n = mass[r["source"]]
+        expect = min(
+            1.0, round(math.sqrt(m), 6) / denom * (0.5 * total_docs) / n
+        )
+        assert abs(r["sample_rate"] - expect) < 1e-6
+    # every source keeps SOMETHING at these rates, and none keeps more
+    # docs than it has
+    for src, rows in kept.items():
+        assert 0 < len(rows) <= mass[src][1]
+
+
+def test_gopher_flags_conjunction(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        doc_gopher_quality_flags,
+    )
+
+    rows = doc_gopher_quality_flags(spark, SF_SMOKE).collect()
+    names = [
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_stopword",
+        "flag_alpha",
+        "flag_repetition",
+    ]
+    assert all(
+        r["pass_gopher"] == all(r[n] for n in names) for r in rows
+    )
+    # the battery must actually discriminate on this corpus
+    assert {r["pass_gopher"] for r in rows} == {True, False}
+
+
+def test_semdedup_drops_exactly_the_dominated(spark):
+    """keep-set = universe minus {vectors with a smaller-id near-dup} —
+    cross-checked against the pair query itself."""
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        embedding_neardup_pairs,
+        embedding_semdedup_keep,
+    )
+
+    losers = {
+        r["id_b"]
+        for r in embedding_neardup_pairs(spark, SF_ORACLE).collect()
+    }
+    kept = {
+        r["vec_id"] for r in embedding_semdedup_keep(spark, SF_ORACLE).collect()
+    }
+    universe = {
+        r["vec_id"]
+        for r in load(spark, SF_ORACLE, "embeddings").collect()
+    }
+    assert kept == universe - losers
+
+
+def test_dedup_incremental_idempotent(spark):
+    """Survivors merged into the corpus then re-run → zero new survivors;
+    survivors are disjoint from corpus fingerprints and self-unique."""
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    s1 = dedup_incremental(new_batch, corpus)
+    rows = s1.collect()
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps))  # self-unique
+    # merge survivors' docs into the corpus; re-running the same batch
+    # admits nothing
+    survivor_ids = [r["doc_id"] for r in rows]
+    merged = corpus.unionByName(
+        docs.filter(F.col("doc_id").isin(survivor_ids))
+    )
+    assert dedup_incremental(new_batch, merged).count() == 0

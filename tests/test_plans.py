@@ -280,3 +280,13 @@ def test_round3_batch2_plan_shapes(spark):
     p = plan_of(spark, "embedding_semdedup_keep")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_dedup_plan(spark):
+    # batch self-dedup is a hash aggregate; the corpus probe is an
+    # equi-anti-join on the fingerprint — no cartesian, no UDF, and the
+    # corpus side reads ONLY the text column it fingerprints
+    p = plan_of(spark, "doc_incremental_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2
