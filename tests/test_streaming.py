@@ -364,3 +364,57 @@ def test_streaming_corpus_curation(spark, tmp_path):
 
     langs = {p.split("=")[-1] for p in _glob.glob(f"{out}/lang=*")}
     assert langs == {"en", "de"}
+
+
+def test_corpus_merge_sink_full_history_dedup(spark, tmp_path):
+    """Store-probing merge: a second landing file that repeats old content
+    (outside any watermark horizon) appends only its genuinely new docs,
+    and replaying the whole landing dir from a FRESH checkpoint appends
+    nothing — idempotent under at-least-once replay."""
+    import json as _json
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        start_corpus_merge_sink,
+        stream_docs,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "corpus")
+
+    def doc(i, text):
+        return dict(
+            doc_id=i, text=text, lang="en", source="crawl",
+            ingest_ts="2024-01-01T00:00:00",
+        )
+
+    (landing / "b1.json").write_text(
+        "\n".join(_json.dumps(doc(i, f"doc number {i} body")) for i in range(5))
+    )
+    sdf = stream_docs(spark, str(landing))
+    q = start_corpus_merge_sink(sdf, store, str(tmp_path / "ck1")).start()
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(store).count() == 5
+
+    # day 2: 3 repeats of old content (new ids) + 2 new docs
+    (landing / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(doc(100 + i, f"doc number {i} body")) for i in range(3)
+        )
+        + "\n"
+        + "\n".join(_json.dumps(doc(200 + i, f"fresh {i}")) for i in range(2))
+    )
+    q = start_corpus_merge_sink(
+        stream_docs(spark, str(landing)), store, str(tmp_path / "ck1")
+    ).start()
+    q.processAllAvailable(); q.stop()
+    stored = spark.read.parquet(store)
+    assert stored.count() == 7  # 5 + 2 new, repeats skipped
+    assert stored.filter("doc_id >= 200").count() == 2
+
+    # full replay from a fresh checkpoint: store probe blocks everything
+    q = start_corpus_merge_sink(
+        stream_docs(spark, str(landing)), store, str(tmp_path / "ck2")
+    ).start()
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(store).count() == 7
