@@ -44,6 +44,9 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "doc_neardup_clusters",
     "doc_tfidf_top_terms",
+    # round-3 batch 2: ingest dedup + packing (the periodic-pipeline ops)
+    "doc_incremental_dedup",
+    "corpus_sequence_pack",
     # flagships: full weather transform pipeline + corpus curation chain
     "weather_pipeline_e2e",
     "corpus_curation_pipeline",

@@ -61,8 +61,8 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    changed = 0
-    for _ in range(max_iter):
+    changed = 1
+    for it in range(max_iter):
         msgs = und.join(labels, und.a == labels.id).select(
             F.col("b").alias("id"), "label"
         )
@@ -72,6 +72,13 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        if it == 0 and max_iter > 1:
+            # Any edge (a, b) with a < b flips b's label on round one, so
+            # the convergence probe is a guaranteed-true extra job — skip
+            # it (unless this is the only round, where the final `changed`
+            # must be a real measurement for the overflow warning).
+            labels = new
+            continue
         changed = (
             new.withColumnRenamed("label", "new_label")
             .join(labels, "id")

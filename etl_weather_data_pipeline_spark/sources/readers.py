@@ -108,3 +108,49 @@ def load_cities(spark: SparkSession, path: str | None = None) -> DataFrame:
             data = json.load(f)
         rows = data.get("cities", data) if isinstance(data, dict) else data
     return spark.createDataFrame(rows, CITIES_SCHEMA)
+
+
+DOC_CORPUS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars int"
+)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, schema: str = DOC_CORPUS_SCHEMA
+) -> DataFrame:
+    """JSON-lines document corpus with file provenance.
+
+    Schema is ENFORCED, never inferred — at 100 TB an inference pass is a
+    full extra read, and drifting inferred types silently corrupt
+    downstream fingerprints. ``source_file`` (via input_file_name) records
+    which landed file each doc came from, the lineage column an audit or
+    a targeted re-ingest needs.
+    """
+    df = spark.read.schema(schema).json(path)
+    return df.withColumn("source_file", F.input_file_name())
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Raw text files as documents.
+
+    ``whole_files=False``: one doc per line; ``doc_id`` is the xxhash64 of
+    (file, text) — content-addressed, so it is stable across re-reads,
+    partitionings, and engines (monotonically_increasing_id is NOT: it
+    renumbers whenever the split layout changes). Identical lines in the
+    same file collapse to one id, which downstream exact dedup would do
+    anyway. ``whole_files=True``: one doc per file (wholetext), the file
+    path is the natural id.
+    """
+    if whole_files:
+        df = spark.read.text(path, wholetext=True)
+        return df.select(
+            F.input_file_name().alias("source_file"),
+            F.col("value").alias("text"),
+        ).withColumn("doc_id", F.xxhash64("source_file"))
+    df = spark.read.text(path)
+    return df.select(
+        F.input_file_name().alias("source_file"),
+        F.col("value").alias("text"),
+    ).withColumn("doc_id", F.xxhash64("source_file", "text"))

@@ -137,3 +137,41 @@ def test_orc_round_trip(spark, tmp_path, clean_raw):
     assert back.count() == 3
     plan = back.filter(back.city == "London")._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "London" in plan
+
+
+def test_read_jsonl_corpus_schema_and_provenance(spark, tmp_path):
+    rows = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s0", "n_chars": 10},
+        {"doc_id": 2, "text": "gamma", "lang": "de", "source": "s1", "n_chars": 5},
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    from etl_weather_data_pipeline_spark.sources.readers import read_jsonl_corpus
+
+    df = read_jsonl_corpus(spark, str(tmp_path))
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["text"] == "alpha beta" and got[2]["lang"] == "de"
+    assert all(r["source_file"].endswith("docs.jsonl") for r in got.values())
+    # schema enforced, not inferred
+    assert dict(df.dtypes)["doc_id"] == "bigint"
+
+
+def test_read_text_corpus_stable_ids(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("line one\n")
+    from etl_weather_data_pipeline_spark.sources.readers import read_text_corpus
+
+    df = read_text_corpus(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 3
+    # ids are content-addressed: same text in DIFFERENT files differs,
+    # and a re-read (fresh plan, possibly different splits) reproduces them
+    ids1 = sorted(r["doc_id"] for r in rows)
+    ids2 = sorted(r["doc_id"] for r in read_text_corpus(spark, str(tmp_path)).collect())
+    assert ids1 == ids2 and len(set(ids1)) == 3
+
+    whole = read_text_corpus(spark, str(tmp_path), whole_files=True).collect()
+    assert len(whole) == 2
+    texts = {r["source_file"].rsplit("/", 1)[-1]: r["text"] for r in whole}
+    assert texts["a.txt"] == "line one\nline two\n"
