@@ -202,6 +202,38 @@ def write_orc(
     w.orc(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 64,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED catalog table — the co-location contract.
+
+    Bucketing pre-shuffles the data once at write time: every later join
+    or aggregate keyed on ``bucket_cols`` reads the table already hash-
+    partitioned, so only the OTHER (small) side shuffles. This is the
+    scale answer for any table probed repeatedly on the same key — e.g.
+    a corpus fingerprint store probed by every incremental-ingest batch:
+    without bucketing, each probe re-shuffles the multi-TB store; with
+    it, each probe shuffles only the new batch (pinned in
+    tests/test_properties.py::test_bucketed_store_probe_shuffles_batch_only).
+
+    ``n_buckets`` sizes the parallelism floor for those reads — pick
+    roughly (table size / healthy partition size); it cannot be changed
+    without a rewrite, so size it for the table's TARGET scale, not its
+    first day.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(
+        int(n_buckets), *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def _delta_available(spark: SparkSession) -> bool:
     try:
         # Both the Python package and the JVM class must be present; py4j

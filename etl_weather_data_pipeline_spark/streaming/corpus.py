@@ -105,7 +105,11 @@ def merge_batch_into_corpus(
 
     The store carries a ``fingerprint`` column, so the history probe is a
     column-pruned scan of 8/32-byte keys — the batch anti-joins that
-    projection, never the documents. Within-batch duplicates collapse to
+    projection, never the documents. When the store itself is multi-TB,
+    keep it as a table bucketed on the fingerprint
+    (``sinks.writers.write_bucketed_table``): the probe then shuffles
+    ONLY the new batch while the store reads in place (plan pinned in
+    tests/test_properties.py::test_bucketed_store_probe_shuffles_batch_only). Within-batch duplicates collapse to
     the min-id row first (window over the fingerprint), so a batch can't
     race itself. Returns the number of rows appended.
 

@@ -14,8 +14,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from etl_weather_data_pipeline_spark.plans.catalog import load
 from etl_weather_data_pipeline_spark.schemas import ENRICHED_COLUMNS, RAW_SCHEMA
 from etl_weather_data_pipeline_spark.transform import transform_weather
+
+from tests.conftest import SF_SMOKE
 
 _finite = st.floats(
     min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
@@ -288,3 +291,40 @@ def test_quantize_stats_invariants(spark, vecs):
     out = n.select("vec_id", q.alias("q")).collect()
     for r in out:
         assert -128 <= r["q"] <= 127
+
+
+def test_bucketed_store_probe_shuffles_batch_only(spark, tmp_path):
+    """The incremental-ingest scale contract: probing a fingerprint store
+    bucketed on the key plans NO exchange on the store side — only the
+    (small) batch shuffles into the bucket layout."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        write_bucketed_table,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    store = docs.select(F.md5(F.col("text")).alias("fingerprint"))
+    spark.sql("DROP TABLE IF EXISTS fp_store")
+    write_bucketed_table(store, "fp_store", ["fingerprint"], n_buckets=8)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # At real scale the store is far beyond any broadcast threshold;
+        # mimic that here so the test exercises the bucketed join path.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = docs.filter(F.col("doc_id") < 50).select(
+            F.md5(F.col("text")).alias("fingerprint")
+        )
+        probe = batch.join(spark.table("fp_store"), "fingerprint", "left_anti")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            probe._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchange == 1, plan  # batch side only — store reads in place
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS fp_store")
