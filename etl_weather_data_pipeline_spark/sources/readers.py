@@ -116,7 +116,10 @@ DOC_CORPUS_SCHEMA = (
 
 
 def read_jsonl_corpus(
-    spark: SparkSession, path: str, schema: str = DOC_CORPUS_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: str = DOC_CORPUS_SCHEMA,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """JSON-lines document corpus with file provenance.
 
@@ -125,8 +128,20 @@ def read_jsonl_corpus(
     downstream fingerprints. ``source_file`` (via input_file_name) records
     which landed file each doc came from, the lineage column an audit or
     a targeted re-ingest needs.
+
+    Malformed lines are a fact of crawl data: by default they are DROPPED
+    (mode=DROPMALFORMED — ingest keeps flowing); with ``keep_corrupt``
+    they land in a ``_corrupt_record`` column instead so a quarantine
+    branch can count/store them (filter ``_corrupt_record IS NOT NULL``).
     """
-    df = spark.read.schema(schema).json(path)
+    if keep_corrupt:
+        df = spark.read.schema(
+            schema + ", _corrupt_record string"
+        ).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).json(path)
+    else:
+        df = spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
     return df.withColumn("source_file", F.input_file_name())
 
 

@@ -607,3 +607,30 @@ def test_dedup_incremental_idempotent(spark):
         docs.filter(F.col("doc_id").isin(survivor_ids))
     )
     assert dedup_incremental(new_batch, merged).count() == 0
+
+
+def test_cosine_arrow_matches_fold(spark):
+    """The Arrow escape hatch must agree with the JVM fold to float
+    noise (numpy pairwise summation vs strict left fold)."""
+    from etl_weather_data_pipeline_spark.functions import vector as VX
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    qv = _query_vec(spark)
+    jvm = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            VX.cosine(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in qv]),
+            ).alias("c"),
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", VX.cosine_arrow(qv)(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    assert set(jvm) == set(arrow)
+    assert all(abs(jvm[k] - arrow[k]) < 1e-9 for k in jvm)

@@ -175,3 +175,24 @@ def test_read_text_corpus_stable_ids(spark, tmp_path):
     assert len(whole) == 2
     texts = {r["source_file"].rsplit("/", 1)[-1]: r["text"] for r in whole}
     assert texts["a.txt"] == "line one\nline two\n"
+
+
+def test_read_jsonl_corpus_corrupt_records(spark, tmp_path):
+    lines = [
+        json.dumps({"doc_id": 1, "text": "good", "lang": "en", "source": "s", "n_chars": 4}),
+        "{this is not json",
+        json.dumps({"doc_id": 2, "text": "also good", "lang": "en", "source": "s", "n_chars": 9}),
+    ]
+    (tmp_path / "mixed.jsonl").write_text("\n".join(lines))
+    from etl_weather_data_pipeline_spark.sources.readers import read_jsonl_corpus
+
+    # default: malformed lines dropped, ingest keeps flowing
+    ok = read_jsonl_corpus(spark, str(tmp_path))
+    assert sorted(r["doc_id"] for r in ok.collect()) == [1, 2]
+
+    # quarantine mode: corrupt line survives with the raw text attached
+    kept = read_jsonl_corpus(spark, str(tmp_path), keep_corrupt=True)
+    rows = kept.collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(rows) == 3 and len(bad) == 1
+    assert bad[0]["_corrupt_record"].startswith("{this")
