@@ -178,6 +178,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "embedding_semdedup_keep",
     "corpus_dataset_card",
     "doc_incremental_dedup",
+    "doc_unigram_logprob",
 )
 
 

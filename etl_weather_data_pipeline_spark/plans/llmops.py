@@ -1978,3 +1978,69 @@ def doc_incremental_dedup(spark, sf_dir):
     new_batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup_incremental(new_batch, corpus)
+
+
+@q(
+    "doc_unigram_logprob",
+    "Corpus-trained unigram log-probability score per document — the "
+    "perplexity-proxy quality filter (a KenLM-style LM gate without the "
+    "model): p(t) = corpus count / total tokens, score = mean ln p over "
+    "the doc's tokens. Rare/garbled docs score low. Factored as "
+    "mean ln(cnt) - ln(total) so the corpus total comes from a NARROW "
+    "no-explode scan (a broadcast 1-row aggregate) instead of a second "
+    "pass over the exploded tokens — the token stream is exploded, "
+    "shuffled, and aggregated exactly once for the vocab and once for "
+    "the doc scores. Determinism: each ln is decimal-rounded at 8 dp "
+    "(cross-engine ln agrees far past that; tfidf precedent), the "
+    "per-doc mean sums exact decimals, and the final subtraction is a "
+    "correctly-rounded IEEE op on identical operands.",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({O_TOKS}) AS token FROM documents),
+    vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    n AS (SELECT CAST(SUM(len({O_TOKS})) AS BIGINT) AS total
+          FROM documents),
+    scored AS (
+      SELECT t.doc_id, {o_dround("ln(v.cnt)", 8)} AS lc
+      FROM tok t JOIN vocab v USING (token))
+    SELECT doc_id,
+           {o_dround(
+               "CAST(SUM(CAST(lc AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)"
+               " - " + o_dround("ln((SELECT total FROM n))", 8), 6)}
+             AS avg_logprob,
+           COUNT(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    n = docs.agg(
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias("total")
+    )
+    lc = dround(F.log(F.col("cnt").cast("double")), 8).alias("lc")
+    scored = tok.join(vocab, "token").select("doc_id", lc)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("lc").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__mean_lc"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            dround(
+                F.col("__mean_lc")
+                - dround(F.log(F.col("total").cast("double")), 8),
+                6,
+            ).alias("avg_logprob"),
+            "n_tokens",
+        )
+    )

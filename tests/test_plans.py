@@ -290,3 +290,12 @@ def test_incremental_dedup_plan(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_unigram_logprob_explodes_once_per_consumer(spark):
+    # token stream: one Generate for the vocab branch + one for the doc
+    # scores — the corpus TOTAL must come from a narrow no-explode scan
+    # (3 scans, only 2 Generates), not a third explode pass
+    p = plan_of(spark, "doc_unigram_logprob")
+    assert n_nodes(p, "Generate") == 2, p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
