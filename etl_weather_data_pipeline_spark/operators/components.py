@@ -62,30 +62,27 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
     changed = 1
-    for it in range(max_iter):
+    for _ in range(max_iter):
+        # One job per round: the neighbor messages and the node's own
+        # (label, old=label) row go through a single min/max aggregate —
+        # `old` recovers each node's previous label (exactly one non-null
+        # per id) so convergence needs no join — and the lazy
+        # localCheckpoint is materialized by the convergence count itself
+        # rather than by a separate eager checkpoint job.
         msgs = und.join(labels, und.a == labels.id).select(
-            F.col("b").alias("id"), "label"
+            F.col("b").alias("id"),
+            "label",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
         )
+        own = labels.select("id", "label", F.col("label").alias("old"))
         new = (
-            msgs.union(labels)
+            msgs.union(own)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .localCheckpoint(eager=False)
         )
-        if it == 0 and max_iter > 1:
-            # Any edge (a, b) with a < b flips b's label on round one, so
-            # the convergence probe is a guaranteed-true extra job — skip
-            # it (unless this is the only round, where the final `changed`
-            # must be a real measurement for the overflow warning).
-            labels = new
-            continue
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels = new.select("id", "label")
         if changed == 0:
             break
     if changed:
