@@ -634,3 +634,59 @@ def test_cosine_arrow_matches_fold(spark):
     }
     assert set(jvm) == set(arrow)
     assert all(abs(jvm[k] - arrow[k]) < 1e-9 for k in jvm)
+
+
+def test_udtf_chunker_matches_native_plan(spark):
+    """The Python UDTF twin must produce EXACTLY the native chunker's
+    rows — same windows, same indexes, same counts."""
+    from pyspark.sql import functions as SF
+
+    from etl_weather_data_pipeline_spark.functions.python_surface import (
+        chunk_docs_udtf,
+    )
+    from etl_weather_data_pipeline_spark.plans.llmops import doc_chunk_spans
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 60)
+    ChunkDocs = chunk_docs_udtf()
+    udtf_rows = sorted(
+        map(
+            tuple,
+            docs.lateralJoin(
+                ChunkDocs(SF.col("text").outer())
+            ).select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens").collect(),
+        )
+    )
+    native_rows = sorted(
+        map(
+            tuple,
+            doc_chunk_spans(spark, SF_SMOKE)
+            .filter(F.col("doc_id") < 60)
+            .collect(),
+        )
+    )
+    assert udtf_rows == native_rows and len(udtf_rows) > 0
+
+
+def test_grouped_agg_mean_vector_matches_native(spark):
+    from etl_weather_data_pipeline_spark.functions.python_surface import (
+        mean_vector_grouped_agg,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    mv = mean_vector_grouped_agg()
+    got = {
+        r["label"]: r["c"]
+        for r in emb.groupBy("label").agg(mv(F.col("embedding")).alias("c")).collect()
+    }
+    native = {}
+    for r in (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    ):
+        native.setdefault(r["label"], {})[r["pos"]] = r["m"]
+    assert set(got) == set(native)
+    for lbl, vec in got.items():
+        for i, v in enumerate(vec):
+            assert abs(v - native[lbl][i]) < 1e-9
