@@ -179,6 +179,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_dataset_card",
     "doc_incremental_dedup",
     "doc_unigram_logprob",
+    # rows-only xxhash64 family variant (bench evidence exists; an err-free
+    # driver row is still worth one banked slot)
+    "doc_minhash_lsh_pairs_xxh",
 )
 
 
