@@ -15,9 +15,11 @@ from pyspark.sql.window import Window
 from etl_weather_data_pipeline_spark.plans.catalog import (
     Query,
     davg,
+    dround,
     dsum,
     load,
     o_davg,
+    o_dround,
     o_dsum,
 )
 
@@ -377,3 +379,99 @@ def kmeans_clusters(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans(emb, k=4, iterations=3)
+
+
+@q(
+    "events_anomaly_zscore",
+    "Per-type z-score anomaly flags: |value - mean| > 3 sigma within each "
+    "event_type — the streaming-quality-monitor shape run as a batch "
+    "audit. Mean and variance come from ONE pass of exact decimal sums "
+    "(sum x, sum x^2 via E[x^2] - E[x]^2), broadcast back onto the scan; "
+    "every double op after the exact sums is correctly-rounded IEEE on "
+    "identical operands, so both engines flag identical rows.",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE)
+               AS sx2,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type),
+    stats AS (
+      SELECT event_type, sx / n AS mu,
+             sqrt(sx2 / n - (sx / n) * (sx / n)) AS sigma
+      FROM m)
+    SELECT e.event_id, e.event_type,
+           e.value,
+           {o_dround("(e.value - s.mu) / s.sigma", 6)} AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("__sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("__sx2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mu = F.col("__sx") / F.col("__n")
+    stats = m.select(
+        "event_type",
+        mu.alias("__mu"),
+        F.sqrt(F.col("__sx2") / F.col("__n") - mu * mu).alias("__sigma"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("__sigma") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            dround(z, 6).alias("zscore"),
+        )
+    )
+
+
+@q(
+    "user_retention_cohorts",
+    "Cohort retention: users grouped by first-seen date, distinct active "
+    "users counted per (cohort_date, day_offset) — the warehouse "
+    "retention triangle. The first-seen date is a min-window over "
+    "user_id; the count-distinct re-shuffles on the cohort grain. All "
+    "integer/date arithmetic, deterministic by construction.",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts,
+             MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+               AS cohort_date
+      FROM events)
+    SELECT cohort_date,
+           datediff('day', cohort_date, CAST(ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM firsts
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    firsts = ev.select(
+        "user_id",
+        "ts",
+        F.min(F.to_date("ts")).over(w).alias("cohort_date"),
+    )
+    return (
+        firsts.select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).alias(
+                "day_offset"
+            ),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

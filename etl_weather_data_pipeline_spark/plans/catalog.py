@@ -182,6 +182,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # rows-only xxhash64 family variant (bench evidence exists; an err-free
     # driver row is still worth one banked slot)
     "doc_minhash_lsh_pairs_xxh",
+    "events_anomaly_zscore",
+    "user_retention_cohorts",
 )
 
 

@@ -299,3 +299,10 @@ def test_unigram_logprob_explodes_once_per_consumer(spark):
     p = plan_of(spark, "doc_unigram_logprob")
     assert n_nodes(p, "Generate") == 2, p
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_anomaly_zscore_stats_broadcast(spark):
+    # per-type stats are a tiny aggregate broadcast onto the fact scan —
+    # the events table must not sort-merge for the stats join
+    p = plan_of(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
