@@ -475,3 +475,97 @@ def user_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_date", "day_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@q(
+    "events_funnel_conversion",
+    "Funnel conversion: per user, the first 'view' and the first "
+    "'purchase' within 24h after it — the product-analytics funnel as "
+    "two filtered aggregates glued by an EQUI-join on user_id (the time "
+    "window is a post-join predicate, so no range-join machinery and no "
+    "skew beyond the user grain). Latency is exact integer micros.",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > v.first_view_ts
+        AND e.ts <= v.first_view_ts + INTERVAL 24 HOURS
+      GROUP BY e.user_id)
+    SELECT v.user_id, v.first_view_ts, p.first_purchase_ts,
+           epoch_us(p.first_purchase_ts) - epoch_us(v.first_view_ts)
+             AS micros_to_convert
+    FROM v JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("first_view_ts"))
+            & (
+                F.col("ts")
+                <= F.col("first_view_ts") + F.expr("INTERVAL 24 HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return v.join(p, "user_id").select(
+        "user_id",
+        "first_view_ts",
+        "first_purchase_ts",
+        (
+            F.unix_micros("first_purchase_ts")
+            - F.unix_micros("first_view_ts")
+        ).alias("micros_to_convert"),
+    )
+
+
+@q(
+    "orders_monthly_growth",
+    "Month-over-month revenue growth: month truncation -> exact decimal "
+    "revenue sum -> lag window -> growth ratio. The whole series is one "
+    "aggregate plus one single-partition window over ~80 month rows "
+    "(bounded by the calendar, not the data — safe at any scale).",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             {o_dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           {o_dround(
+               "(revenue - lag(revenue) OVER (ORDER BY month))"
+               " / lag(revenue) OVER (ORDER BY month)", 6)} AS growth
+    FROM m
+    """,
+)
+def orders_monthly_growth(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    m = (
+        orders.select(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias(
+                "month"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("month")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        dround((F.col("revenue") - prev) / prev, 6).alias("growth"),
+    )

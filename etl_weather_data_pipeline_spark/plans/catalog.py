@@ -184,6 +184,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_minhash_lsh_pairs_xxh",
     "events_anomaly_zscore",
     "user_retention_cohorts",
+    "events_funnel_conversion",
+    "orders_monthly_growth",
 )
 
 
