@@ -306,3 +306,10 @@ def test_anomaly_zscore_stats_broadcast(spark):
     # the events table must not sort-merge for the stats join
     p = plan_of(spark, "events_anomaly_zscore")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_funnel_is_equijoin_only(spark):
+    # the 24h window must stay a post-join predicate on user_id equi-joins
+    p = plan_of(spark, "events_funnel_conversion")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
