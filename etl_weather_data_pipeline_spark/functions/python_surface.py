@@ -36,6 +36,8 @@ def chunk_docs_udtf():
                 _CHUNK_W,
             )
 
+            if text is None:  # tolerate NULL text like the native twin
+                text = ""
             toks = text.strip().split()
             if not toks:
                 toks = [""]

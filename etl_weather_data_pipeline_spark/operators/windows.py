@@ -67,7 +67,11 @@ def sessionize(
     order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_s = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    # unix_timestamp floors to epoch seconds for BOTH timestamp flavors;
+    # TIMESTAMP_NTZ (round-4 testdata) has no cast to BIGINT at all. NTZ
+    # is interpreted in the session tz — gaps are differences, so this is
+    # tz-invariant outside DST transitions (driver sessions run UTC).
+    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
     is_new = F.when(
         prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))

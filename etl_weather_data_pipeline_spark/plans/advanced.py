@@ -521,13 +521,21 @@ def events_funnel_conversion(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase_ts"))
     )
+    from pyspark.sql.types import TimestampNTZType
+
+    # unix_micros rejects TIMESTAMP_NTZ (round-4 testdata); routing NTZ
+    # through to_utc_timestamp(_, 'UTC') is exact AND session-tz-free.
+    def _us(c):
+        if isinstance(ev.schema["ts"].dataType, TimestampNTZType):
+            return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+        return F.unix_micros(c)
+
     return v.join(p, "user_id").select(
         "user_id",
         "first_view_ts",
         "first_purchase_ts",
         (
-            F.unix_micros("first_purchase_ts")
-            - F.unix_micros("first_view_ts")
+            _us(F.col("first_purchase_ts")) - _us(F.col("first_view_ts"))
         ).alias("micros_to_convert"),
     )
 

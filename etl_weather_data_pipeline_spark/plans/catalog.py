@@ -76,7 +76,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The driver has shipped events.ts both as INT64 nanos (rounds
+        # 1-3) and as a real timestamp[us] (round 4 regeneration), so the
+        # nanos->micros conversion is CONDITIONAL on the physical type —
+        # unconditional conversion breaks whichever vintage it wasn't
+        # written for (every events/weather query, both SFs).
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

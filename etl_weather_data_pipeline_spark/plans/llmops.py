@@ -601,7 +601,7 @@ _O_QUALITY = (
     f"WHEN CAST(len(list_distinct({O_TOKS})) AS DOUBLE) / len({O_TOKS}) < 0.3 "
     f"THEN 'repetitive' "
     f"WHEN CAST(len(list_filter({O_TOKS}, "
-    f"t -> list_contains(['the','a','of','and','to','in','is','it'], t))) "
+    f"t -> list_contains([{','.join(repr(w) for w in TX.EN_STOPWORDS)}], t))) "
     f"AS DOUBLE) / len({O_TOKS}) > 0.6 THEN 'boilerplate' ELSE 'ok' END"
 )
 
@@ -663,7 +663,7 @@ def release_curation_cache() -> None:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(len({O_TOKS})) AS BIGINT) AS ws_tokens,
-           SUM({_O_SUBWORDS}) AS bpe_tokens
+           CAST(SUM({_O_SUBWORDS}) AS BIGINT) AS bpe_tokens
     FROM final GROUP BY lang
     """,
 )
@@ -1794,7 +1794,9 @@ def corpus_temperature_sample(spark, sf_dir):
     )
 
 
-_O_SW = "['the','a','of','and','to','in','is','it']"
+# Built from the single source of truth so a future edit to EN_STOPWORDS
+# can't silently desynchronize the oracle from the Spark side.
+_O_SW = "[" + ",".join(f"'{w}'" for w in TX.EN_STOPWORDS) + "]"
 
 
 @q(
@@ -1978,6 +1980,57 @@ def doc_incremental_dedup(spark, sf_dir):
     new_batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup_incremental(new_batch, corpus)
+
+
+@q(
+    "corpus_merge_state",
+    "Driver-grade evidence for the streaming corpus merge sink: runs the "
+    "foreachBatch body (streaming/corpus.py merge_batch_into_corpus) LIVE "
+    "against a fresh store for two micro-batches — batch 1 = doc_id%3==0, "
+    "batch 2 = the full feed (overlapping, as at-least-once delivery "
+    "would) — then REPLAYS batch 2 to prove idempotency (a non-zero "
+    "third append would surface as extra rows and hash-fail), and "
+    "returns the store's post-merge state. First-seen-batch wins; "
+    "min-doc_id wins within a batch. The oracle reconstructs the same "
+    "state relationally in DuckDB.",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id, lang, {O_FINGERPRINT} AS fingerprint FROM documents),
+    a AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id
+      FROM fps WHERE doc_id % 3 = 0 GROUP BY 1),
+    b AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id
+      FROM fps
+      WHERE fingerprint NOT IN (SELECT fingerprint FROM a)
+      GROUP BY 1),
+    merged AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT m.doc_id, f.lang, m.fingerprint
+    FROM merged m JOIN fps f ON m.doc_id = f.doc_id
+    """,
+)
+def corpus_merge_state(spark, sf_dir):
+    """Batch twin of the streaming merge sink (streaming/corpus.py:96).
+
+    md5 hash family so DuckDB reproduces the fingerprints bit-for-bit;
+    production streams keep the xxhash64 default. The store lives in a
+    fresh tmpdir per invocation (the returned DataFrame stays lazy over
+    it, so it is NOT deleted here — gate-scale stores are tiny)."""
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_into_corpus,
+    )
+
+    store = tempfile.mkdtemp(prefix="corpus_merge_state_") + "/store"
+    docs = load(spark, sf_dir, "documents")
+    merge_batch_into_corpus(
+        docs.filter(F.col("doc_id") % 3 == 0), store, hash_family="md5"
+    )
+    merge_batch_into_corpus(docs, store, hash_family="md5")
+    replayed = merge_batch_into_corpus(docs, store, hash_family="md5")
+    assert replayed == 0, f"replay appended {replayed} rows — not idempotent"
+    return spark.read.parquet(store).select("doc_id", "lang", "fingerprint")
 
 
 @q(

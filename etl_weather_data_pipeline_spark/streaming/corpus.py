@@ -26,6 +26,7 @@ bounded by the watermark horizon; everything else is map-side.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -128,17 +129,30 @@ def merge_batch_into_corpus(
         Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     )
     batch = batch.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    # Probe the store only when it exists. ONLY the missing-path case may
+    # fall back to "everything is fresh" — any other store-read failure
+    # (permissions, corrupt footer, listing error) must fail the batch so
+    # the streaming query retries; swallowing it would silently disable
+    # full-history dedup and append duplicates.
     try:
         seen = spark.read.parquet(path).select("fingerprint")
         fresh = batch.join(seen, "fingerprint", "left_anti")
-    except Exception:  # first batch: store doesn't exist yet
-        fresh = batch
-    writer = fresh.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    n = fresh.count()
-    if n:
-        writer.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        fresh = batch  # first batch: store doesn't exist yet
+    # persist: count + write are two actions; without it the fingerprint
+    # projection + store anti-join runs twice per micro-batch.
+    fresh = fresh.persist()
+    try:
+        n = fresh.count()
+        if n:
+            writer = fresh.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+    finally:
+        fresh.unpersist()
     return n
 
 

@@ -9,6 +9,7 @@ up here first.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 
 import duckdb
@@ -40,10 +41,21 @@ def duck_sf(request):
 
 
 def _norm(v):
+    # Dtype-aware: the driver hashes stringified values, so an int 4541 on
+    # one side vs a float 4541.0 on the other (DuckDB HUGEINT sums
+    # surfacing as double) hash-diverges even though Python's == calls
+    # them equal. Tag each numeric kind so that bug class fails HERE
+    # first. bool before int (bool is an int subclass).
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None)
     return v
