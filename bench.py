@@ -47,6 +47,11 @@ HEADLINE = [
     # round-3 batch 2: ingest dedup + packing (the periodic-pipeline ops)
     "doc_incremental_dedup",
     "corpus_sequence_pack",
+    # round-4: winnow overlap, source drift, dim stats, novelty
+    "doc_winnow_overlap_pairs",
+    "source_token_kl",
+    "embedding_dim_stats",
+    "doc_ngram_novelty",
     # flagships: full weather transform pipeline + corpus curation chain
     "weather_pipeline_e2e",
     "corpus_curation_pipeline",
@@ -57,6 +62,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    # SPARK_GRAFT_QUERIES=a,b,c restricts the run to a subset — used for
+    # like-for-like comparisons against earlier rounds whose headline set
+    # was smaller (growing the set inflates the total and the shared-JVM
+    # GC/cache pressure, so cross-round totals are only comparable on the
+    # intersection).
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    headline = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else HEADLINE
+    )
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     registry = build_registry()
@@ -71,14 +87,14 @@ def main() -> None:
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in headline:
             registry[name].spark(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         release_curation_cache()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         q = registry[name]
         t0 = time.monotonic()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()

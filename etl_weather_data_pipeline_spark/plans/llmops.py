@@ -566,7 +566,12 @@ def _o_winnow(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
     oracle=_o_winnow(),
 )
 def doc_winnow_fingerprints(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    return _winnow_fps(load(spark, sf_dir, "documents"))
+
+
+def _winnow_fps(docs) -> DataFrame:
+    """(doc_id, fingerprint) winnowing sketch rows; shared by the
+    fingerprint listing and the overlap-pair consumer."""
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
     # Each stage projects a bound column for the next (HOF re-eval trap).
     chars = docs.select("doc_id", TX.chars_of(norm).alias("__ch"))
@@ -2095,5 +2100,277 @@ def doc_unigram_logprob(spark, sf_dir):
                 6,
             ).alias("avg_logprob"),
             "n_tokens",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: winnow overlap pairs, source KL divergence, embedding
+# dimension stats, n-gram novelty
+# ---------------------------------------------------------------------------
+
+_WINNOW_MAX_DF = 50
+_WINNOW_MIN_SHARED = 8
+
+
+@q(
+    "doc_winnow_overlap_pairs",
+    "Substring-granular near-dup pairs from the winnowing sketch (MOSS "
+    "copy-detection shape): docs sharing >= 8 winnow fingerprints, scored "
+    "by containment = shared / min(|A|,|B|). Complements MinHash-LSH, "
+    "which misses a short doc embedded in a long one (Jaccard dilutes; "
+    "containment doesn't). Fingerprints seen in > 50 docs are dropped "
+    "FIRST (boilerplate grams) — the stop-fingerprint filter is what "
+    "keeps the self-join's per-key buckets bounded at 100 TB; both "
+    "per-doc sizes ride along as window counts, so the plan is two "
+    "window exchanges + one equi-join, no extra size-lookup joins.",
+    oracle=f"""
+    WITH wf AS (SELECT * FROM ({_o_winnow()}) t),
+    d1 AS (
+      SELECT doc_id, fingerprint,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS df
+      FROM wf),
+    kept AS (
+      SELECT doc_id, fingerprint,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM d1 WHERE df <= {_WINNOW_MAX_DF}),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             COUNT(*) AS shared, MIN(l.n) AS na, MIN(r.n) AS nb
+      FROM kept l JOIN kept r
+        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared_fps,
+           {o_dround("CAST(shared AS DOUBLE) / least(na, nb)", 6)}
+             AS containment
+    FROM pairs WHERE shared >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def doc_winnow_overlap_pairs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    fp = _winnow_fps(load(spark, sf_dir, "documents"))
+    d1 = fp.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    )
+    kept = (
+        d1.filter(F.col("df") <= _WINNOW_MAX_DF)
+        .drop("df")
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    l, r = kept.alias("l"), kept.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.fingerprint") == F.col("r.fingerprint"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("l.n").alias("na"),
+            F.min("r.n").alias("nb"),
+        )
+    )
+    return pairs.filter(F.col("shared") >= _WINNOW_MIN_SHARED).select(
+        "id_a",
+        "id_b",
+        F.col("shared").alias("shared_fps"),
+        dround(
+            F.col("shared").cast("double") / F.least("na", "nb"), 6
+        ).alias("containment"),
+    )
+
+
+@q(
+    "source_token_kl",
+    "Per-source token-distribution drift: KL(P_source || P_corpus) = "
+    "sum_t p_s(t) * ln(p_s(t)/p_corpus(t)) — the mixture-weighting / "
+    "domain-shift diagnostic for corpus assembly. Factored so the token "
+    "stream is exploded and shuffled ONCE into (source, token) counts; "
+    "corpus counts, per-source totals and the grand total all derive "
+    "from that table by further (much smaller) aggregates, and the two "
+    "scalar-ish sides come back as broadcasts. Determinism: each ln is "
+    "decimal-rounded at 8 dp, per-source terms sum as exact decimals.",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({O_TOKS}) AS token FROM documents),
+    st AS (
+      SELECT source, token, COUNT(*) AS cnt_st FROM tok GROUP BY 1, 2),
+    ns AS (
+      SELECT source, CAST(SUM(cnt_st) AS BIGINT) AS n_s
+      FROM st GROUP BY 1),
+    ct AS (
+      SELECT token, CAST(SUM(cnt_st) AS BIGINT) AS cnt_t
+      FROM st GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_s) AS BIGINT) AS total FROM ns),
+    terms AS (
+      SELECT st.source, ns.n_s,
+             (CAST(st.cnt_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) *
+             ({o_dround("ln(st.cnt_st)", 8)}
+              + {o_dround("ln((SELECT total FROM n))", 8)}
+              - {o_dround("ln(ns.n_s)", 8)}
+              - {o_dround("ln(ct.cnt_t)", 8)}) AS term
+      FROM st JOIN ct USING (token) JOIN ns USING (source))
+    SELECT source, n_s AS n_tokens,
+           {o_dround(
+               "CAST(SUM(CAST(term AS DECIMAL(28,10))) AS DOUBLE)", 6)}
+             AS kl_divergence
+    FROM terms GROUP BY source, n_s
+    """,
+)
+def source_token_kl(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode_outer(TX.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt_st")
+    )
+    ct = st.groupBy("token").agg(
+        F.sum("cnt_st").cast("long").alias("cnt_t")
+    )
+    # Per-source totals and the grand total from a NARROW no-explode scan
+    # (size of the token array): same numbers as summing st, but without
+    # re-evaluating the exploded stream — each DataFrame reference
+    # re-executes its subtree, so deriving ns/n from st doubles the
+    # Generate count (unigram-logprob precedent).
+    ns = (
+        docs.select(
+            "source",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("__n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__n").cast("long").alias("n_s"))
+    )
+    n = ns.agg(F.sum("n_s").cast("long").alias("total"))
+    lr = (
+        dround(F.log(F.col("cnt_st").cast("double")), 8)
+        + dround(F.log(F.col("total").cast("double")), 8)
+        - dround(F.log(F.col("n_s").cast("double")), 8)
+        - dround(F.log(F.col("cnt_t").cast("double")), 8)
+    )
+    term = (
+        F.col("cnt_st").cast("double") / F.col("n_s").cast("double")
+    ) * lr
+    terms = (
+        st.join(ct, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select("source", "n_s", term.alias("term"))
+    )
+    return terms.groupBy("source", "n_s").agg(
+        dround(
+            F.sum(F.col("term").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("kl_divergence")
+    ).select(
+        "source", F.col("n_s").alias("n_tokens"), "kl_divergence"
+    )
+
+
+@q(
+    "embedding_dim_stats",
+    "Per-dimension mean and variance over the embedding corpus — the "
+    "whitening / feature-selection precompute (and the PCA diagonal): "
+    "one posexplode -> one hash aggregate keyed by dimension (64 groups), "
+    "variance from exact decimal sum and sum-of-squares in a single "
+    "pass (no second scan, no per-group vectors on the driver).",
+    oracle=f"""
+    WITH ex AS (
+      SELECT unnest(list_transform(embedding,
+                                   (v, i) -> {{'pos': i, 'v': v}})) AS pv
+      FROM embeddings),
+    d AS (SELECT CAST(pv.pos AS INT) AS pos, CAST(pv.v AS DOUBLE) AS v
+          FROM ex)
+    SELECT pos, COUNT(*) AS n,
+           {o_dround(
+               "CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)",
+               6)} AS mean,
+           {o_dround(
+               "(CAST(SUM(CAST(v * v AS DECIMAL(28,18))) AS DOUBLE)"
+               " - CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)"
+               " * CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)"
+               " / COUNT(*)) / COUNT(*)", 8)} AS variance
+    FROM d GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("pos0", "v0")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("v0").cast("double").alias("v")
+    )
+    sx = F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+    sx2 = F.sum(
+        (F.col("v") * F.col("v")).cast("decimal(28,18)")
+    ).cast("double")
+    cnt = F.count(F.lit(1))
+    return d.groupBy("pos").agg(
+        cnt.alias("n"),
+        dround(sx / cnt, 6).alias("mean"),
+        dround((sx2 - sx * sx / cnt) / cnt, 8).alias("variance"),
+    )
+
+
+@q(
+    "doc_ngram_novelty",
+    "Crawl-novelty score: per document, the fraction of its distinct "
+    "3-word shingles whose global FIRST occurrence (min doc_id) is this "
+    "document — re-crawled / templated content scores near 0, fresh "
+    "content near 1 (the incremental-ingest 'how much is actually new' "
+    "metric). One shuffle on the shingle (window min, no join-back), one "
+    "per-doc aggregate; at 100 TB the shingle string should be replaced "
+    "by its xxhash64 before the exchange (same structure, 8-byte keys).",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest({O_SHINGLES}) AS s FROM documents) t),
+    f AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS first_doc
+      FROM sh)
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {o_dround(
+               "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / COUNT(*)", 6)} AS novelty
+    FROM f GROUP BY doc_id
+    """,
+)
+def doc_ngram_novelty(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    sh = (
+        toked.select(
+            "doc_id",
+            F.explode_outer(TX.word_shingles_of(F.col("__t"), 3)).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    first = F.min("doc_id").over(Window.partitionBy("s"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.withColumn("first_doc", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            dround(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
         )
     )

@@ -313,3 +313,68 @@ def test_funnel_is_equijoin_only(spark):
     p = plan_of(spark, "events_funnel_conversion")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round4_additions_plan_shapes(spark):
+    # winnow overlap: the stop-fingerprint filter + sizes are WINDOW
+    # aggregates (no extra size-lookup joins) and the pair join is an
+    # equi-join on the fingerprint — never a cartesian
+    p = plan_of(spark, "doc_winnow_overlap_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert n_nodes(p, "Window") >= 2
+
+    # source KL: the token stream is exploded/shuffled ONCE into
+    # (source, token) counts; per-source totals and the grand total come
+    # back as broadcasts, not sort-merge joins of the token stream
+    p = plan_of(spark, "source_token_kl")
+    assert n_nodes(p, "Generate") <= 2, p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+    # dim stats: single pass — one Generate, partial+final hash agg,
+    # no second scan for the variance
+    p = plan_of(spark, "embedding_dim_stats")
+    assert n_nodes(p, "Generate") == 1
+    assert p.count("HashAggregate") >= 2
+
+    # novelty: first-occurrence is a window min on the shingle (one
+    # exchange), NOT a groupBy + join-back (two)
+    p = plan_of(spark, "doc_ngram_novelty")
+    assert n_nodes(p, "Window") == 1
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_merge_state_probe_is_anti_join(spark):
+    # the merge sink's store probe must stay a left-anti equi-join on the
+    # fingerprint projection (column-pruned store scan, no cartesian)
+    from etl_weather_data_pipeline_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    docs = REG["doc_fingerprints"].spark(spark, SF_SMOKE).limit(0)
+    # plan-shape check on the operator itself, against an existing store
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="probe_pin_") + "/store"
+    base = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("seed "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_into_corpus,
+    )
+
+    merge_batch_into_corpus(base, store, hash_family="md5")
+    batch = base.withColumn(
+        "fingerprint", TX.fingerprint(F.col("text"), "md5")
+    )
+    seen = spark.read.parquet(store).select("fingerprint")
+    probe = batch.join(seen, "fingerprint", "left_anti")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    rs = plan.split("ReadSchema")[-1].split("\n")[0]
+    assert "text" not in rs, rs  # store scan pruned to the fingerprint
