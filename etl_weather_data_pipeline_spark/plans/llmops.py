@@ -616,11 +616,12 @@ _O_SUBWORDS = (
     r"t -> (length(t) + 3) // 4)), 0) AS BIGINT)"
 )
 
-# The curation flagship's persisted intermediate must outlive the (lazy)
-# query function so the caller's action can consume the cache — but an
-# unbounded lifetime leaks one MEMORY_AND_DISK cache per invocation in a
-# long-lived session (bench loops, two-SF parity runs). Bound it to AT MOST
-# ONE alive: each invocation releases the previous, and harnesses call
+# Persisted intermediates (curation flagship's deduped corpus; winnow
+# overlap's fingerprint sketch) must outlive the (lazy) query function so
+# the caller's action can consume the cache — but an unbounded lifetime
+# leaks one MEMORY_AND_DISK cache per invocation in a long-lived session
+# (bench loops, two-SF parity runs). Bound it to AT MOST ONE alive: each
+# persisting invocation releases the previous, and harnesses call
 # release_curation_cache() when done with the result.
 _CURATION_PERSISTED: list[DataFrame] = []
 
@@ -2000,14 +2001,16 @@ def doc_incremental_dedup(spark, sf_dir):
     "state relationally in DuckDB.",
     oracle=f"""
     WITH fps AS (
-      SELECT doc_id, lang, {O_FINGERPRINT} AS fingerprint FROM documents),
+      SELECT doc_id, lang, fingerprint FROM (
+        SELECT doc_id, lang, {O_FINGERPRINT} AS fingerprint FROM documents)
+      WHERE fingerprint IS NOT NULL),
     a AS (
       SELECT fingerprint, MIN(doc_id) AS doc_id
       FROM fps WHERE doc_id % 3 = 0 GROUP BY 1),
     b AS (
       SELECT fingerprint, MIN(doc_id) AS doc_id
-      FROM fps
-      WHERE fingerprint NOT IN (SELECT fingerprint FROM a)
+      FROM fps f
+      WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.fingerprint = f.fingerprint)
       GROUP BY 1),
     merged AS (SELECT * FROM a UNION ALL SELECT * FROM b)
     SELECT m.doc_id, f.lang, m.fingerprint
@@ -2034,7 +2037,10 @@ def corpus_merge_state(spark, sf_dir):
     )
     merge_batch_into_corpus(docs, store, hash_family="md5")
     replayed = merge_batch_into_corpus(docs, store, hash_family="md5")
-    assert replayed == 0, f"replay appended {replayed} rows — not idempotent"
+    if replayed:  # explicit raise: a bare assert vanishes under python -O
+        raise AssertionError(
+            f"replay appended {replayed} rows — not idempotent"
+        )
     return spark.read.parquet(store).select("doc_id", "lang", "fingerprint")
 
 
@@ -2147,19 +2153,31 @@ _WINNOW_MIN_SHARED = 8
     """,
 )
 def doc_winnow_overlap_pairs(spark, sf_dir):
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     fp = _winnow_fps(load(spark, sf_dir, "documents"))
     d1 = fp.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
     )
+    # Persist the sketch ONCE before the self-join: the two join sides are
+    # independent DAG branches, and without a persist each re-evaluates
+    # the whole Rabin-Karp + winnow chain from the parquet scan (verified
+    # r4: 4 scans, 4 Generates, 0 ReusedExchange — 2x the query's cost,
+    # and the sketch IS the dominant cost at 100 TB). The cached relation
+    # is ~40 bytes/row (doc_id, fingerprint, n), tiny next to the text it
+    # summarizes; MEMORY_AND_DISK spills instead of OOMing. Lifecycle is
+    # the curation flagship's bounded registry (at most one alive).
+    release_curation_cache()
     kept = (
         d1.filter(F.col("df") <= _WINNOW_MAX_DF)
         .drop("df")
         .withColumn(
             "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _CURATION_PERSISTED.append(kept)
     l, r = kept.alias("l"), kept.alias("r")
     pairs = (
         l.join(

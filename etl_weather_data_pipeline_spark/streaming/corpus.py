@@ -125,6 +125,11 @@ def merge_batch_into_corpus(
     batch = batch_df.withColumn(
         "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
     )
+    # NULL fingerprints (NULL text) can never match the left-anti store
+    # probe — NULL = NULL is not true — so every at-least-once replay
+    # would re-append them, silently breaking the idempotency guarantee
+    # above. Unfingerprintable rows are not ingestible: drop them here.
+    batch = batch.filter(F.col("fingerprint").isNotNull())
     rn = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     )

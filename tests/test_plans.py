@@ -323,6 +323,18 @@ def test_round4_additions_plan_shapes(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert n_nodes(p, "Window") >= 2
+    # r5: the sketch is persisted before the self-join — both sides read
+    # the ONE cached relation, so the whole Rabin-Karp + winnow chain has
+    # exactly one parquet scan and one Generate in the plan (r4 regression:
+    # 4 scans / 4 Generates / 0 ReusedExchange = sketch evaluated twice)
+    assert n_nodes(p, "InMemoryTableScan") >= 1, p
+    assert n_nodes(p, "Scan parquet") == 1, p
+    assert n_nodes(p, "Generate") == 1, p
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    release_curation_cache()
 
     # source KL: the token stream is exploded/shuffled ONCE into
     # (source, token) counts; per-source totals and the grand total come
@@ -351,7 +363,6 @@ def test_merge_state_probe_is_anti_join(spark):
     from etl_weather_data_pipeline_spark.functions import text as TX
     from pyspark.sql import functions as F
 
-    docs = REG["doc_fingerprints"].spark(spark, SF_SMOKE).limit(0)
     # plan-shape check on the operator itself, against an existing store
     import tempfile
 
