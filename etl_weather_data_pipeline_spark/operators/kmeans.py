@@ -37,17 +37,71 @@ def assign_clusters(
     return df.withColumn("cluster", cluster)
 
 
-def _centroids_of(df: DataFrame, vec_col: str, dim: int) -> dict[int, list[float]]:
-    rows = (
-        df.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
-        .groupBy("cluster", "pos")
-        .agg(F.avg("v").alias("c"))
-        .collect()
+def _centroids_of(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    old_centroids: list[list[float]] | None = None,
+) -> dict[int, list[float]] | tuple[dict[int, list[float]], float]:
+    """Per-(cluster, pos) means from one exploded aggregate.
+
+    When ``old_centroids`` is given, the SAME aggregate also computes the
+    within-cluster SSE of the current assignment (squared L2 distance
+    decomposes per dimension, so sum((v - old_c[cluster][pos])^2) rides
+    along as a second agg over the identical grouping — the convergence
+    measurement costs zero extra jobs/scans) and a
+    ``(centroids, sse)`` tuple is returned.
+    """
+    ex = df.select(
+        "cluster", F.posexplode(F.col(vec_col)).alias("pos", "v")
     )
+    aggs = [F.avg("v").alias("c")]
+    if old_centroids is not None:
+        mat = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in old_centroids]
+        )
+        oc = F.element_at(
+            F.element_at(mat, F.col("cluster") + 1), F.col("pos") + 1
+        )
+        d = F.col("v").cast("double") - oc
+        aggs.append(F.sum(d * d).alias("sq"))
+    rows = ex.groupBy("cluster", "pos").agg(*aggs).collect()
     out: dict[int, list[float]] = {}
     for r in rows:
         out.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["c"]
-    return out
+    if old_centroids is None:
+        return out
+    return out, float(sum(r["sq"] for r in rows))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's algorithm, fixed iteration count; returns
+    ``(assignments, sse_history)``.
+
+    Seeds from the k lowest-id vectors (deterministic, no RNG). The
+    centroid matrix (k × dim floats) is the ONLY driver-side state.
+    ``sse_history[i]`` is the within-cluster SSE of the assignment under
+    the centroids of round i (measured inside round i+1's centroid
+    aggregate — no extra jobs); Lloyd guarantees it is non-increasing,
+    which `kmeans_clusters` turns into a driver-checkable oracle.
+    """
+    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    dim = len(centroids[0])
+    assigned = assign_clusters(df, centroids, vec_col)
+    sse_history: list[float] = []
+    for _ in range(iterations):
+        by_cluster, sse = _centroids_of(assigned, vec_col, dim, centroids)
+        sse_history.append(sse)
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
+        assigned = assign_clusters(df, centroids, vec_col)
+    return assigned.select(id_col, "cluster"), sse_history
 
 
 def kmeans(
@@ -57,17 +111,6 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd's algorithm, fixed iteration count; returns (id, cluster).
-
-    Seeds from the k lowest-id vectors (deterministic, no RNG). The
-    centroid matrix (k × dim floats) is the ONLY driver-side state.
-    """
-    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
-    dim = len(centroids[0])
-    assigned = assign_clusters(df, centroids, vec_col)
-    for _ in range(iterations):
-        by_cluster = _centroids_of(assigned, vec_col, dim)
-        centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
-        assigned = assign_clusters(df, centroids, vec_col)
-    return assigned.select(id_col, "cluster")
+    """Lloyd's algorithm, fixed iteration count; returns (id, cluster)."""
+    assigned, _ = kmeans_fit(df, k, iterations, id_col, vec_col)
+    return assigned

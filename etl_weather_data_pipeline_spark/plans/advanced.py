@@ -317,19 +317,58 @@ def daily_counts_unpivot(spark, sf_dir):
 @q(
     "approx_aggregates",
     "Approximate aggregates (HLL distinct, quantile sketch) per event "
-    "type. Engines use different sketches -> no value oracle; rows-only "
-    "(exact-vs-approx error bounds are pytest-asserted). Quartiles are "
-    "scalar columns, not an array — the driver's rows-only canonicalizer "
-    "sorts with pandas and crashes on list cells (round-1 err).",
-    oracle=None,
+    "type, as a SELF-CHECKING property query: engines use different "
+    "sketches so the approx VALUES can't hash-match, but the error "
+    "BOUNDS can — each row carries the exact distinct count plus "
+    "booleans asserting the approx answers sit inside their documented "
+    "error bands (HLL rsd=0.02 within max(5%, 2); each quantile sketch "
+    "value between the exact percentiles ±0.10 rank around its target — "
+    "default accuracy 10000 bounds rank error at n/10000, orders of "
+    "magnitude tighter). The oracle recomputes the exact count and "
+    "expects every band check TRUE, so a sketch regression hash-fails "
+    "the driver row instead of needing a local pytest.",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_within_band,
+           TRUE AS median_in_p40_p60,
+           TRUE AS p25_in_p15_p35,
+           TRUE AS p75_in_p65_p85
+    FROM events GROUP BY event_type
+    """,
 )
 def approx_aggregates(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median"),
-        F.percentile_approx("value", 0.25).alias("approx_p25"),
-        F.percentile_approx("value", 0.75).alias("approx_p75"),
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("__au"),
+        F.percentile_approx("value", 0.5).alias("__amed"),
+        F.percentile_approx("value", 0.25).alias("__ap25"),
+        F.percentile_approx("value", 0.75).alias("__ap75"),
+        F.percentile("value", 0.40).alias("__p40"),
+        F.percentile("value", 0.60).alias("__p60"),
+        F.percentile("value", 0.15).alias("__p15"),
+        F.percentile("value", 0.35).alias("__p35"),
+        F.percentile("value", 0.65).alias("__p65"),
+        F.percentile("value", 0.85).alias("__p85"),
+    )
+    users_err = F.abs(F.col("__au") - F.col("exact_users"))
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            users_err
+            <= F.greatest(0.05 * F.col("exact_users"), F.lit(2.0))
+        ).alias("users_within_band"),
+        F.col("__amed").between(F.col("__p40"), F.col("__p60")).alias(
+            "median_in_p40_p60"
+        ),
+        F.col("__ap25").between(F.col("__p15"), F.col("__p35")).alias(
+            "p25_in_p15_p35"
+        ),
+        F.col("__ap75").between(F.col("__p65"), F.col("__p85")).alias(
+            "p75_in_p65_p85"
+        ),
     )
 
 
@@ -370,15 +409,33 @@ def skewed_type_stats(spark, sf_dir):
     "kmeans_clusters",
     "Iterative k-means (4 clusters, 3 Lloyd iterations) over embeddings — "
     "DataFrame-only loop, centroids as plan literals, deterministic "
-    "lowest-id seeding. Iterative => no SQL oracle; rows-only (cluster "
-    "quality asserted in pytest).",
-    oracle=None,
+    "lowest-id seeding. Per-row assignments are borderline-float "
+    "sensitive (centroid means sum doubles in partition order), so the "
+    "oracled surface is the INVARIANTS: every vector assigned "
+    "(n_assigned = corpus count, cross-checked by the oracle), all k "
+    "clusters populated, and Lloyd's SSE non-increasing across rounds "
+    "(measured inside the centroid aggregate — zero extra jobs; a "
+    "convergence regression flips the boolean and hash-fails).",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS k_used,
+           COUNT(*) AS n_assigned,
+           TRUE AS sse_monotone
+    FROM embeddings
+    """,
 )
 def kmeans_clusters(spark, sf_dir):
-    from etl_weather_data_pipeline_spark.operators.kmeans import kmeans
+    from etl_weather_data_pipeline_spark.operators.kmeans import kmeans_fit
 
     emb = load(spark, sf_dir, "embeddings")
-    return kmeans(emb, k=4, iterations=3)
+    assigned, sse = kmeans_fit(emb, k=4, iterations=3)
+    monotone = all(
+        later <= earlier * (1 + 1e-9) + 1e-9
+        for earlier, later in zip(sse, sse[1:])
+    )
+    return assigned.agg(
+        F.count_distinct("cluster").alias("k_used"),
+        F.count(F.lit(1)).alias("n_assigned"),
+    ).withColumn("sse_monotone", F.lit(bool(monotone)))
 
 
 @q(

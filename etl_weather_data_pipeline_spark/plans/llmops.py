@@ -863,19 +863,49 @@ def ann_multi_query_topk(spark, sf_dir):
 
 @q(
     "ann_ivf_topk",
-    "IVF-style ANN: probe the 3 label cells nearest the query centroid, "
-    "brute-force inside. No SQL oracle (two-phase probe selection) — "
-    "rows-only check; correctness vs brute force is pytest-asserted.",
-    oracle=None,
+    "IVF-style ANN as a SELF-CHECKING recall query: probe label cells "
+    "nearest the query centroid, brute-force inside, then join the IVF "
+    "top-10 against the exact brute-force top-10 IN-QUERY and emit the "
+    "IVF invariants as booleans — recall@10 clears a conservative "
+    "tripwire floor (0.3: the synthetic labels aren't cosine-clustered, "
+    "so absolute recall at n_probe=3/10 is data-dependent; measured "
+    "0.5/0.5/0.3 at the three SFs), and recall is MONOTONE in n_probe "
+    "(the n_probe=5 candidate set is a superset of n_probe=3's — "
+    "provable, and anything displacing a true top-10 hit is itself a "
+    "true top-10 hit; measured 0.9 at the gate SF). All inputs are "
+    "deterministic (dround6 cosine, vec_id tie-break), so the booleans "
+    "are stable and a probe/recall regression hash-fails the driver "
+    "row. The two-phase probe selection can't be one SQL statement, "
+    "hence the property oracle. Centroids are computed ONCE and shared "
+    "by both probes (cell_centroids amortization API).",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS k,
+           TRUE AS recall_floor_ok,
+           TRUE AS probe_recall_monotone
+    """,
 )
 def ann_ivf_topk(spark, sf_dir):
-    from etl_weather_data_pipeline_spark.operators.similarity import ivf_topk
+    from etl_weather_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        cell_centroids,
+        ivf_topk,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(
         F.explode("embedding")
     ).collect()]
-    return ivf_topk(emb, qv, k=10, n_probe=3)
+    cents = cell_centroids(emb)
+    ivf3 = ivf_topk(emb, qv, k=10, n_probe=3, centroids=cents).select("vec_id")
+    ivf5 = ivf_topk(emb, qv, k=10, n_probe=5, centroids=cents).select("vec_id")
+    exact = brute_force_topk(emb, qv, k=10).select("vec_id")
+    h3 = ivf3.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("__h3"))
+    h5 = ivf5.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("__h5"))
+    return h3.crossJoin(h5).select(
+        F.lit(10).cast("long").alias("k"),
+        (F.col("__h3") >= F.lit(3)).alias("recall_floor_ok"),
+        (F.col("__h5") >= F.col("__h3")).alias("probe_recall_monotone"),
+    )
 
 
 # ---------------------------------------------------------------------------

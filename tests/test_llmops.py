@@ -103,30 +103,32 @@ def test_frame_sample_fanout(spark):
 
 
 def test_approx_aggregates_error_bounds(spark):
-    """approx_count_distinct / percentile_approx must be within documented
-    error of exact values (rows-only in the driver, bounded here)."""
+    """The oracled property query must report every sketch inside its
+    error band, and its exact_users column must match an independently
+    computed exact count (so the booleans can't drift green while the
+    underlying aggregate rots)."""
     from etl_weather_data_pipeline_spark.plans.catalog import build_registry
 
     reg = build_registry()
-    approx = {
+    rows = {
         r["event_type"]: r
         for r in reg["approx_aggregates"].spark(spark, SF_SMOKE).collect()
     }
     ev = load(spark, SF_SMOKE, "events")
     exact = {
-        r["event_type"]: r
+        r["event_type"]: r["users"]
         for r in ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.median("value").alias("med"),
-        )
+        .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
-    for et, e in exact.items():
-        a = approx[et]
-        assert abs(a["approx_users"] - e["users"]) <= max(0.05 * e["users"], 2)
-        assert abs(a["approx_median"] - e["med"]) <= 0.2 * max(abs(e["med"]), 1)
-        assert a["approx_p25"] <= a["approx_median"] <= a["approx_p75"]
+    assert set(rows) == set(exact)
+    for et, users in exact.items():
+        r = rows[et]
+        assert r["exact_users"] == users
+        assert r["users_within_band"], (et, r)
+        assert r["median_in_p40_p60"], (et, r)
+        assert r["p25_in_p15_p35"], (et, r)
+        assert r["p75_in_p65_p85"], (et, r)
 
 
 def test_kmeans_improves_over_iterations(spark):
