@@ -3,11 +3,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "queries": {"<name>": sec, ...}, "sf": <sf>, "runs_per_query": N}
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver-side collect cost). Timings are per-query wall clock, excluding
-session startup.
+driver-side collect cost). Per-query numbers are the MIN of
+$SPARK_GRAFT_RUNS (default 3) back-to-back runs after a JVM warmup pass:
+a 3-run variance study on identical code measured 47% peak-to-trough
+host noise on single-shot timings (README "Benchmark comparability
+across rounds"), so cross-round totals are only signal on minima.
 """
 
 from __future__ import annotations
@@ -93,12 +96,22 @@ def main() -> None:
             ).save()
         release_curation_cache()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         q = registry[name]
-        t0 = time.monotonic()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            # Queries that persist an intermediate (winnow overlap, the
+            # curation flagship) release + rebuild their cache on every
+            # invocation, so each run re-computes from the scan — min-of-N
+            # measures cold compute, not cache hits.
+            t0 = time.monotonic()
+            q.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
     release_curation_cache()
 
     total = round(sum(timings.values()), 3)
@@ -110,6 +123,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
             }
         )
     )
