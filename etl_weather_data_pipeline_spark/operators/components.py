@@ -12,8 +12,9 @@ driver-side graph. Iterations are bounded by the component DIAMETER, not
 the graph size; near-dup clusters are shallow (diameter a handful), so a
 few rounds converge. Lineage is cut with localCheckpoint per round —
 without it the plan doubles every iteration and the optimizer re-walks an
-exponentially growing tree (a real cluster job would use reliable
-checkpointing for executor-loss safety).
+exponentially growing tree. Pass ``checkpoint_dir=`` to switch the cuts
+to reliable checkpoints (durable storage, survives executor loss) for
+real-cluster runs.
 
 Convergence is detected with a changed-label count, one tiny action per
 round, same pattern as operators/kmeans.py.
@@ -38,6 +39,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
@@ -49,12 +51,28 @@ def connected_components(
     labels still moving; a :class:`ComponentsNotConverged` warning is
     emitted so the (now possibly split) clusters are diagnosable rather
     than a silent wrong answer.
+
+    ``checkpoint_dir``: when given, per-round lineage cuts use RELIABLE
+    checkpoints written under this directory (``setCheckpointDir`` +
+    ``checkpoint(eager=False)``) instead of executor-local ones. Local
+    checkpoints are the fast default for a healthy cluster, but their
+    blocks live in executor storage — losing an executor mid-job loses
+    rounds of progress. On a real multi-tenant cluster pass a durable
+    path (HDFS/S3); this is the 100 TB-safety knob the module docstring
+    promises.
     """
-    und = (
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=False)
+        return df.checkpoint(eager=False)
+
+    und = _cut(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     labels = (
         und.select(F.col("a").alias("id"))
@@ -75,11 +93,10 @@ def connected_components(
             F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
         )
         own = labels.select("id", "label", F.col("label").alias("old"))
-        new = (
+        new = _cut(
             msgs.union(own)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-            .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("label") != F.col("old")).count()
         labels = new.select("id", "label")

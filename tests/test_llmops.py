@@ -262,6 +262,34 @@ def test_connected_components_synthetic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= must route lineage cuts to RELIABLE checkpoints:
+    identical results, and RDD checkpoint data actually written under the
+    given directory (the executor-loss-safety knob for real clusters)."""
+    from etl_weather_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    import os
+
+    ckpt_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert ckpt_files, "no reliable checkpoint data written"
+
+
 def test_deterministic_sample_stability(spark):
     """Hash-based sampling: same rows across repartitionings; fraction in a
     sane band; split assignment is a partition of the corpus."""
@@ -740,3 +768,67 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert truth_pairs, "truth set empty — testdata changed?"
     recall = len(truth_pairs & cand) / len(truth_pairs)
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 floor"
+
+
+def test_winnow_containment_recall_vs_exact_grams(spark):
+    """Containment-recall evidence for the winnow stack (mirrors the LSH
+    recall test above): at sf0.01 the exact all-pairs char-8-gram
+    containment truth is feasible (500 docs), so measure
+    doc_winnow_overlap_pairs recall with the PIPELINE's own parameters
+    (k=8, w=4, df<=50 stop-fingerprints, shared>=8).
+
+    Truth identity uses the pipeline's own Rabin-Karp gram hashes (so
+    gram/normalization definitions match exactly; hash collisions are
+    negligible at this modulus), but NO winnowing and NO df/shared
+    thresholds — containment = |grams_A ∩ grams_B| / min(|A|,|B|).
+    Winnowing guarantees shared substrings of >= k+w-1 chars share a
+    fingerprint, so real containment >= 0.5 survives the sketch: measured
+    recall is 1.0 on a 25-pair truth set; floor 0.9 absorbs testdata
+    regeneration."""
+    from etl_weather_data_pipeline_spark.functions import text as TX
+    from etl_weather_data_pipeline_spark.plans import llmops
+    from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+
+    docs = load(spark, SF_ORACLE, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    chars = docs.select("doc_id", TX.chars_of(norm).alias("__ch"))
+    codes = chars.select(
+        "doc_id", TX.char_codes_of(F.col("__ch")).alias("__c")
+    )
+    hashes = codes.select(
+        "doc_id", TX.rolling_kgram_hashes_of(F.col("__c"), 8).alias("__h")
+    )
+    g = (
+        hashes.select("doc_id", F.explode_outer("__h").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
+        .withColumn("cont", F.col("i") / F.least("na", "nb"))
+        .filter(F.col("cont") >= 0.5)
+    )
+    truth_pairs = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    reg = build_registry()
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in reg["doc_winnow_overlap_pairs"].spark(spark, SF_ORACLE).collect()
+    }
+    llmops.release_curation_cache()
+    assert truth_pairs, "truth set empty — testdata changed?"
+    recall = len(truth_pairs & cand) / len(truth_pairs)
+    assert recall >= 0.9, f"winnow containment recall {recall:.3f} < 0.9"
