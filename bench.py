@@ -55,6 +55,8 @@ HEADLINE = [
     "source_token_kl",
     "embedding_dim_stats",
     "doc_ngram_novelty",
+    # round-5: DSIR importance weights (persisted vocab LM + scoring join)
+    "dsir_importance_weights",
     # flagships: full weather transform pipeline + corpus curation chain
     "weather_pipeline_e2e",
     "corpus_curation_pipeline",

@@ -2422,3 +2422,169 @@ def doc_ngram_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: DSIR importance weights, cross-source near-dup matrix
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+
+
+@q(
+    "dsir_importance_weights",
+    "DSIR-style data selection score (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): per-doc log "
+    "importance weight = sum over tokens of ln p_target(t) - "
+    "ln p_source(t), with target = the English sub-corpus under a "
+    "Laplace-smoothed unigram LM (p_tgt = (cnt_tgt+1)/(N_tgt+V)) and "
+    "source = the full corpus MLE. High-weight docs resemble the target "
+    "domain; resampling by these weights is the standard pretraining "
+    "data-mixture tool. Plan: ONE exploded token pass builds a vocab "
+    "table carrying BOTH counts (the target count rides along as a "
+    "conditional sum), persisted so the scoring join and the "
+    "vocab-size aggregate read the same materialization; per-source "
+    "totals come from a narrow no-explode scan and broadcast. "
+    "Determinism: each ln decimal-rounded at 8 dp, per-doc terms sum "
+    "as exact decimals (unigram-logprob / source_token_kl precedent).",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({O_TOKS}) AS token FROM documents),
+    vocab AS (
+      SELECT token, COUNT(*) AS cnt_src,
+             CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1
+                           ELSE 0 END) AS BIGINT) AS cnt_tgt
+      FROM tok GROUP BY token),
+    n AS (
+      SELECT CAST(SUM(len({O_TOKS})) AS BIGINT) AS n_src,
+             CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                           THEN len({O_TOKS}) ELSE 0 END) AS BIGINT)
+               AS n_tgt
+      FROM documents),
+    v AS (SELECT COUNT(*) AS vsize FROM vocab),
+    terms AS (
+      SELECT t.doc_id,
+             {o_dround("ln(vb.cnt_tgt + 1.0)", 8)}
+           - {o_dround(
+               "ln(CAST((SELECT n_tgt FROM n) + (SELECT vsize FROM v)"
+               " AS DOUBLE))", 8)}
+           - {o_dround("ln(vb.cnt_src)", 8)}
+           + {o_dround("ln((SELECT n_src FROM n))", 8)} AS w
+      FROM tok t JOIN vocab vb USING (token))
+    SELECT doc_id,
+           {o_dround(
+               "CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE)", 6)}
+             AS log_importance,
+           COUNT(*) AS n_tokens
+    FROM terms GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    # The vocab (unigram LM) table is the reusable artifact of this
+    # operator — two consumers (the scoring join and the vocab-size
+    # aggregate) must read ONE materialization or the exploded token
+    # stream is re-aggregated per consumer. Same bounded cache registry
+    # as the curation flagship / winnow sketch.
+    release_curation_cache()
+    vocab = (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_src"),
+            F.sum(
+                F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+            ).cast("long").alias("cnt_tgt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(vocab)
+    vs = vocab.agg(F.count(F.lit(1)).cast("long").alias("vsize"))
+    ntot = docs.agg(
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias("n_src"),
+        F.sum(
+            F.when(
+                F.col("lang") == _DSIR_TARGET_LANG,
+                F.size(TX.tokens(F.col("text"))),
+            ).otherwise(0)
+        ).cast("long").alias("n_tgt"),
+    )
+    w = (
+        dround(F.log(F.col("cnt_tgt").cast("double") + 1.0), 8)
+        - dround(F.log((F.col("n_tgt") + F.col("vsize")).cast("double")), 8)
+        - dround(F.log(F.col("cnt_src").cast("double")), 8)
+        + dround(F.log(F.col("n_src").cast("double")), 8)
+    )
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(vs))
+        .select("doc_id", w.alias("w"))
+    )
+    return scored.groupBy("doc_id").agg(
+        dround(
+            F.sum(F.col("w").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("log_importance"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+@q(
+    "neardup_cross_source_matrix",
+    "Cross-source near-duplicate leakage matrix: LSH candidates -> "
+    "Jaccard >= 0.5 verify -> pair counts per unordered source pair. "
+    "The dedup-across-snapshots / train-test-leakage diagnostic a corpus "
+    "assembler runs before mixing sources: off-diagonal mass means the "
+    "same content arrives through multiple feeds. Scale shape: verified "
+    "pairs are bounded by LSH band collisions (never all-pairs), and the "
+    "source lookups are two equi-joins against the narrow "
+    "(doc_id, source) projection of the corpus.",
+    oracle=f"""
+    WITH {_o_lsh_ctes(8, 4)},
+    t AS (SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM documents),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN t l ON l.doc_id = c.id_a
+                  JOIN t r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    srcs AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM verified v JOIN srcs sa ON sa.doc_id = v.id_a
+                    JOIN srcs sb ON sb.doc_id = v.id_b
+    GROUP BY 1, 2
+    """,
+)
+def neardup_cross_source_matrix(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    verified = jaccard_verify(docs, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    srcs = docs.select("doc_id", "source")
+    j = (
+        verified.join(
+            srcs.withColumnsRenamed({"doc_id": "id_a", "source": "__sa"}),
+            "id_a",
+        ).join(
+            srcs.withColumnsRenamed({"doc_id": "id_b", "source": "__sb"}),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

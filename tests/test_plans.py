@@ -357,6 +357,31 @@ def test_round4_additions_plan_shapes(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
 
+def test_round5_additions_plan_shapes(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # DSIR: the vocab (unigram LM) table is persisted — the scoring join
+    # and the vocab-size aggregate must read the ONE cached relation, and
+    # the exploded token stream appears exactly twice (once inside the
+    # cached vocab plan, once live for scoring); totals broadcast.
+    p = plan_of(spark, "dsir_importance_weights")
+    assert n_nodes(p, "InMemoryTableScan") >= 1, p
+    assert n_nodes(p, "Generate") <= 2, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    release_curation_cache()
+
+    # cross-source matrix: LSH-bounded verified pairs + two equi-joins on
+    # the narrow (doc_id, source) projection — never a cartesian, and the
+    # source lookup scans must not read text
+    p = plan_of(spark, "neardup_cross_source_matrix")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
 def test_merge_state_probe_is_anti_join(spark):
     # the merge sink's store probe must stay a left-anti equi-join on the
     # fingerprint projection (column-pruned store scan, no cartesian)
