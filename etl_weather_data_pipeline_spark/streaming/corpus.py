@@ -122,14 +122,16 @@ def merge_batch_into_corpus(
     from pyspark.sql.window import Window
 
     spark = batch_df.sparkSession
-    batch = batch_df.withColumn(
+    # NULL text is not ingestible content — drop it BEFORE fingerprinting,
+    # and do it for every hash family: md5(NULL) is NULL, which can never
+    # match the left-anti store probe (NULL = NULL is not true), so every
+    # at-least-once replay would re-append the row and silently break the
+    # idempotency guarantee above; xxhash64(NULL) is a non-NULL constant,
+    # which would instead ingest one junk row. Filtering the text column
+    # gives both families identical, sane semantics.
+    batch = batch_df.filter(F.col(text_col).isNotNull()).withColumn(
         "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
     )
-    # NULL fingerprints (NULL text) can never match the left-anti store
-    # probe — NULL = NULL is not true — so every at-least-once replay
-    # would re-append them, silently breaking the idempotency guarantee
-    # above. Unfingerprintable rows are not ingestible: drop them here.
-    batch = batch.filter(F.col("fingerprint").isNotNull())
     rn = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     )

@@ -374,8 +374,7 @@ def test_round5_additions_plan_shapes(spark):
     release_curation_cache()
 
     # cross-source matrix: LSH-bounded verified pairs + two equi-joins on
-    # the narrow (doc_id, source) projection — never a cartesian, and the
-    # source lookup scans must not read text
+    # the narrow (doc_id, source) projection — never a cartesian
     p = plan_of(spark, "neardup_cross_source_matrix")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p

@@ -418,3 +418,24 @@ def test_corpus_merge_sink_full_history_dedup(spark, tmp_path):
     ).start()
     q.processAllAvailable(); q.stop()
     assert spark.read.parquet(store).count() == 7
+
+
+def test_merge_batch_drops_null_fingerprints(spark, tmp_path):
+    """NULL-text rows can't be fingerprinted, and a NULL key never matches
+    the left-anti store probe — without the guard every at-least-once
+    replay would re-append them. The merge must drop them and stay
+    idempotent (the round-5 ADVICE hazard, exercised directly)."""
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_into_corpus,
+    )
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(1, "real body"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    assert merge_batch_into_corpus(batch, store) == 1
+    assert merge_batch_into_corpus(batch, store) == 0, (
+        "replay re-appended NULL-fingerprint rows"
+    )
+    assert spark.read.parquet(store).count() == 1
