@@ -56,7 +56,9 @@ HEADLINE = [
     "embedding_dim_stats",
     "doc_ngram_novelty",
     # round-5: DSIR importance weights (persisted vocab LM + scoring join)
+    # + exact passage pairs (gram-position self-join, gaps-and-islands)
     "dsir_importance_weights",
+    "doc_exact_passage_pairs",
     # flagships: full weather transform pipeline + corpus curation chain
     "weather_pipeline_e2e",
     "corpus_curation_pipeline",

@@ -149,8 +149,8 @@ def o_dround(x: str, n: int) -> str:
 # suspected wrongness (weather/events first: they sit directly on the
 # regenerated timestamps). Deferred to r6 (banked + mirror-verified,
 # lowest marginal evidence): doc_fingerprints, doc_token_counts,
-# doc_incremental_dedup, doc_unigram_logprob, and the two remaining
-# rows-only entries doc_minhash_lsh_pairs_xxh and
+# doc_incremental_dedup, doc_unigram_logprob, corpus_dataset_card, and
+# the two remaining rows-only entries doc_minhash_lsh_pairs_xxh and
 # multimodal_decode_features. The 48 r4-greened queries rotate out.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed this round — must re-green first:
@@ -162,6 +162,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # New this round (never driver-checked):
     "dsir_importance_weights",
     "neardup_cross_source_matrix",
+    "doc_exact_passage_pairs",
     # Flagship canary (deepest chain; caught a real bug class each round):
     "corpus_curation_pipeline",
     # r3-vintage refresh, timestamp-sensitive families first:
@@ -207,7 +208,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_temperature_sample",
     "doc_gopher_quality_flags",
     "embedding_semdedup_keep",
-    "corpus_dataset_card",
 )
 
 

@@ -520,10 +520,12 @@ def doc_token_counts(spark, sf_dir):
 _WINNOW_K, _WINNOW_W = 8, 4
 
 
-def _o_winnow(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+def _o_rolling(k: int = _WINNOW_K) -> str:
+    """CTE chain ``c, h`` ending in per-doc Rabin-Karp k-gram hash arrays
+    — shared by the winnow oracle and the exact-passage oracle."""
     base, mod = TX.ROLL_BASE, TX.ROLL_MOD
     return f"""
-    WITH c AS (
+    c AS (
       SELECT doc_id,
              CASE WHEN length(norm) > 0 THEN
                 list_transform(string_split(norm, ''), ch -> unicode(ch))
@@ -542,7 +544,12 @@ def _o_winnow(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
                 [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
                              (a, x) -> (a * {base} + x) % {mod})]
              ELSE CAST([] AS BIGINT[]) END AS hashes
-      FROM c),
+      FROM c)"""
+
+
+def _o_winnow(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    return f"""
+    WITH {_o_rolling(k)},
     fp AS (
       SELECT doc_id,
              CASE WHEN len(hashes) > 0 THEN
@@ -2587,4 +2594,128 @@ def neardup_cross_source_matrix(spark, sf_dir):
         )
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_PASSAGE_MAX_OCC = 50
+_PASSAGE_MIN_RUN = 16
+
+
+@q(
+    "doc_exact_passage_pairs",
+    "Exact shared-passage pairs (the suffix-array exact-substring dedup "
+    "of Lee et al. 2022 'Deduplicating Training Data Makes Language "
+    "Models Better', re-expressed relationally): two docs share a "
+    "verbatim run of >= 16 consecutive 8-char-gram hashes = an exact "
+    "match of >= 23 normalized chars. Positions matching on the same "
+    "alignment diagonal (pos_a - pos_b) are grouped into consecutive "
+    "runs with the gaps-and-islands trick (pos - row_number per "
+    "diagonal), so run detection is one window + one aggregate — no "
+    "per-row iteration. Grams occurring > 50 times are dropped first "
+    "(boilerplate bound, keeps self-join buckets bounded); the "
+    "(doc_id, pos, gram) table is persisted so the Rabin-Karp chain "
+    "evaluates once for both join sides. At 100 TB run this as the "
+    "verify stage AFTER winnow blocking (candidate pairs only) — "
+    "standalone it joins every gram position, which is the honest cost "
+    "of exact-match semantics. Complements doc_winnow_overlap_pairs "
+    "(sketch containment) with exact passage extent per pair.",
+    oracle=f"""
+    WITH {_o_rolling(_WINNOW_K)},
+    g0 AS (
+      SELECT doc_id, t.g['p'] AS pos, t.g['h'] AS gh
+      FROM h, unnest(list_transform(range(1, len(hashes) + 1),
+               i -> {{'p': i, 'h': hashes[i]}})) AS t(g)),
+    gd AS (
+      SELECT doc_id, pos, gh,
+             COUNT(*) OVER (PARTITION BY gh) AS occ
+      FROM g0),
+    kept AS (SELECT doc_id, pos, gh FROM gd
+             WHERE occ BETWEEN 2 AND {_PASSAGE_MAX_OCC}),
+    m AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.pos AS pa, l.pos - r.pos AS diag
+      FROM kept l JOIN kept r
+        ON l.gh = r.gh AND l.doc_id < r.doc_id),
+    runs AS (
+      SELECT id_a, id_b, diag,
+             pa - row_number() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
+      FROM m),
+    r2 AS (
+      SELECT id_a, id_b, COUNT(*) AS run_len
+      FROM runs GROUP BY id_a, id_b, diag, island)
+    SELECT id_a, id_b,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_grams,
+           CAST(MAX(run_len) + {_WINNOW_K - 1} AS BIGINT) AS max_match_chars
+    FROM r2 GROUP BY id_a, id_b
+    HAVING MAX(run_len) >= {_PASSAGE_MIN_RUN}
+    """,
+)
+def doc_exact_passage_pairs(spark, sf_dir):
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    chars = docs.select("doc_id", TX.chars_of(norm).alias("__ch"))
+    codes = chars.select(
+        "doc_id", TX.char_codes_of(F.col("__ch")).alias("__codes")
+    )
+    hashes = codes.select(
+        "doc_id",
+        TX.rolling_kgram_hashes_of(F.col("__codes"), _WINNOW_K).alias("__h"),
+    )
+    # posexplode_OUTER + isNotNull: the plain variant makes the optimizer
+    # infer a size()>0 filter that re-evaluates the whole rolling-hash
+    # chain per row (doc_winnow_fingerprints precedent).
+    g0 = hashes.select(
+        "doc_id", F.posexplode_outer(F.col("__h")).alias("pos", "gh")
+    ).filter(F.col("gh").isNotNull())
+    gd = g0.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    release_curation_cache()
+    # occ >= 2: a gram seen once in the corpus can never produce a pair,
+    # and singletons are the bulk of the table — dropping them before the
+    # persist shrinks the cache and both join inputs without changing the
+    # result (within-doc repeats with occ=2 self-pair to nothing via the
+    # doc_id inequality).
+    kept = (
+        gd.filter(
+            (F.col("occ") >= 2) & (F.col("occ") <= _PASSAGE_MAX_OCC)
+        )
+        .drop("occ")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(kept)
+    l, r = kept.alias("l"), kept.alias("r")
+    m = l.join(
+        r,
+        (F.col("l.gh") == F.col("r.gh"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("id_a"),
+        F.col("r.doc_id").alias("id_b"),
+        F.col("l.pos").alias("pa"),
+        (F.col("l.pos") - F.col("r.pos")).alias("diag"),
+    )
+    island = F.col("pa") - F.row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    )
+    runs = m.withColumn("island", island)
+    r2 = runs.groupBy("id_a", "id_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        r2.groupBy("id_a", "id_b")
+        .agg(F.max("run_len").alias("max_run_grams"))
+        .filter(F.col("max_run_grams") >= _PASSAGE_MIN_RUN)
+        .select(
+            "id_a",
+            "id_b",
+            "max_run_grams",
+            (F.col("max_run_grams") + F.lit(_WINNOW_K - 1))
+            .cast("long")
+            .alias("max_match_chars"),
+        )
     )

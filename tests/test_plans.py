@@ -380,6 +380,19 @@ def test_round5_additions_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 2
 
+    # exact passage pairs: the (doc_id, pos, gram) table is persisted —
+    # one parquet scan / one Generate for the whole Rabin-Karp chain,
+    # both self-join sides on the cached relation; gaps-and-islands is
+    # windows + hash aggregates, never a cartesian
+    p = plan_of(spark, "doc_exact_passage_pairs")
+    assert n_nodes(p, "InMemoryTableScan") >= 1, p
+    assert n_nodes(p, "Scan parquet") == 1, p
+    assert n_nodes(p, "Generate") == 1, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert n_nodes(p, "Window") >= 2
+    release_curation_cache()
+
 
 def test_merge_state_probe_is_anti_join(spark):
     # the merge sink's store probe must stay a left-anti equi-join on the
