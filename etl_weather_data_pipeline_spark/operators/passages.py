@@ -1,0 +1,149 @@
+"""Exact shared-passage detection over gram-position tables.
+
+Relational form of exact-substring dedup (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better"): two
+documents share a verbatim passage of >= k + R - 1 normalized chars iff
+their Rabin-Karp k-gram hash sequences match at R consecutive positions
+on one alignment diagonal (pos_a - pos_b). Run detection is the
+gaps-and-islands trick — pos minus row_number per (pair, diagonal) — so
+the whole operator is windows + hash aggregates, no per-row iteration.
+
+Scale composition: standalone, the pair stage joins every repeated gram
+position (the honest cost of exact-match semantics — bounded by the
+``max_occ`` stop-gram filter, but still the full gram table). At 100 TB
+pass ``candidates=`` (e.g. `doc_winnow_overlap_pairs`' sketch-blocked
+output): the gram table is then routed THROUGH the candidate pair list,
+so the expensive gram-gram match runs only inside candidate pairs and
+the shuffle scales with |candidates| x doc-gram-length instead of the
+whole corpus' gram self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_weather_data_pipeline_spark.functions import text as TX
+
+
+def gram_positions(
+    docs: DataFrame,
+    k: int = 8,
+    min_occ: int = 2,
+    max_occ: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, gh) Rabin-Karp k-gram hash positions.
+
+    Grams occurring fewer than ``min_occ`` times corpus-wide can never
+    produce a pair and are dropped (the bulk of the table); grams above
+    ``max_occ`` are boilerplate and would blow up the pair join's
+    per-key buckets. Each chain stage projects a bound column (HOF
+    re-eval trap — a nested expression re-evaluates the whole chain per
+    element; measured 100x on this exact chain)."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    chars = docs.select(F.col(id_col).alias("doc_id"), TX.chars_of(norm).alias("__ch"))
+    codes = chars.select(
+        "doc_id", TX.char_codes_of(F.col("__ch")).alias("__codes")
+    )
+    hashes = codes.select(
+        "doc_id",
+        TX.rolling_kgram_hashes_of(F.col("__codes"), k).alias("__h"),
+    )
+    # posexplode_OUTER + isNotNull: the plain variant makes the optimizer
+    # infer a size()>0 filter that re-evaluates the rolling-hash chain
+    # per row (doc_winnow_fingerprints precedent).
+    g0 = hashes.select(
+        "doc_id", F.posexplode_outer(F.col("__h")).alias("pos", "gh")
+    ).filter(F.col("gh").isNotNull())
+    occ = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    return (
+        g0.withColumn("__occ", occ)
+        .filter((F.col("__occ") >= min_occ) & (F.col("__occ") <= max_occ))
+        .drop("__occ")
+    )
+
+
+def exact_passage_pairs(
+    grams: DataFrame,
+    min_run: int = 16,
+    k: int = 8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs sharing >= ``min_run`` consecutive matching gram hashes.
+
+    ``grams``: output of :func:`gram_positions` — persist it when it
+    feeds both sides of the standalone self-join (the query wrapper in
+    `plans/llmops.py` does; an unpersisted frame re-evaluates the whole
+    Rabin-Karp chain per join side).
+
+    ``candidates``: optional (id_a, id_b) pair list (id_a < id_b). When
+    given, gram matching runs only INSIDE these pairs: grams join onto
+    the candidate list by doc id first, so no gram self-join over the
+    corpus ever happens — the 100 TB path behind sketch blocking.
+
+    Returns (id_a, id_b, max_run_grams, max_match_chars).
+    """
+    from pyspark.sql.window import Window
+
+    if candidates is None:
+        l, r = grams.alias("l"), grams.alias("r")
+        m = l.join(
+            r,
+            (F.col("l.gh") == F.col("r.gh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        ).select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.pos").alias("l_pos"),
+            F.col("r.pos").alias("r_pos"),
+        )
+    else:
+        # Route grams THROUGH the candidate list: fan candidate pairs out
+        # by the left doc's grams (bounded by per-doc gram count), then
+        # equi-join the right doc's grams on (id_b, gh) — the gram hash
+        # stays IN the join key, so per-pair matching is a hash lookup,
+        # never a per-pair gram cross product.
+        cand = candidates.select("id_a", "id_b")
+        l = grams.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("pos").alias("l_pos"),
+            "gh",
+        )
+        r = grams.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("pos").alias("r_pos"),
+            "gh",
+        )
+        m = cand.join(l, "id_a").join(r, ["id_b", "gh"]).select(
+            "id_a", "id_b", "l_pos", "r_pos"
+        )
+    m = m.select(
+        "id_a",
+        "id_b",
+        F.col("l_pos").alias("pa"),
+        (F.col("l_pos") - F.col("r_pos")).alias("diag"),
+    )
+    island = F.col("pa") - F.row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    )
+    runs = m.withColumn("island", island)
+    r2 = runs.groupBy("id_a", "id_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        r2.groupBy("id_a", "id_b")
+        .agg(F.max("run_len").alias("max_run_grams"))
+        .filter(F.col("max_run_grams") >= min_run)
+        .select(
+            "id_a",
+            "id_b",
+            "max_run_grams",
+            (F.col("max_run_grams") + F.lit(k - 1))
+            .cast("long")
+            .alias("max_match_chars"),
+        )
+    )

@@ -2653,69 +2653,21 @@ _PASSAGE_MIN_RUN = 16
 )
 def doc_exact_passage_pairs(spark, sf_dir):
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
+
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+        gram_positions,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
-    chars = docs.select("doc_id", TX.chars_of(norm).alias("__ch"))
-    codes = chars.select(
-        "doc_id", TX.char_codes_of(F.col("__ch")).alias("__codes")
-    )
-    hashes = codes.select(
-        "doc_id",
-        TX.rolling_kgram_hashes_of(F.col("__codes"), _WINNOW_K).alias("__h"),
-    )
-    # posexplode_OUTER + isNotNull: the plain variant makes the optimizer
-    # infer a size()>0 filter that re-evaluates the whole rolling-hash
-    # chain per row (doc_winnow_fingerprints precedent).
-    g0 = hashes.select(
-        "doc_id", F.posexplode_outer(F.col("__h")).alias("pos", "gh")
-    ).filter(F.col("gh").isNotNull())
-    gd = g0.withColumn(
-        "occ", F.count(F.lit(1)).over(Window.partitionBy("gh"))
-    )
-    release_curation_cache()
-    # occ >= 2: a gram seen once in the corpus can never produce a pair,
+    # min_occ=2: a gram seen once corpus-wide can never produce a pair,
     # and singletons are the bulk of the table — dropping them before the
     # persist shrinks the cache and both join inputs without changing the
-    # result (within-doc repeats with occ=2 self-pair to nothing via the
-    # doc_id inequality).
-    kept = (
-        gd.filter(
-            (F.col("occ") >= 2) & (F.col("occ") <= _PASSAGE_MAX_OCC)
-        )
-        .drop("occ")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # result. Persisted so the Rabin-Karp chain evaluates once for both
+    # self-join sides (bounded cache registry).
+    release_curation_cache()
+    kept = gram_positions(
+        docs, k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(kept)
-    l, r = kept.alias("l"), kept.alias("r")
-    m = l.join(
-        r,
-        (F.col("l.gh") == F.col("r.gh"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(
-        F.col("l.doc_id").alias("id_a"),
-        F.col("r.doc_id").alias("id_b"),
-        F.col("l.pos").alias("pa"),
-        (F.col("l.pos") - F.col("r.pos")).alias("diag"),
-    )
-    island = F.col("pa") - F.row_number().over(
-        Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    )
-    runs = m.withColumn("island", island)
-    r2 = runs.groupBy("id_a", "id_b", "diag", "island").agg(
-        F.count(F.lit(1)).alias("run_len")
-    )
-    return (
-        r2.groupBy("id_a", "id_b")
-        .agg(F.max("run_len").alias("max_run_grams"))
-        .filter(F.col("max_run_grams") >= _PASSAGE_MIN_RUN)
-        .select(
-            "id_a",
-            "id_b",
-            "max_run_grams",
-            (F.col("max_run_grams") + F.lit(_WINNOW_K - 1))
-            .cast("long")
-            .alias("max_match_chars"),
-        )
-    )
+    return exact_passage_pairs(kept, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K)

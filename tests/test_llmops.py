@@ -832,3 +832,41 @@ def test_winnow_containment_recall_vs_exact_grams(spark):
     assert truth_pairs, "truth set empty — testdata changed?"
     recall = len(truth_pairs & cand) / len(truth_pairs)
     assert recall >= 0.9, f"winnow containment recall {recall:.3f} < 0.9"
+
+
+def test_passage_pairs_candidate_path_equivalence(spark):
+    """The 100 TB composition path (exact_passage_pairs restricted to a
+    candidate pair list) must return EXACTLY the full self-join's result
+    rows for every pair in the candidate list — blocking changes cost,
+    never per-pair answers. Candidates here are the winnow overlap pairs
+    plus decoys that share nothing."""
+    from etl_weather_data_pipeline_spark.plans import llmops
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+        gram_positions,
+    )
+    from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+
+    docs = load(spark, SF_SMOKE, "documents")
+    grams = gram_positions(docs).persist()
+    full = {
+        (r["id_a"], r["id_b"]): (r["max_run_grams"], r["max_match_chars"])
+        for r in exact_passage_pairs(grams).collect()
+    }
+    assert full, "no passage pairs at smoke SF — testdata changed?"
+    reg = build_registry()
+    cand = (
+        reg["doc_winnow_overlap_pairs"]
+        .spark(spark, SF_SMOKE)
+        .select("id_a", "id_b")
+    )
+    llmops.release_curation_cache()
+    restricted = {
+        (r["id_a"], r["id_b"]): (r["max_run_grams"], r["max_match_chars"])
+        for r in exact_passage_pairs(grams, candidates=cand).collect()
+    }
+    grams.unpersist()
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    expected = {p: v for p, v in full.items() if p in cand_pairs}
+    assert expected, "winnow candidates cover no passage pairs?"
+    assert restricted == expected
