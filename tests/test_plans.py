@@ -379,6 +379,10 @@ def test_round5_additions_plan_shapes(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 2
+    # the source-lookup side must scan ONLY (doc_id, source) — the text
+    # column is read solely by the LSH/verify scans
+    schemas = [seg.split("\n")[0] for seg in p.split("ReadSchema: ")[1:]]
+    assert any("source" in s and "text" not in s for s in schemas), schemas
 
     # exact passage pairs: the (doc_id, pos, gram) table is persisted —
     # one parquet scan / one Generate for the whole Rabin-Karp chain,
