@@ -60,8 +60,10 @@ HEADLINE = [
     "dsir_importance_weights",
     "doc_exact_passage_pairs",
     # flagships: full weather transform pipeline + corpus curation chain
+    # + the three-stage dedup funnel (exact -> near-dup -> passage)
     "weather_pipeline_e2e",
     "corpus_curation_pipeline",
+    "corpus_dedup_funnel",
 ]
 
 

@@ -149,9 +149,10 @@ def o_dround(x: str, n: int) -> str:
 # suspected wrongness (weather/events first: they sit directly on the
 # regenerated timestamps). Deferred to r6 (banked + mirror-verified,
 # lowest marginal evidence): doc_fingerprints, doc_token_counts,
-# doc_incremental_dedup, doc_unigram_logprob, corpus_dataset_card, and
-# the two remaining rows-only entries doc_minhash_lsh_pairs_xxh and
-# multimodal_decode_features. The 48 r4-greened queries rotate out.
+# doc_incremental_dedup, doc_unigram_logprob, corpus_dataset_card,
+# embedding_semdedup_keep, and the two remaining rows-only entries
+# doc_minhash_lsh_pairs_xxh and multimodal_decode_features. The 48
+# r4-greened queries rotate out.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed this round — must re-green first:
     "doc_winnow_overlap_pairs",
@@ -163,6 +164,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "neardup_cross_source_matrix",
     "doc_exact_passage_pairs",
+    "corpus_dedup_funnel",
     # Flagship canary (deepest chain; caught a real bug class each round):
     "corpus_curation_pipeline",
     # r3-vintage refresh, timestamp-sensitive families first:
@@ -207,7 +209,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_sequence_pack",
     "corpus_temperature_sample",
     "doc_gopher_quality_flags",
-    "embedding_semdedup_keep",
 )
 
 

@@ -520,9 +520,10 @@ def doc_token_counts(spark, sf_dir):
 _WINNOW_K, _WINNOW_W = 8, 4
 
 
-def _o_rolling(k: int = _WINNOW_K) -> str:
+def _o_rolling(k: int = _WINNOW_K, table: str = "documents") -> str:
     """CTE chain ``c, h`` ending in per-doc Rabin-Karp k-gram hash arrays
-    — shared by the winnow oracle and the exact-passage oracle."""
+    — shared by the winnow, exact-passage, and dedup-funnel oracles.
+    ``table``: any relation with doc_id + text (a CTE name works)."""
     base, mod = TX.ROLL_BASE, TX.ROLL_MOD
     return f"""
     c AS (
@@ -532,7 +533,7 @@ def _o_rolling(k: int = _WINNOW_K) -> str:
              ELSE CAST([] AS INT[]) END AS codes
       FROM (SELECT doc_id,
                    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
-            FROM documents)),
+            FROM {table})),
     h AS (
       SELECT doc_id,
              CASE WHEN len(codes) >= {k} THEN
@@ -2601,26 +2602,13 @@ _PASSAGE_MAX_OCC = 50
 _PASSAGE_MIN_RUN = 16
 
 
-@q(
-    "doc_exact_passage_pairs",
-    "Exact shared-passage pairs (the suffix-array exact-substring dedup "
-    "of Lee et al. 2022 'Deduplicating Training Data Makes Language "
-    "Models Better', re-expressed relationally): two docs share a "
-    "verbatim run of >= 16 consecutive 8-char-gram hashes = an exact "
-    "match of >= 23 normalized chars. Positions matching on the same "
-    "alignment diagonal (pos_a - pos_b) are grouped into consecutive "
-    "runs with the gaps-and-islands trick (pos - row_number per "
-    "diagonal), so run detection is one window + one aggregate — no "
-    "per-row iteration. Grams occurring > 50 times are dropped first "
-    "(boilerplate bound, keeps self-join buckets bounded); the "
-    "(doc_id, pos, gram) table is persisted so the Rabin-Karp chain "
-    "evaluates once for both join sides. At 100 TB run this as the "
-    "verify stage AFTER winnow blocking (candidate pairs only) — "
-    "standalone it joins every gram position, which is the honest cost "
-    "of exact-match semantics. Complements doc_winnow_overlap_pairs "
-    "(sketch containment) with exact passage extent per pair.",
-    oracle=f"""
-    WITH {_o_rolling(_WINNOW_K)},
+def _o_passage(table: str = "documents") -> str:
+    """CTE chain ending in ``pr`` (id_a, id_b, max_run_grams) — the exact
+    shared-passage pairs of ``table``; mirrors
+    operators/passages.py exactly (gram positions -> occ in [2, max_occ]
+    -> diagonal gaps-and-islands -> max run per pair >= min_run)."""
+    return f"""
+    {_o_rolling(_WINNOW_K, table=table)},
     g0 AS (
       SELECT doc_id, t.g['p'] AS pos, t.g['h'] AS gh
       FROM h, unnest(list_transform(range(1, len(hashes) + 1),
@@ -2643,12 +2631,37 @@ _PASSAGE_MIN_RUN = 16
       FROM m),
     r2 AS (
       SELECT id_a, id_b, COUNT(*) AS run_len
-      FROM runs GROUP BY id_a, id_b, diag, island)
+      FROM runs GROUP BY id_a, id_b, diag, island),
+    pr AS (
+      SELECT id_a, id_b, MAX(run_len) AS max_run_grams
+      FROM r2 GROUP BY id_a, id_b
+      HAVING MAX(run_len) >= {_PASSAGE_MIN_RUN})"""
+
+
+@q(
+    "doc_exact_passage_pairs",
+    "Exact shared-passage pairs (the suffix-array exact-substring dedup "
+    "of Lee et al. 2022 'Deduplicating Training Data Makes Language "
+    "Models Better', re-expressed relationally): two docs share a "
+    "verbatim run of >= 16 consecutive 8-char-gram hashes = an exact "
+    "match of >= 23 normalized chars. Positions matching on the same "
+    "alignment diagonal (pos_a - pos_b) are grouped into consecutive "
+    "runs with the gaps-and-islands trick (pos - row_number per "
+    "diagonal), so run detection is one window + one aggregate — no "
+    "per-row iteration. Grams occurring > 50 times are dropped first "
+    "(boilerplate bound, keeps self-join buckets bounded); the "
+    "(doc_id, pos, gram) table is persisted so the Rabin-Karp chain "
+    "evaluates once for both join sides. At 100 TB run this as the "
+    "verify stage AFTER winnow blocking (candidate pairs only) — "
+    "standalone it joins every gram position, which is the honest cost "
+    "of exact-match semantics. Complements doc_winnow_overlap_pairs "
+    "(sketch containment) with exact passage extent per pair.",
+    oracle=f"""
+    WITH {_o_passage("documents")}
     SELECT id_a, id_b,
-           CAST(MAX(run_len) AS BIGINT) AS max_run_grams,
-           CAST(MAX(run_len) + {_WINNOW_K - 1} AS BIGINT) AS max_match_chars
-    FROM r2 GROUP BY id_a, id_b
-    HAVING MAX(run_len) >= {_PASSAGE_MIN_RUN}
+           CAST(max_run_grams AS BIGINT) AS max_run_grams,
+           CAST(max_run_grams + {_WINNOW_K - 1} AS BIGINT) AS max_match_chars
+    FROM pr
     """,
 )
 def doc_exact_passage_pairs(spark, sf_dir):
@@ -2671,3 +2684,101 @@ def doc_exact_passage_pairs(spark, sf_dir):
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(kept)
     return exact_passage_pairs(kept, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K)
+
+
+@q(
+    "corpus_dedup_funnel",
+    "The dedup funnel report every corpus pipeline publishes: how many "
+    "documents survive each dedup stage of the cascade exact dedup "
+    "(content fingerprint, min-id survivor) -> near-dup removal "
+    "(MinHash-LSH candidates, Jaccard >= 0.5 verify, drop the larger "
+    "id) -> exact-passage removal (>= 16 consecutive matching gram "
+    "hashes, drop the larger id). Stages run coarse-to-fine, each over "
+    "the previous survivors, so the expensive passage stage sees the "
+    "smallest corpus — the production cascade order. Every stage is the "
+    "already-benchmarked bucketed operator (hash-agg, band equi-join, "
+    "stop-gram-bounded gram join); survivor sets persist once per stage "
+    "via the bounded cache registry because each feeds both its "
+    "pair-finder and the next stage's count.",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN (SELECT {O_FINGERPRINT} AS fp, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY 1) s
+        ON d.doc_id = s.doc_id),
+    {_o_lsh_ctes(8, 4, table="s1")},
+    toksets AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM s1),
+    d2 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN toksets l ON l.doc_id = c.id_a
+                  JOIN toksets r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    s2 AS (
+      SELECT * FROM s1
+      WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
+    {_o_passage("s2")},
+    d3 AS (SELECT DISTINCT id_b AS doc_id FROM pr),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE doc_id NOT IN (SELECT doc_id FROM d3))
+    SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
+    UNION ALL SELECT '1_exact', COUNT(*) FROM s1
+    UNION ALL SELECT '2_neardup', COUNT(*) FROM s2
+    UNION ALL SELECT '3_passage', COUNT(*) FROM s3
+    """,
+)
+def corpus_dedup_funnel(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+        gram_positions,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    release_curation_cache()
+    # Stage 1: exact dedup. The survivor set feeds the LSH signatures,
+    # both Jaccard verify sides, and the next stage — persist once.
+    s1 = (
+        dedup_exact(docs)
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(s1)
+    cand = minhash_lsh_pairs(s1, num_hashes=8, bands=4)
+    d2 = (
+        jaccard_verify(s1, cand, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    # Stage 2 survivors feed the gram table and the final counts.
+    s2 = s1.join(d2, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(s2)
+    grams = gram_positions(
+        s2, k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(grams)
+    d3 = (
+        exact_passage_pairs(grams, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(d3, "doc_id", "left_anti")
+
+    def stage(label, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(label).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("0_input", docs)
+        .unionAll(stage("1_exact", s1))
+        .unionAll(stage("2_neardup", s2))
+        .unionAll(stage("3_passage", s3))
+    )

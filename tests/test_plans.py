@@ -384,6 +384,15 @@ def test_round5_additions_plan_shapes(spark):
     schemas = [seg.split("\n")[0] for seg in p.split("ReadSchema: ")[1:]]
     assert any("source" in s and "text" not in s for s in schemas), schemas
 
+    # dedup funnel: the three survivor/gram intermediates are persisted
+    # (each feeds 2+ branches), pair stages stay equi-joins, and the
+    # plan never degenerates into a cartesian product
+    p = plan_of(spark, "corpus_dedup_funnel")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert n_nodes(p, "InMemoryTableScan") >= 3, p
+    release_curation_cache()
+
     # exact passage pairs: the (doc_id, pos, gram) table is persisted —
     # one parquet scan / one Generate for the whole Rabin-Karp chain,
     # both self-join sides on the cached relation; gaps-and-islands is
