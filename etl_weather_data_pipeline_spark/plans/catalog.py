@@ -150,9 +150,9 @@ def o_dround(x: str, n: int) -> str:
 # regenerated timestamps). Deferred to r6 (banked + mirror-verified,
 # lowest marginal evidence): doc_fingerprints, doc_token_counts,
 # doc_incremental_dedup, doc_unigram_logprob, corpus_dataset_card,
-# embedding_semdedup_keep, and the two remaining rows-only entries
-# doc_minhash_lsh_pairs_xxh and multimodal_decode_features. The 48
-# r4-greened queries rotate out.
+# embedding_semdedup_keep, doc_gopher_quality_flags, and the two
+# remaining rows-only entries doc_minhash_lsh_pairs_xxh and
+# multimodal_decode_features. The 48 r4-greened queries rotate out.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed this round — must re-green first:
     "doc_winnow_overlap_pairs",
@@ -165,6 +165,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "neardup_cross_source_matrix",
     "doc_exact_passage_pairs",
     "corpus_dedup_funnel",
+    "corpus_shard_manifest",
     # Flagship canary (deepest chain; caught a real bug class each round):
     "corpus_curation_pipeline",
     # r3-vintage refresh, timestamp-sensitive families first:
@@ -208,7 +209,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_chunk_spans",
     "corpus_sequence_pack",
     "corpus_temperature_sample",
-    "doc_gopher_quality_flags",
 )
 
 

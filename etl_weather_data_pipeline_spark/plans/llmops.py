@@ -2782,3 +2782,43 @@ def corpus_dedup_funnel(spark, sf_dir):
         .unionAll(stage("2_neardup", s2))
         .unionAll(stage("3_passage", s3))
     )
+
+
+@q(
+    "corpus_shard_manifest",
+    "Per-shard manifest of a deterministic 8-way training-shard export: "
+    "shard id from the md5 hash bucket of doc_id (a doc NEVER changes "
+    "shard across re-exports, engines, or corpus growth — the property "
+    "round-robin and RNG sharding both lack), with row count, token "
+    "count, and an order-independent bit_xor content checksum per shard "
+    "so a training job can verify a shard without re-reading the "
+    "corpus. Map-side shard assignment + one hash aggregate; the "
+    "companion sink (sinks/writers.py export_training_shards) writes "
+    "the shards themselves with the xxhash64 production family.",
+    oracle=f"""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({O_TOKS})) AS BIGINT) AS n_tokens,
+           bit_xor(('0x' || substr(md5(text), 1, 8))::BIGINT)
+             AS content_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_shard_manifest(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    shard = hash_bucket(F.col("doc_id"), 8).cast("long")
+    word = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.bit_xor(word).alias("content_checksum"),
+    )

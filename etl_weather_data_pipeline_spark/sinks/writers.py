@@ -364,6 +364,57 @@ def merge_upsert(
     return {"inserted": -1, "updated": -1}  # Delta doesn't expose counts here
 
 
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    checksum_col: str | None = "text",
+) -> DataFrame:
+    """Deterministic training-shard export: hash-shard the corpus and
+    write one parquet partition per shard plus a content manifest.
+
+    Training jobs consume fixed shards; a shard must contain the SAME
+    rows on every re-export (hash of the row key, never round-robin or
+    RNG — repartitioning or corpus append must not move old rows between
+    shards). The manifest (written to ``<path>/_manifest`` — the
+    underscore prefix hides it from parquet directory discovery) carries
+    per-shard row counts and an order-independent bit_xor content
+    checksum so a consumer can verify a shard without re-reading the
+    corpus. Returns the manifest DataFrame.
+
+    Scale: the shard column is a map-side expression; the write shuffles
+    once on the shard id (repartition by shard before partitionBy so
+    each shard is one task's output, not n_tasks fragment files).
+    """
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    shard = hash_bucket(
+        F.col(key_col), n_shards, hash_family=hash_family
+    ).cast("long")
+    sharded = df.withColumn("shard", shard)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    checksum = (
+        F.bit_xor(F.xxhash64(F.col(checksum_col)))
+        if checksum_col is not None
+        else F.bit_xor(F.xxhash64(F.col(key_col).cast("string")))
+    )
+    manifest = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        checksum.alias("content_checksum"),
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest
+
+
 def append_quality_metrics(
     spark: SparkSession, metrics_row: dict, path: str
 ) -> None:

@@ -415,3 +415,52 @@ def test_upsert_rejects_duplicate_batch_keys(spark, batch, tmp_path):
     dup = enriched.unionByName(enriched.limit(1))
     with pytest.raises(ValueError, match="duplicate"):
         merge_upsert(spark, dup, f"{wh}/weather_data")
+
+
+def test_export_training_shards(spark, tmp_path):
+    """Hash-sharded export: shards partition the corpus, assignment is
+    stable across repartitionings (re-export produces an identical
+    manifest), the manifest matches the written table, and the _manifest
+    dir stays hidden from parquet directory discovery."""
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        export_training_shards,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: (r["n_rows"], r["content_checksum"])
+        for r in export_training_shards(docs, path, n_shards=4).collect()
+    }
+    back = spark.read.parquet(path)
+    assert back.count() == 100  # _manifest not swept into the table read
+    assert set(back.columns) == {"doc_id", "text", "shard"}
+    counts = {
+        int(r["shard"]): r["count"]
+        for r in back.groupBy("shard").count().collect()
+    }
+    assert {s: n for s, (n, _) in manifest.items()} == counts
+    assert os.path.isdir(os.path.join(path, "_manifest"))
+
+    again = {
+        r["shard"]: (r["n_rows"], r["content_checksum"])
+        for r in export_training_shards(
+            docs.repartition(7), path, n_shards=4
+        ).collect()
+    }
+    assert again == manifest  # deterministic across partitionings
+
+    # one data file per shard partition (repartition-by-shard before the
+    # partitioned write), so shard reads are single-file
+    for s in counts:
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, f"shard={s}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, files
