@@ -59,10 +59,19 @@ def connected_components(
     blocks live in executor storage — losing an executor mid-job loses
     rounds of progress. On a real multi-tenant cluster pass a durable
     path (HDFS/S3); this is the 100 TB-safety knob the module docstring
-    promises.
+    promises. ``setCheckpointDir`` is SESSION-GLOBAL state; any
+    checkpoint dir the session had configured before the call is
+    restored on return (safe here because every lazy checkpoint this
+    function creates is materialized by its round's convergence count,
+    inside the call — nothing checkpoints after return). A session with
+    NO prior dir keeps ours (Spark has no unset), which is documented
+    rather than hidden.
     """
+    prev_ckpt_dir: str | None = None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = edges.sparkSession.sparkContext
+        prev_ckpt_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
@@ -102,6 +111,8 @@ def connected_components(
         labels = new.select("id", "label")
         if changed == 0:
             break
+    if prev_ckpt_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
     if changed:
         warnings.warn(
             f"connected_components: {changed} labels still changing after "

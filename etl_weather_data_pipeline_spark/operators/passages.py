@@ -84,6 +84,12 @@ def exact_passage_pairs(
     given, gram matching runs only INSIDE these pairs: grams join onto
     the candidate list by doc id first, so no gram self-join over the
     corpus ever happens — the 100 TB path behind sketch blocking.
+    The pair list is de-duplicated defensively (``distinct()``): a
+    repeated (id_a, id_b) row would duplicate every matched gram row,
+    corrupting the gaps-and-islands row_number (tied ``pa`` values make
+    the window nondeterministic) and inflating ``max_run_grams``. The
+    distinct is a no-op shuffle-wise when the input is already unique
+    (it collapses into the same hash aggregate the join partial uses).
 
     Returns (id_a, id_b, max_run_grams, max_match_chars).
     """
@@ -107,7 +113,7 @@ def exact_passage_pairs(
         # equi-join the right doc's grams on (id_b, gh) — the gram hash
         # stays IN the join key, so per-pair matching is a hash lookup,
         # never a per-pair gram cross product.
-        cand = candidates.select("id_a", "id_b")
+        cand = candidates.select("id_a", "id_b").distinct()
         l = grams.select(
             F.col("doc_id").alias("id_a"),
             F.col("pos").alias("l_pos"),

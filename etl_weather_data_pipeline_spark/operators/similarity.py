@@ -143,9 +143,13 @@ def ivf_topk(
         if centroids is not None
         else cell_centroids(df, cell_col, vec_col)
     )
+    # Cell id breaks exact-similarity ties: without it, a double tie at
+    # the n_probe boundary makes the probe SET nondeterministic across
+    # jobs — and the probe-monotonicity property oracle (ann_ivf_topk)
+    # requires n_probe=3's set to be a subset of n_probe=5's.
     probe_rows = (
         cent.select(cell_col, VX.cosine(F.col("centroid"), q).alias("sim"))
-        .orderBy(F.col("sim").desc())
+        .orderBy(F.col("sim").desc(), F.col(cell_col))
         .limit(n_probe)
         .collect()
     )

@@ -2451,7 +2451,10 @@ _DSIR_TARGET_LANG = "en"
     "data-mixture tool. Plan: ONE exploded token pass builds a vocab "
     "table carrying BOTH counts (the target count rides along as a "
     "conditional sum), persisted so the scoring join and the "
-    "vocab-size aggregate read the same materialization; per-source "
+    "vocab-size aggregate read the same materialization; the scoring "
+    "side pre-aggregates to (doc_id, token, cnt) so the vocab join "
+    "ships distinct keys (shuffle shrunk by the repetition factor, "
+    "Zipf-head skew blunted) and scores as sum(w * cnt); per-source "
     "totals come from a narrow no-explode scan and broadcast. "
     "Determinism: each ln decimal-rounded at 8 dp, per-doc terms sum "
     "as exact decimals (unigram-logprob / source_token_kl precedent).",
@@ -2527,17 +2530,34 @@ def dsir_importance_weights(spark, sf_dir):
         - dround(F.log(F.col("cnt_src").cast("double")), 8)
         + dround(F.log(F.col("n_src").cast("double")), 8)
     )
+    # Pre-aggregate the token stream to (doc_id, token, cnt) before the
+    # vocab join: one extra hash aggregate (map-side partials shrink it by
+    # the per-doc repetition factor) and the join now ships DISTINCT
+    # (doc, token) keys — at 100 TB that both shrinks the shuffle and
+    # blunts Zipf-head join skew ('the' appears once per doc, not
+    # cnt('the') times). Summation stays exact: w is cast to decimal and
+    # multiplied by cnt in decimal arithmetic, so sum(w_dec * cnt) ==
+    # sum of w_dec repeated cnt times == the oracle's per-token sum.
+    tokc = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     scored = (
-        tok.join(vocab, "token")
+        tokc.join(vocab, "token")
         .crossJoin(F.broadcast(ntot))
         .crossJoin(F.broadcast(vs))
-        .select("doc_id", w.alias("w"))
+        .select("doc_id", "cnt", w.alias("w"))
     )
+    # decimal(18,10) * decimal(9,0) -> decimal(28,10), exact (|w| < 10^2
+    # fits 8 integer digits; per-doc token counts fit 9 digits).
     return scored.groupBy("doc_id").agg(
         dround(
-            F.sum(F.col("w").cast("decimal(28,10)")).cast("double"), 6
+            F.sum(
+                F.col("w").cast("decimal(18,10)")
+                * F.col("cnt").cast("decimal(9,0)")
+            ).cast("double"),
+            6,
         ).alias("log_importance"),
-        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("cnt").alias("n_tokens"),
     )
 
 

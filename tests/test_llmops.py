@@ -865,8 +865,19 @@ def test_passage_pairs_candidate_path_equivalence(spark):
         (r["id_a"], r["id_b"]): (r["max_run_grams"], r["max_match_chars"])
         for r in exact_passage_pairs(grams, candidates=cand).collect()
     }
+    # Public-API contract: a caller handing in DUPLICATE candidate rows
+    # must get the same answer — the operator dedupes internally (a
+    # repeated pair would otherwise duplicate matched gram rows and
+    # corrupt the gaps-and-islands run lengths).
+    duped = {
+        (r["id_a"], r["id_b"]): (r["max_run_grams"], r["max_match_chars"])
+        for r in exact_passage_pairs(
+            grams, candidates=cand.unionAll(cand)
+        ).collect()
+    }
     grams.unpersist()
     cand_pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
     expected = {p: v for p, v in full.items() if p in cand_pairs}
     assert expected, "winnow candidates cover no passage pairs?"
     assert restricted == expected
+    assert duped == expected
