@@ -59,6 +59,9 @@ HEADLINE = [
     # + exact passage pairs (gram-position self-join, gaps-and-islands)
     "dsir_importance_weights",
     "doc_exact_passage_pairs",
+    # round-6: the sketch-blocked passage composition (the 100 TB path —
+    # must stay cheaper than the standalone full-gram join above)
+    "doc_passage_pairs_blocked",
     # flagships: full weather transform pipeline + corpus curation chain
     # + the three-stage dedup funnel (exact -> near-dup -> passage)
     "weather_pipeline_e2e",

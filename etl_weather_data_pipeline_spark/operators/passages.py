@@ -26,37 +26,65 @@ from pyspark.sql import functions as F
 from etl_weather_data_pipeline_spark.functions import text as TX
 
 
-def gram_positions(
+def rolling_hashes(
     docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, __h) — per-doc Rabin-Karp k-gram hash ARRAYS over
+    alnum-normalized text. The shared upstream of both substring sketches:
+    :func:`gram_positions` explodes it positionally, and the winnow
+    fingerprint sketch takes per-window minima of the same arrays — a
+    composition (sketch blocking -> exact verify) should evaluate this
+    ONE pass, persist it, and derive both tables from the cache. Each
+    chain stage projects a bound column (HOF re-eval trap — a nested
+    expression re-evaluates the whole chain per element; measured 100x
+    on this exact chain)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"), TX.chars_of(norm).alias("__ch")
+    )
+    codes = chars.select(
+        "doc_id", TX.char_codes_of(F.col("__ch")).alias("__codes")
+    )
+    return codes.select(
+        "doc_id",
+        TX.rolling_kgram_hashes_of(F.col("__codes"), k).alias("__h"),
+    )
+
+
+def gram_positions(
+    docs: DataFrame | None = None,
     k: int = 8,
     min_occ: int = 2,
     max_occ: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, pos, gh) Rabin-Karp k-gram hash positions.
 
     Grams occurring fewer than ``min_occ`` times corpus-wide can never
     produce a pair and are dropped (the bulk of the table); grams above
     ``max_occ`` are boilerplate and would blow up the pair join's
-    per-key buckets. Each chain stage projects a bound column (HOF
-    re-eval trap — a nested expression re-evaluates the whole chain per
-    element; measured 100x on this exact chain)."""
+    per-key buckets.
+
+    ``hashes``: optional precomputed (ideally persisted)
+    :func:`rolling_hashes` result — pass it when another consumer (e.g.
+    the winnow sketch) derives from the same arrays, so the text is
+    normalized and hashed once for the whole composition."""
     from pyspark.sql.window import Window
 
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    chars = docs.select(F.col(id_col).alias("doc_id"), TX.chars_of(norm).alias("__ch"))
-    codes = chars.select(
-        "doc_id", TX.char_codes_of(F.col("__ch")).alias("__codes")
-    )
-    hashes = codes.select(
-        "doc_id",
-        TX.rolling_kgram_hashes_of(F.col("__codes"), k).alias("__h"),
+    h = (
+        hashes
+        if hashes is not None
+        else rolling_hashes(docs, k, id_col, text_col)
     )
     # posexplode_OUTER + isNotNull: the plain variant makes the optimizer
     # infer a size()>0 filter that re-evaluates the rolling-hash chain
     # per row (doc_winnow_fingerprints precedent).
-    g0 = hashes.select(
+    g0 = h.select(
         "doc_id", F.posexplode_outer(F.col("__h")).alias("pos", "gh")
     ).filter(F.col("gh").isNotNull())
     occ = F.count(F.lit(1)).over(Window.partitionBy("gh"))

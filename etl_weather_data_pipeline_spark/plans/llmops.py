@@ -548,18 +548,28 @@ def _o_rolling(k: int = _WINNOW_K, table: str = "documents") -> str:
       FROM c)"""
 
 
+def _o_winnow_rows(w: int = _WINNOW_W) -> str:
+    """CTE fragment ``wf`` — (doc_id, fingerprint) winnow sketch rows.
+    Assumes the rolling chain's ``h`` (doc_id, hashes) is in scope, so the
+    fragment composes with the passage-gram chain over ONE shared rolling
+    pass (the blocked-passage oracle)."""
+    return f"""
+    wf AS (
+      SELECT doc_id, unnest(fps) AS fingerprint FROM (
+        SELECT doc_id,
+               CASE WHEN len(hashes) > 0 THEN
+                  list_distinct(list_transform(
+                    range(1, greatest(len(hashes) - {w - 1}, 1) + 1),
+                    i -> list_min(hashes[i:i+{w - 1}])))
+               ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM h) t)"""
+
+
 def _o_winnow(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
     return f"""
     WITH {_o_rolling(k)},
-    fp AS (
-      SELECT doc_id,
-             CASE WHEN len(hashes) > 0 THEN
-                list_distinct(list_transform(
-                  range(1, greatest(len(hashes) - {w - 1}, 1) + 1),
-                  i -> list_min(hashes[i:i+{w - 1}])))
-             ELSE CAST([] AS BIGINT[]) END AS fps
-      FROM h)
-    SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+    {_o_winnow_rows(w)}
+    SELECT doc_id, fingerprint FROM wf
     """
 
 
@@ -2622,14 +2632,36 @@ _PASSAGE_MAX_OCC = 50
 _PASSAGE_MIN_RUN = 16
 
 
-def _o_passage(table: str = "documents") -> str:
+def _o_passage(
+    table: str = "documents",
+    cand: str | None = None,
+    with_rolling: bool = True,
+) -> str:
     """CTE chain ending in ``pr`` (id_a, id_b, max_run_grams) — the exact
     shared-passage pairs of ``table``; mirrors
     operators/passages.py exactly (gram positions -> occ in [2, max_occ]
-    -> diagonal gaps-and-islands -> max run per pair >= min_run)."""
+    -> diagonal gaps-and-islands -> max run per pair >= min_run).
+
+    ``cand``: name of a CTE holding (id_a, id_b) candidate pairs — gram
+    matching is then routed THROUGH it (the exact_passage_pairs
+    ``candidates=`` path) instead of the full gram self-join.
+    ``with_rolling=False`` omits the ``c, h`` rolling chain when the
+    enclosing WITH already built it (shared-pass composition)."""
+    head = f"{_o_rolling(_WINNOW_K, table=table)},\n" if with_rolling else ""
+    if cand is None:
+        m_cte = f"""m AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.pos AS pa, l.pos - r.pos AS diag
+      FROM kept l JOIN kept r
+        ON l.gh = r.gh AND l.doc_id < r.doc_id)"""
+    else:
+        m_cte = f"""m AS (
+      SELECT cp.id_a, cp.id_b, l.pos AS pa, l.pos - r.pos AS diag
+      FROM (SELECT DISTINCT id_a, id_b FROM {cand}) cp
+      JOIN kept l ON l.doc_id = cp.id_a
+      JOIN kept r ON r.doc_id = cp.id_b AND r.gh = l.gh)"""
     return f"""
-    {_o_rolling(_WINNOW_K, table=table)},
-    g0 AS (
+    {head}g0 AS (
       SELECT doc_id, t.g['p'] AS pos, t.g['h'] AS gh
       FROM h, unnest(list_transform(range(1, len(hashes) + 1),
                i -> {{'p': i, 'h': hashes[i]}})) AS t(g)),
@@ -2639,11 +2671,7 @@ def _o_passage(table: str = "documents") -> str:
       FROM g0),
     kept AS (SELECT doc_id, pos, gh FROM gd
              WHERE occ BETWEEN 2 AND {_PASSAGE_MAX_OCC}),
-    m AS (
-      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-             l.pos AS pa, l.pos - r.pos AS diag
-      FROM kept l JOIN kept r
-        ON l.gh = r.gh AND l.doc_id < r.doc_id),
+    {m_cte},
     runs AS (
       SELECT id_a, id_b, diag,
              pa - row_number() OVER (
@@ -2704,6 +2732,112 @@ def doc_exact_passage_pairs(spark, sf_dir):
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(kept)
     return exact_passage_pairs(kept, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K)
+
+
+@q(
+    "doc_passage_pairs_blocked",
+    "The 100 TB composition of the two substring operators: winnow "
+    "sketch blocking -> exact passage verify. Candidate pairs come from "
+    "doc_winnow_overlap_pairs (docs sharing >= 8 winnow fingerprints, "
+    "stop-fingerprint bounded), and exact_passage_pairs(candidates=) "
+    "routes the gram-position table THROUGH that pair list — the gram "
+    "hash stays in the equi-join key, so per-pair matching is a hash "
+    "lookup and the expensive gram-gram join scales with |candidates| x "
+    "doc gram length instead of the corpus-wide gram self-join the "
+    "standalone doc_exact_passage_pairs pays. Winnow guarantees any "
+    "shared substring of >= k+w-1 chars yields a shared fingerprint, so "
+    "pairs with >= 8 shared fingerprints is a high-recall block for "
+    "passages of >= 16 consecutive grams (recall floor measured in "
+    "tests/test_llmops.py winnow-containment + candidate-equivalence). "
+    "The (dominant, data-bound) Rabin-Karp hash pass runs ONCE: the "
+    "winnow sketch is per-window minima of the same hash arrays the "
+    "gram table explodes, so the per-doc hash arrays persist and both "
+    "tables derive from the cache (the oracle shares the rolling CTE "
+    "identically); the sketch and gram tables persist too (each feeds "
+    "two join sides).",
+    oracle=f"""
+    WITH {_o_rolling(_WINNOW_K)},
+    {_o_winnow_rows(_WINNOW_W)},
+    wd AS (
+      SELECT doc_id, fingerprint,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS df
+      FROM wf),
+    wkept AS (SELECT doc_id, fingerprint FROM wd
+              WHERE df <= {_WINNOW_MAX_DF}),
+    cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM wkept l JOIN wkept r
+        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
+    {_o_passage(cand="cand", with_rolling=False)}
+    SELECT id_a, id_b,
+           CAST(max_run_grams AS BIGINT) AS max_run_grams,
+           CAST(max_run_grams + {_WINNOW_K - 1} AS BIGINT) AS max_match_chars
+    FROM pr
+    """,
+)
+def doc_passage_pairs_blocked(spark, sf_dir):
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+        gram_positions,
+        rolling_hashes,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    release_curation_cache()
+    # ONE Rabin-Karp pass for the whole composition: the winnow sketch is
+    # per-window minima of the SAME hash arrays the gram table explodes,
+    # so normalize+hash runs once and both tables derive from the cache —
+    # without this the composition pays the (dominant, data-bound) hash
+    # chain twice and can never beat the standalone full-gram join.
+    hs = rolling_hashes(docs, k=_WINNOW_K).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(hs)
+    # Sketch side: winnow fingerprints -> stop-fingerprint bound ->
+    # self-join on fingerprint -> pairs sharing >= _WINNOW_MIN_SHARED.
+    fps = hs.select(
+        "doc_id",
+        F.explode_outer(
+            TX.winnow_fingerprints_of(F.col("__h"), _WINNOW_W)
+        ).alias("fingerprint"),
+    ).filter(F.col("fingerprint").isNotNull())
+    wkept = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("df") <= _WINNOW_MAX_DF)
+        .drop("df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(wkept)
+    l, r = wkept.alias("l"), wkept.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.fingerprint") == F.col("r.fingerprint"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _WINNOW_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    # Gram side from the same cached hash arrays; persists because it
+    # feeds both the l and r sides of the candidate-routed match.
+    grams = gram_positions(
+        k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC, hashes=hs
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(grams)
+    return exact_passage_pairs(
+        grams, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K, candidates=cand
+    )
 
 
 @q(

@@ -407,6 +407,32 @@ def test_round5_additions_plan_shapes(spark):
     release_curation_cache()
 
 
+def test_round6_additions_plan_shapes(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # blocked passage composition: ONE shared Rabin-Karp pass — the
+    # rolling-hash arrays persist and BOTH derived tables (winnow sketch,
+    # gram positions) read the cache, so no numbered parquet re-scan
+    # appears in the outer plan and only the two derived-table Generates
+    # (sketch explode, gram posexplode) remain; sketch + gram caches each
+    # feed two join sides (6 InMemoryTableScans total); candidate routing
+    # stays equi-join — never a cartesian
+    p = plan_of(spark, "doc_passage_pairs_blocked")
+    # (formatted explain numbers at most one scan — the one inside the
+    # shared hash cache's plan; rendering of nested cached plans varies
+    # with session config, so pin "no re-scan" as <= 1, plus the Generate
+    # count which is what actually proves the chain ran once per table)
+    assert n_nodes(p, "Scan parquet") <= 1, p
+    assert n_nodes(p, "InMemoryTableScan") == 6, p
+    assert n_nodes(p, "Generate") == 2, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert n_nodes(p, "Window") >= 3
+    release_curation_cache()
+
+
 def test_merge_state_probe_is_anti_join(spark):
     # the merge sink's store probe must stay a left-anti equi-join on the
     # fingerprint projection (column-pruned store scan, no cartesian)
