@@ -371,6 +371,7 @@ def export_training_shards(
     key_col: str = "doc_id",
     hash_family: str = "xxhash64",
     checksum_col: str | None = "text",
+    files_per_shard: int = 1,
 ) -> DataFrame:
     """Deterministic training-shard export: hash-shard the corpus and
     write one parquet partition per shard plus a content manifest.
@@ -385,19 +386,39 @@ def export_training_shards(
     corpus. Returns the manifest DataFrame.
 
     Scale: the shard column is a map-side expression; the write shuffles
-    once on the shard id (repartition by shard before partitionBy so
-    each shard is one task's output, not n_tasks fragment files).
+    once on (shard, sub-bucket) before partitionBy, so files stay
+    few-per-shard instead of n_tasks fragments.
+
+    ``files_per_shard``: parallelism WITHIN a shard's write. The default
+    1 makes each shard exactly one task's output — fine for small
+    exports, but at 100 TB / 8 shards that is a 12.5 TB single-task
+    file. Raising it sub-buckets each shard by a SECOND deterministic
+    hash of the key (seeded differently, so it is independent of the
+    shard hash) and shuffles on (shard, sub) — row→shard assignment,
+    shard contents, and manifest checksums are IDENTICAL for every
+    value of ``files_per_shard``; only the file layout inside each
+    shard directory changes. (Hash collisions across (shard, sub)
+    combos mean a shard dir may hold slightly fewer files than
+    requested; never more.)
     """
     from etl_weather_data_pipeline_spark.operators.sampling import (
         hash_bucket,
     )
 
+    assert files_per_shard >= 1, files_per_shard
     shard = hash_bucket(
         F.col(key_col), n_shards, hash_family=hash_family
     ).cast("long")
     sharded = df.withColumn("shard", shard)
+    sub = hash_bucket(
+        F.concat(F.lit("sub:"), F.col(key_col).cast("string")),
+        files_per_shard,
+        hash_family=hash_family,
+    )
     (
-        sharded.repartition(n_shards, "shard")
+        sharded.withColumn("__sub", sub)
+        .repartition(n_shards * files_per_shard, "shard", "__sub")
+        .drop("__sub")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

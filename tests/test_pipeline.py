@@ -464,3 +464,32 @@ def test_export_training_shards(spark, tmp_path):
             if f.endswith(".parquet")
         ]
         assert len(files) == 1, files
+
+    # files_per_shard splits each shard across tasks WITHOUT moving any
+    # row between shards: manifest (counts + checksums) is identical,
+    # file count rises to at most files_per_shard per shard dir (the
+    # 12.5-TB-single-task fix for 100 TB / few-shard exports)
+    path_multi = str(tmp_path / "shards_multi")
+    multi = {
+        r["shard"]: (r["n_rows"], r["content_checksum"])
+        for r in export_training_shards(
+            docs, path_multi, n_shards=4, files_per_shard=4
+        ).collect()
+    }
+    assert multi == manifest
+    total_files = 0
+    for s in counts:
+        files = [
+            f
+            for f in os.listdir(os.path.join(path_multi, f"shard={s}"))
+            if f.endswith(".parquet")
+        ]
+        assert 1 <= len(files) <= 4, files
+        total_files += len(files)
+    assert total_files > len(counts), "files_per_shard had no effect"
+    rows_multi = spark.read.parquet(path_multi)
+    assert rows_multi.count() == 100
+    assert {
+        int(r["shard"]): r["count"]
+        for r in rows_multi.groupBy("shard").count().collect()
+    } == counts
