@@ -881,3 +881,33 @@ def test_passage_pairs_candidate_path_equivalence(spark):
     assert expected, "winnow candidates cover no passage pairs?"
     assert restricted == expected
     assert duped == expected
+
+
+def test_incremental_funnel_replay_idempotent(spark):
+    """Periodic-ingest replay semantics: after merging the admitted batch
+    into the store, (a) re-delivering the SAME admitted docs admits zero
+    (exact-stage fingerprint anti-join catches every one — the merge-sink
+    replay property), and (b) re-delivering the ORIGINAL batch never
+    re-admits a previously-admitted doc."""
+    from etl_weather_data_pipeline_spark.operators.dedup import dedup_exact
+    from etl_weather_data_pipeline_spark.plans import llmops
+
+    docs = load(spark, SF_SMOKE, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    store_raw = docs.filter(F.col("doc_id") % 5 != 0)
+    llmops.release_curation_cache()
+    store = dedup_exact(store_raw).select("doc_id", "text")
+    store_k, b1, b2 = llmops.incremental_funnel(store, batch)
+    admitted = {r["doc_id"] for r in b2.collect()}
+    assert admitted, "no docs admitted at smoke SF — testdata changed?"
+
+    store2 = store_k.unionByName(b2)
+    _, _, replay_same = llmops.incremental_funnel(store2, b2)
+    assert replay_same.count() == 0
+
+    _, _, replay_orig = llmops.incremental_funnel(store2, batch)
+    re_admitted = {r["doc_id"] for r in replay_orig.collect()}
+    assert not (re_admitted & admitted), (
+        "replay re-admitted previously-admitted docs"
+    )
+    llmops.release_curation_cache()

@@ -432,6 +432,15 @@ def test_round6_additions_plan_shapes(spark):
     assert n_nodes(p, "Window") >= 3
     release_curation_cache()
 
+    # incremental funnel: store projection + exact-stage survivors are
+    # persisted (each feeds multiple branches: union sides, verify sides,
+    # stage counts); every pair stage stays an equi-join
+    p = plan_of(spark, "corpus_dedup_funnel_incremental")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert n_nodes(p, "InMemoryTableScan") >= 4, p
+    release_curation_cache()
+
 
 def test_merge_state_probe_is_anti_join(spark):
     # the merge sink's store probe must stay a left-anti equi-join on the
