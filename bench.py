@@ -70,6 +70,50 @@ HEADLINE = [
 ]
 
 
+# Property-oracle queries whose correctness is an in-query INVARIANT
+# (booleans computed against exact cross-checks) rather than a value
+# hash. The driver's gate runs them at sf0.01; invariants can be
+# scale-dependent (the ann self-recall floor once broke only at sf0.1),
+# so `--check-invariants` re-asserts every boolean column at the bench
+# SF. corpus_merge_state carries its invariant as an internal raise
+# (replay idempotency) instead of a column.
+PROPERTY_QUERIES = [
+    "approx_aggregates",
+    "kmeans_clusters",
+    "ann_ivf_topk",
+    "corpus_merge_state",
+]
+
+
+def check_invariants(spark, registry, sf_dir: str) -> dict[str, str]:
+    """Run the property-oracle queries at ``sf_dir`` and assert every
+    boolean column is TRUE on every row. Returns {query: "ok"} or raises
+    AssertionError naming the first violated invariant."""
+    from pyspark.sql.types import BooleanType
+
+    results: dict[str, str] = {}
+    for name in PROPERTY_QUERIES:
+        df = registry[name].spark(spark, sf_dir)
+        bool_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, BooleanType)
+        ]
+        if name != "corpus_merge_state":
+            assert bool_cols, (
+                f"{name}: no boolean invariant columns — schema drifted?"
+            )
+        rows = df.collect()
+        assert rows, f"{name}: returned no rows at {sf_dir}"
+        for r in rows:
+            for c in bool_cols:
+                assert r[c] is True, (
+                    f"{name}: invariant {c} violated at {sf_dir}: {r}"
+                )
+        results[name] = "ok"
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -88,6 +132,21 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     registry = build_registry()
+
+    if "--check-invariants" in sys.argv:
+        results = check_invariants(spark, registry, sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "property_invariants",
+                    "value": len(results),
+                    "unit": "queries_ok",
+                    "queries": results,
+                    "sf": sf,
+                }
+            )
+        )
+        return
 
     # Warm the JVM: run every headline query once at the smallest SF so
     # whole-stage-codegen compilation and classloading land outside the

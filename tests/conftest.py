@@ -21,6 +21,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: bench-scale (sf0.1) checks — deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", cpus=4, shuffle_partitions=4)

@@ -1,0 +1,34 @@
+"""Property-oracle invariants at BENCH scale (sf0.1).
+
+The driver's correctness gate runs the property queries at sf0.01, but
+their invariants can be scale-dependent — the ann_ivf_topk self-recall
+floor once held at the gate SFs and broke only at sf0.1 (caught
+manually, round 5). This module makes that a CI failure: every boolean
+invariant column of every property query must be TRUE at the bench SF
+too. Reuses bench.py's check_invariants — the same routine
+`python bench.py --check-invariants` runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import bench
+from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+from etl_weather_data_pipeline_spark.plans.llmops import (
+    release_curation_cache,
+)
+
+SF_BENCH = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(SF_BENCH), reason=f"{SF_BENCH} not present"
+)
+def test_property_invariants_at_bench_sf(spark):
+    results = bench.check_invariants(spark, build_registry(), SF_BENCH)
+    release_curation_cache()
+    assert results == {n: "ok" for n in bench.PROPERTY_QUERIES}
