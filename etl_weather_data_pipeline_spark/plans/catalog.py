@@ -139,76 +139,77 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-5 rotation:
-# (1) the queries whose code or oracle CHANGED this round (winnow-overlap
-# persist fix; merge-state NOT-EXISTS oracle; the three rows-only ->
-# property-oracle conversions) plus the curation-flagship canary, then
-# (2) the 44 queries whose last driver row is r3-vintage, i.e. predates
-# the timestamp[us] testdata regeneration — all 44 pass the dtype-strict
-# local mirror on current testdata, so this is evidence refresh, not
-# suspected wrongness (weather/events first: they sit directly on the
-# regenerated timestamps). Deferred to r6 (banked + mirror-verified,
-# lowest marginal evidence): doc_fingerprints, doc_token_counts,
-# doc_incremental_dedup, doc_unigram_logprob, corpus_dataset_card,
-# embedding_semdedup_keep, doc_gopher_quality_flags, and the two
-# remaining rows-only entries doc_minhash_lsh_pairs_xxh and
-# multimodal_decode_features. The 48 r4-greened queries rotate out.
+# file holds exactly the first 50 registry entries). Round-6 rotation:
+# (1) queries whose code or oracle text changed this round (DSIR
+# pre-aggregated scoring join; the _o_passage/_o_winnow oracle refactor
+# behind doc_exact_passage_pairs + corpus_dedup_funnel; the IVF probe
+# tie-break behind ann_ivf_topk) and the two NEW queries
+# (doc_passage_pairs_blocked, corpus_dedup_funnel_incremental), then
+# (2) the 9 rows whose latest driver check is r3-vintage (7 oracled +
+# 2 rows-only — all mirror-verified every session since; pure evidence
+# hygiene), then (3) the two standing canaries, then (4) 33 of the 45
+# r4-vintage rows. Deferred to r7 (banked r4-green + mirror-verified,
+# lowest marginal evidence — pure-relational, timestamp-insensitive,
+# unchanged since r2): orders_cube, orders_grouping_sets,
+# daily_event_type_pivot, daily_counts_unpivot, customers_with_big_orders,
+# customers_without_orders, customer_only_nations, customer_string_battery,
+# nationkeys_union, nations_intersect, brand_part_stats, conditional_aggs.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Changed this round — must re-green first:
-    "doc_winnow_overlap_pairs",
-    "corpus_merge_state",
-    "approx_aggregates",
-    "kmeans_clusters",
-    "ann_ivf_topk",
-    # New this round (never driver-checked):
+    # Changed or new this round — must (re-)green first:
     "dsir_importance_weights",
-    "neardup_cross_source_matrix",
+    "doc_passage_pairs_blocked",
+    "corpus_dedup_funnel_incremental",
+    "ann_ivf_topk",
     "doc_exact_passage_pairs",
     "corpus_dedup_funnel",
-    "corpus_shard_manifest",
-    # Flagship canary (deepest chain; caught a real bug class each round):
+    # r3-vintage stale rows (directive: every oracled query gets a
+    # post-regeneration driver row this round):
+    "doc_fingerprints",
+    "doc_token_counts",
+    "doc_gopher_quality_flags",
+    "embedding_semdedup_keep",
+    "corpus_dataset_card",
+    "doc_incremental_dedup",
+    "doc_unigram_logprob",
+    "doc_minhash_lsh_pairs_xxh",
+    "multimodal_decode_features",
+    # Standing canaries (deepest chains; each caught a real bug class):
     "corpus_curation_pipeline",
-    # r3-vintage refresh, timestamp-sensitive families first:
-    "weather_pipeline_e2e",
-    "weather_daily_summary",
-    "weather_latest",
-    "weather_seasonal_trends",
-    "weather_quality_metrics",
-    "pricing_summary",
-    "events_anomaly_zscore",
-    "user_retention_cohorts",
-    "events_funnel_conversion",
-    "orders_monthly_growth",
-    # r3-vintage llmops/corpus refresh:
-    "doc_jaccard_pairs",
-    "doc_neardup_clusters",
-    "doc_ngram_jaccard_pairs",
-    "doc_text_stats",
-    "doc_lang_id",
-    "doc_winnow_fingerprints",
-    "ann_cosine_topk",
-    "embedding_neardup_pairs",
-    "ann_multi_query_topk",
-    "multimodal_binary_features",
-    "embedding_lsh_buckets",
-    "corpus_vocab_stats",
-    "doc_contamination_flags",
-    "source_quality_stats",
-    "doc_pii_scrub",
-    "corpus_train_split",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "label_centroids",
-    "doc_minhash_jaccard_estimate",
-    "doc_span_dedup",
-    "doc_quality_quantile_filter",
-    "embedding_quantize_stats",
-    "neardup_degree_stats",
-    "doc_repetition_stats",
-    "corpus_length_histogram",
-    "doc_chunk_spans",
-    "corpus_sequence_pack",
-    "corpus_temperature_sample",
+    "corpus_merge_state",
+    # r4-vintage refresh:
+    "source_token_kl",
+    "embedding_dim_stats",
+    "doc_ngram_novelty",
+    "user_sessions",
+    "session_window_stats",
+    "sliding_window_counts",
+    "latest_event_per_user",
+    "dedup_events_hourly",
+    "events_asof_orders",
+    "events_range_join",
+    "events_enriched",
+    "events_filtered_scored",
+    "events_json_props",
+    "event_type_rollup",
+    "daily_quality_summary",
+    "median_value_by_type",
+    "skewed_type_stats",
+    "type_value_buckets",
+    "user_running_value",
+    "value_percentiles_by_type",
+    "nation_revenue",
+    "top_revenue_orders",
+    "segment_order_stats",
+    "global_order_metrics",
+    "order_rankings",
+    "top_orders_per_customer",
+    "customer_running_spend",
+    "doc_dedup_exact",
+    "doc_duplicate_groups",
+    "doc_minhash_signatures",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_simhash_pairs",
 )
 
 
