@@ -150,15 +150,18 @@ def o_dround(x: str, n: int) -> str:
 # hygiene), then (3) the two standing canaries, then (4) 33 of the 45
 # r4-vintage rows. Deferred to r7 (banked r4-green + mirror-verified,
 # lowest marginal evidence — pure-relational, timestamp-insensitive,
-# unchanged since r2): orders_cube, orders_grouping_sets,
+# unchanged since r2, plus one stable dedup row bumped for the new
+# recall probe): orders_cube, orders_grouping_sets,
 # daily_event_type_pivot, daily_counts_unpivot, customers_with_big_orders,
 # customers_without_orders, customer_only_nations, customer_string_battery,
-# nationkeys_union, nations_intersect, brand_part_stats, conditional_aggs.
+# nationkeys_union, nations_intersect, brand_part_stats, conditional_aggs,
+# doc_simhash_pairs.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed or new this round — must (re-)green first:
     "dsir_importance_weights",
     "doc_passage_pairs_blocked",
     "corpus_dedup_funnel_incremental",
+    "dedup_recall_probe",
     "ann_ivf_topk",
     "doc_exact_passage_pairs",
     "corpus_dedup_funnel",
@@ -209,7 +212,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_minhash_signatures",
     "doc_minhash_lsh_pairs",
     "doc_simhash",
-    "doc_simhash_pairs",
 )
 
 

@@ -441,6 +441,14 @@ def test_round6_additions_plan_shapes(spark):
     assert n_nodes(p, "InMemoryTableScan") >= 4, p
     release_curation_cache()
 
+    # recall probe: planting is map-side (Generate of the strength array,
+    # no join to build copies), blocking stays the band equi-join, truth
+    # is computed per planted row — never a quadratic truth pass
+    p = plan_of(spark, "dedup_recall_probe")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
 
 def test_merge_state_probe_is_anti_join(spark):
     # the merge sink's store probe must stay a left-anti equi-join on the
