@@ -59,9 +59,14 @@ HEADLINE = [
     # + exact passage pairs (gram-position self-join, gaps-and-islands)
     "dsir_importance_weights",
     "doc_exact_passage_pairs",
-    # round-6: the sketch-blocked passage composition (the 100 TB path —
-    # must stay cheaper than the standalone full-gram join above)
+    # round-6: the sketch-blocked passage composition (the 100 TB path:
+    # 184x fewer gram-match rows than the standalone join at sf0.1;
+    # wall-clock parity at this SF, diverges with duplication density), the
+    # periodic-ingest incremental funnel, and the planted-duplicate
+    # recall probe (one dedup-run's cost, by design — keep it that way)
     "doc_passage_pairs_blocked",
+    "corpus_dedup_funnel_incremental",
+    "dedup_recall_probe",
     # flagships: full weather transform pipeline + corpus curation chain
     # + the three-stage dedup funnel (exact -> near-dup -> passage)
     "weather_pipeline_e2e",

@@ -2744,10 +2744,16 @@ def doc_exact_passage_pairs(spark, sf_dir):
     "hash stays in the equi-join key, so per-pair matching is a hash "
     "lookup and the expensive gram-gram join scales with |candidates| x "
     "doc gram length instead of the corpus-wide gram self-join the "
-    "standalone doc_exact_passage_pairs pays. Winnow guarantees any "
-    "shared substring of >= k+w-1 chars yields a shared fingerprint, so "
-    "pairs with >= 8 shared fingerprints is a high-recall block for "
-    "passages of >= 16 consecutive grams (recall floor measured in "
+    "standalone doc_exact_passage_pairs pays. Measured at sf0.1: the "
+    "gram-match stage materializes 27k rows routed vs 4.98M in the full "
+    "self-join (184x); wall-clock is at parity at this SF (3-4s both, "
+    "within host noise) because the bounded full join is still cheap "
+    "next to the shared fixed costs — the sketch's cost amortizes as "
+    "match-row volume grows with corpus duplication density, which is "
+    "exactly what 184x quantifies. Winnow guarantees any shared "
+    "substring of >= k+w-1 chars yields a shared fingerprint, so pairs "
+    "with >= 8 shared fingerprints is a high-recall block for passages "
+    "of >= 16 consecutive grams (recall floor measured in "
     "tests/test_llmops.py winnow-containment + candidate-equivalence). "
     "The (dominant, data-bound) Rabin-Karp hash pass runs ONCE: the "
     "winnow sketch is per-window minima of the same hash arrays the "
