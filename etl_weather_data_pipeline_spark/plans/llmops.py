@@ -3260,6 +3260,82 @@ def dedup_recall_probe(spark, sf_dir):
     )
 
 
+def _o_shingles_k(k: int) -> str:
+    """k-word shingle list over ``text`` — mirrors TX.word_shingles_of
+    incl. the 0<n<k whole-doc fallback (generalizes the k=3 O_SHINGLES
+    literal)."""
+    body = " || ' ' || ".join(
+        f"{O_TOKS}[i]" if j == 0 else f"{O_TOKS}[i+{j}]" for j in range(k)
+    )
+    return (
+        f"CASE WHEN len({O_TOKS}) >= {k} THEN "
+        f"list_transform(range(1, len({O_TOKS}) - {k - 2}), i -> {body}) "
+        f"WHEN len({O_TOKS}) > 0 THEN [array_to_string({O_TOKS}, ' ')] "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+@q(
+    "source_boilerplate_ngrams",
+    "Per-source boilerplate mining: the top-5 3-gram word shingles by "
+    "document frequency within each source (df >= 3). This is the "
+    "operator that PRODUCES the stop-gram lists the passage/winnow "
+    "operators' max_occ / stop-fingerprint bounds assume (CCNet-style "
+    "boilerplate detection: headers, footers, license blurbs surface as "
+    "high-df shingles per feed). Plan: one shingle explode -> per-doc "
+    "distinct -> (source, ngram) hash aggregate (map-side partials) -> "
+    "one window rank per source; df counts DOCS (within-doc repeats "
+    "dropped before the aggregate), ties broken deterministically by "
+    "ngram text.",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source, doc_id,
+             unnest(list_distinct({_o_shingles_k(3)})) AS ngram
+      FROM documents),
+    d AS (
+      SELECT source, ngram, COUNT(*) AS df
+      FROM sh GROUP BY 1, 2),
+    r AS (
+      SELECT source, ngram, CAST(df AS BIGINT) AS df,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY df DESC, ngram) AS BIGINT)
+               AS rank
+      FROM d)
+    SELECT source, ngram, df, rank
+    FROM r WHERE rank <= 5 AND df >= 3
+    """,
+)
+def source_boilerplate_ngrams(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    # Layered projections (HOF re-eval trap) + explode_outer (plain
+    # explode would infer a size()>0 filter that re-evaluates the
+    # shingle chain per row — winnow precedent).
+    toked = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("__t")
+    )
+    shingled = toked.select(
+        "doc_id",
+        "source",
+        F.array_distinct(TX.word_shingles_of(F.col("__t"), 3)).alias(
+            "__sh"
+        ),
+    )
+    sh = shingled.select(
+        "doc_id", "source", F.explode_outer(F.col("__sh")).alias("ngram")
+    ).filter(F.col("ngram").isNotNull())
+    d = sh.groupBy("source", "ngram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("df").desc(), F.col("ngram")
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter((F.col("rank") <= 5) & (F.col("df") >= 3))
+        .select("source", "ngram", "df", "rank")
+    )
+
+
 @q(
     "corpus_shard_manifest",
     "Per-shard manifest of a deterministic 8-way training-shard export: "
