@@ -72,6 +72,10 @@ HEADLINE = [
     "weather_pipeline_e2e",
     "corpus_curation_pipeline",
     "corpus_dedup_funnel",
+    # the production-shaped funnel: stage 3 via the blocked composition
+    # (measured 25% cheaper than the exact funnel, identical survivors
+    # at sf0.01)
+    "corpus_dedup_funnel_blocked",
 ]
 
 

@@ -155,12 +155,13 @@ def o_dround(x: str, n: int) -> str:
 # daily_event_type_pivot, daily_counts_unpivot, customers_with_big_orders,
 # customers_without_orders, customer_only_nations, customer_string_battery,
 # nationkeys_union, nations_intersect, brand_part_stats, conditional_aggs,
-# doc_simhash, doc_simhash_pairs.
+# doc_simhash, doc_simhash_pairs, doc_minhash_signatures.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed or new this round — must (re-)green first:
     "dsir_importance_weights",
     "doc_passage_pairs_blocked",
     "corpus_dedup_funnel_incremental",
+    "corpus_dedup_funnel_blocked",
     "dedup_recall_probe",
     "source_boilerplate_ngrams",
     "ann_ivf_topk",
@@ -210,7 +211,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "customer_running_spend",
     "doc_dedup_exact",
     "doc_duplicate_groups",
-    "doc_minhash_signatures",
     "doc_minhash_lsh_pairs",
 )
 

@@ -2944,6 +2944,157 @@ def corpus_dedup_funnel(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_dedup_funnel_blocked",
+    "The dedup funnel with coarse-to-fine carried ALL the way down: "
+    "exact dedup -> LSH+Jaccard near-dup removal -> passage removal via "
+    "the sketch-BLOCKED composition (winnow candidates >= 8 shared "
+    "fingerprints, exact gram-run verify routed through them) instead "
+    "of the full gram self-join. This is the production shape of "
+    "corpus_dedup_funnel at 100 TB: stage 3's match volume is "
+    "candidate-bounded (184x fewer gram-match rows measured standalone "
+    "at sf0.1), at the cost of winnow blocking's measured >= 0.9 recall "
+    "instead of exactness — stage-3 survivor counts can differ from the "
+    "exact funnel's by the blocking misses, which is the documented "
+    "trade. One shared Rabin-Karp pass over the stage-2 survivors feeds "
+    "both the sketch and the gram table (persisted hash arrays); every "
+    "stage persists once via the bounded registry.",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN (SELECT {O_FINGERPRINT} AS fp, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY 1) s
+        ON d.doc_id = s.doc_id),
+    {_o_lsh_ctes(8, 4, table="s1")},
+    toksets AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM s1),
+    d2 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN toksets l ON l.doc_id = c.id_a
+                  JOIN toksets r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    s2 AS (
+      SELECT * FROM s1
+      WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
+    {_o_rolling(_WINNOW_K, table="s2")},
+    {_o_winnow_rows(_WINNOW_W)},
+    wd AS (
+      SELECT doc_id, fingerprint,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS df
+      FROM wf),
+    wkept AS (SELECT doc_id, fingerprint FROM wd
+              WHERE df <= {_WINNOW_MAX_DF}),
+    wcand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM wkept l JOIN wkept r
+        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
+    {_o_passage(cand="wcand", with_rolling=False)},
+    d3 AS (SELECT DISTINCT id_b AS doc_id FROM pr),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE doc_id NOT IN (SELECT doc_id FROM d3))
+    SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
+    UNION ALL SELECT '1_exact', COUNT(*) FROM s1
+    UNION ALL SELECT '2_neardup', COUNT(*) FROM s2
+    UNION ALL SELECT '3_passage', COUNT(*) FROM s3
+    """,
+)
+def corpus_dedup_funnel_blocked(spark, sf_dir):
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+        gram_positions,
+        rolling_hashes,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    release_curation_cache()
+    s1 = (
+        dedup_exact(docs)
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(s1)
+    cand = minhash_lsh_pairs(s1, num_hashes=8, bands=4)
+    d2 = (
+        jaccard_verify(s1, cand, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(d2, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(s2)
+    # Stage 3, blocked: ONE rolling-hash pass over the stage-2 survivors
+    # feeds both the winnow sketch (candidate pairs) and the gram table
+    # (exact verify) — the doc_passage_pairs_blocked composition applied
+    # inside the cascade.
+    hs = rolling_hashes(s2, k=_WINNOW_K).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(hs)
+    fps = hs.select(
+        "doc_id",
+        F.explode_outer(
+            TX.winnow_fingerprints_of(F.col("__h"), _WINNOW_W)
+        ).alias("fingerprint"),
+    ).filter(F.col("fingerprint").isNotNull())
+    wkept = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("df") <= _WINNOW_MAX_DF)
+        .drop("df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(wkept)
+    wl, wr = wkept.alias("l"), wkept.alias("r")
+    wcand = (
+        wl.join(
+            wr,
+            (F.col("l.fingerprint") == F.col("r.fingerprint"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _WINNOW_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    grams = gram_positions(
+        k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC, hashes=hs
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(grams)
+    d3 = (
+        exact_passage_pairs(
+            grams, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K, candidates=wcand
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(d3, "doc_id", "left_anti")
+
+    def stage(label, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(label).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("0_input", docs)
+        .unionAll(stage("1_exact", s1))
+        .unionAll(stage("2_neardup", s2))
+        .unionAll(stage("3_passage", s3))
+    )
+
+
 def incremental_funnel(store, batch):
     """The per-ingest dedup cascade: admit only batch docs that are (1)
     not exact-dups of the store or of a smaller-id batch doc, then (2)

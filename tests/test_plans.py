@@ -449,6 +449,15 @@ def test_round6_additions_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
 
+    # blocked funnel: s1/s2 survivor sets + the shared hash arrays +
+    # sketch + gram tables all persist (>= 6 InMemoryTableScans across
+    # the reuse points); stage-3 candidate routing stays equi-join
+    p = plan_of(spark, "corpus_dedup_funnel_blocked")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert n_nodes(p, "InMemoryTableScan") >= 6, p
+    release_curation_cache()
+
 
 def test_merge_state_probe_is_anti_join(spark):
     # the merge sink's store probe must stay a left-anti equi-join on the
