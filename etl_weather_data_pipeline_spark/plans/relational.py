@@ -695,6 +695,61 @@ def value_percentiles_by_type(spark, sf_dir):
     )
 
 
+@q(
+    "events_mad_outliers",
+    "Robust (median/MAD) outlier report per event type — the data-quality "
+    "companion to events_anomaly_zscore: mean/stddev z-scores are "
+    "themselves dragged by the outliers they hunt, while the MAD rule "
+    "(|x - median| > 3.5 * 1.4826 * MAD, the standard consistency "
+    "constant) has a 50% breakdown point. Two exact-median passes "
+    "(group medians are tiny 1-row-per-type aggregates broadcast back "
+    "into the scan, never a driver .first()); the deviation comparison "
+    "is identical IEEE arithmetic on identical inputs cross-engine, so "
+    "the boundary is deterministic. At 100 TB swap the exact medians "
+    "for percentile_approx (the approx_aggregates path) — the plan "
+    "shape is unchanged.",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, median(dev) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           {o_dround('MIN(d.med)', 6)} AS median_value,
+           {o_dround('MIN(m.mad)', 6)} AS mad,
+           CAST(COUNT(*) FILTER (
+             WHERE d.dev > 3.5 * 1.4826 * m.mad) AS BIGINT) AS n_outliers,
+           {o_dround(
+               'CAST(COUNT(*) FILTER ('
+               ' WHERE d.dev > 3.5 * 1.4826 * m.mad) AS DOUBLE)'
+               ' / COUNT(*)', 6)} AS outlier_rate
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_mad_outliers(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("__med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "__med",
+        F.abs(F.col("value") - F.col("__med")).alias("__dev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("__dev").alias("__mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.col("__dev") > F.lit(3.5) * F.lit(1.4826) * F.col("__mad")
+    return j.groupBy("event_type").agg(
+        dround(F.min("__med"), 6).alias("median_value"),
+        dround(F.min("__mad"), 6).alias("mad"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        dround(
+            F.count(F.when(is_out, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("outlier_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping extensions: pivot, rollup, daily quality (A4)
 # ---------------------------------------------------------------------------
