@@ -73,8 +73,8 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "corpus_dedup_funnel",
     # the production-shaped funnel: stage 3 via the blocked composition
-    # (measured 25% cheaper than the exact funnel, identical survivors
-    # at sf0.01)
+    # (measured 10% cheaper than the exact funnel, interleaved min-of-5;
+    # identical survivors at sf0.01)
     "corpus_dedup_funnel_blocked",
 ]
 
