@@ -950,3 +950,32 @@ def test_blocked_passage_match_volume_reduction(spark):
     cand.unpersist()
     assert blocked > 0, "blocking found no gram matches — testdata changed?"
     assert blocked * 3 <= full, (full, blocked)
+
+
+def test_funnel_blocked_consistency_with_exact(spark):
+    """The blocked funnel may only differ from the exact funnel at stage
+    3, and only in ONE direction: winnow blocking can MISS passage pairs
+    (so the blocked cascade drops fewer docs, s3_blocked >= s3_exact),
+    never invent them. Stages 0-2 are byte-identical by construction.
+    (At both gate SFs the corpora produce zero misses — equality — but
+    the pin is the inequality so a testdata regeneration that creates a
+    legitimate miss doesn't fail a correct implementation.)"""
+    from etl_weather_data_pipeline_spark.plans import llmops
+    from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+
+    reg = build_registry()
+    exact = {
+        r["stage"]: r["n_docs"]
+        for r in reg["corpus_dedup_funnel"].spark(spark, SF_SMOKE).collect()
+    }
+    llmops.release_curation_cache()
+    blocked = {
+        r["stage"]: r["n_docs"]
+        for r in reg["corpus_dedup_funnel_blocked"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    llmops.release_curation_cache()
+    for s in ("0_input", "1_exact", "2_neardup"):
+        assert exact[s] == blocked[s], (s, exact, blocked)
+    assert blocked["3_passage"] >= exact["3_passage"], (exact, blocked)
