@@ -1553,6 +1553,107 @@ def neardup_degree_stats(spark, sf_dir):
 
 
 @q(
+    "neardup_transitivity_stats",
+    "Near-dup graph transitivity report: nodes/edges/wedges/triangles "
+    "and the global clustering coefficient (3*triangles / wedges) of "
+    "the LSH+Jaccard verified pair graph. The cluster-QA companion to "
+    "degree stats and connected components: high transitivity means "
+    "near-dup clusters are genuine cliques (template families, exact "
+    "re-posts); low transitivity with high degree means chain-shaped "
+    "clusters — min-id cluster dedup would then over-merge, and the "
+    "threshold or blocking needs review. Triangles count once via "
+    "their middle vertex (edges are id_a < id_b, so (a,b)+(b,c)+(a,c) "
+    "is the unique representation) — three equi-joins on a sparse "
+    "LSH-bounded edge list, never a cartesian; the edge list persists "
+    "(five consumers).",
+    oracle=f"""
+    WITH {_o_lsh_ctes(8, 4)},
+    toksets AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM documents),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN toksets l ON l.doc_id = c.id_a
+                  JOIN toksets r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    ends AS (SELECT id_a AS doc_id FROM pairs
+             UNION ALL SELECT id_b FROM pairs),
+    deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id_a = e1.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+    SELECT a.n_nodes, ne.n_edges, a.n_wedges, t.n_triangles,
+           CASE WHEN a.n_wedges > 0 THEN
+             {o_dround(
+                 "3.0 * t.n_triangles / a.n_wedges", 6)}
+           ELSE 0.0 END AS transitivity
+    FROM agg a, ne, tri t
+    """,
+)
+def neardup_transitivity_stats(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+
+    docs = load(spark, sf_dir, "documents")
+    release_curation_cache()
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    edges = (
+        jaccard_verify(docs, cand, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(edges)
+    ends = edges.select(F.col("id_a").alias("doc_id")).unionAll(
+        edges.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("degree * (degree - 1) DIV 2"))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e2 = edges.select(
+        F.col("id_a").alias("id_b"), F.col("id_b").alias("id_c")
+    )
+    e3 = edges.select(
+        F.col("id_a"), F.col("id_b").alias("id_c")
+    )
+    tri = (
+        edges.join(e2, "id_b")
+        .join(e3, ["id_a", "id_c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    trans = F.when(
+        F.col("n_wedges") > 0,
+        dround(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        agg.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            trans.alias("transitivity"),
+        )
+    )
+
+
+@q(
     "doc_repetition_stats",
     "Within-document repetition profile: total/distinct token counts and "
     "the dominant token's frequency share (catches 'aaaa aaaa ...' style "
