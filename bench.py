@@ -91,6 +91,7 @@ PROPERTY_QUERIES = [
     "kmeans_clusters",
     "ann_ivf_topk",
     "corpus_merge_state",
+    "doc_minhash_lsh_pairs_xxh",
 ]
 
 

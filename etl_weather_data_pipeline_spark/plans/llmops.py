@@ -181,14 +181,59 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
     "doc_minhash_lsh_pairs on the xxhash64 production hash family — same "
     "plan shape (explode once -> partial/final min HashAggregate -> band "
     "equi-join), ~10x cheaper per-shingle hashing, no hex parsing. "
-    "Rows-only: signatures differ from the md5 family by construction, so "
-    "there is no cross-engine oracle; the md5 variant is the correctness "
-    "witness for the shared structure, bench.py records the speed delta.",
-    oracle=None,
+    "Signature VALUES are engine-specific (DuckDB has no xxhash64), so "
+    "the pair list itself cannot hash-match an oracle — instead this is "
+    "a PROPERTY oracle on the family-independent invariant: two docs "
+    "with an identical token sequence have identical shingle sets, "
+    "hence identical MinHash signatures under ANY hash family, hence "
+    "collide in every band. The query emits the exact-duplicate pair "
+    "count (cross-checkable in SQL via md5 of the joined token "
+    "sequence) plus the boolean that every such pair appears in the "
+    "xxh candidate set; the md5 variant remains the correctness "
+    "witness for the shared plan structure, bench.py records the "
+    "speed delta.",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string({O_TOKS}, ' ')) AS fp
+      FROM documents),
+    dup_pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dup_pairs,
+           TRUE AS exact_dups_covered
+    FROM dup_pairs
+    """,
 )
 def doc_minhash_lsh_pairs_xxh(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=8, bands=4, hash_family="xxhash64")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, hash_family="xxhash64"
+    )
+    # Token-sequence fingerprint (NOT the usual normalized-text one:
+    # shingles are case-sensitive raw tokens, so the dup definition must
+    # match the shingle space — identical token array <=> identical
+    # space-joined token string).
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.array_join(TX.tokens(F.col("text")), " ")).alias("__fp"),
+    )
+    l = fp.select(F.col("doc_id").alias("id_a"), F.col("__fp"))
+    r = fp.select(F.col("doc_id").alias("id_b"), F.col("__fp"))
+    dup_pairs = l.join(r, "__fp").filter(
+        F.col("id_a") < F.col("id_b")
+    ).select("id_a", "id_b")
+    missing = dup_pairs.join(pairs, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__n_missing")
+    )
+    return (
+        dup_pairs.agg(F.count(F.lit(1)).alias("n_exact_dup_pairs"))
+        .crossJoin(F.broadcast(missing))
+        .select(
+            "n_exact_dup_pairs",
+            (F.col("__n_missing") == 0).alias("exact_dups_covered"),
+        )
+    )
 
 
 @q(
