@@ -177,7 +177,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_incremental_dedup",
     "doc_unigram_logprob",
     "doc_minhash_lsh_pairs_xxh",
-    "multimodal_decode_features",
     # Standing canaries (deepest chains; each caught a real bug class):
     "corpus_curation_pipeline",
     "corpus_merge_state",
@@ -212,6 +211,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_dedup_exact",
     "doc_duplicate_groups",
     "doc_minhash_lsh_pairs",
+    # Dead-LAST on purpose: the registry's only mapInPandas query once
+    # killed the round-1 driver harness mid-window; in last place a
+    # repeat death costs no other query its driver row. (Now fully
+    # oracled — the deterministic decode stub is mirrored relationally.)
+    "multimodal_decode_features",
 )
 
 
