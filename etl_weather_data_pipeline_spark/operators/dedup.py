@@ -200,6 +200,43 @@ def minhash_signatures(
     )
 
 
+def minhash_band_table(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_val) rows from a signature table (h0..h{n-1}).
+
+    The persistable half of LSH: a corpus store can keep this table on
+    disk keyed by (band_idx, band_val) and probe it with each new
+    batch's bands — candidate generation then scales with the BATCH, not
+    the corpus (see streaming/corpus.py merge_batch_neardup_into_corpus).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_val")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -225,7 +262,6 @@ def minhash_lsh_pairs(
     signatures and the candidate pairs (e.g. banding + estimate stages).
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = (
         signatures
         if signatures is not None
@@ -233,26 +269,7 @@ def minhash_lsh_pairs(
             df, text_col, id_col, num_hashes, shingle_k, hash_family
         )
     )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_val")
+    banded = minhash_band_table(sig, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

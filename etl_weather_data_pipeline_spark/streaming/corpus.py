@@ -16,12 +16,17 @@ structured stream:
   over the stored table — the stream only guarantees no duplicates
   WITHIN the watermark horizon, which is the standard lambda split).
 
-Near-dup (LSH) curation is NOT attempted in-stream: signature banding
-needs a self-join over the whole corpus, which is a batch shape; run
-`corpus_curation_pipeline` over the store periodically instead.
+Near-dup (LSH) curation IS available in-stream via the store-probe
+pattern (`merge_batch_neardup_into_corpus`): the store keeps a
+persisted band table (`_bands/`) alongside the documents, each batch's
+bands equi-join it, and candidate generation scales with the BATCH —
+never a corpus self-join. The plain exact-only sink remains the cheap
+default; `corpus_curation_pipeline` over the store stays the periodic
+full re-curation.
 
-At 100 TB-a-day ingest the only state is the fingerprint dedup map
-bounded by the watermark horizon; everything else is map-side.
+At 100 TB-a-day ingest the only stream state is the fingerprint dedup
+map bounded by the watermark horizon; the dedup history lives in the
+store itself (fingerprint + band projections), probed per batch.
 """
 
 from __future__ import annotations
@@ -161,6 +166,203 @@ def merge_batch_into_corpus(
     finally:
         fresh.unpersist()
     return n
+
+
+BANDS_SUBDIR = "_bands"  # underscore: hidden from parquet dir discovery
+
+
+def merge_batch_neardup_into_corpus(
+    batch_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Near-dup-aware merge: append only batch docs that are neither
+    exact NOR near duplicates of the store (or of a surviving smaller-id
+    batch doc) — the streaming twin of plans/llmops.incremental_funnel.
+
+    The store carries two probe-able projections: ``fingerprint`` (in
+    the document rows, as in `merge_batch_into_corpus`) and a persisted
+    MinHash BAND table under ``<path>/_bands`` (doc_id, band_idx,
+    band_val — written for every appended survivor). Each batch:
+
+    1. exact stage — within-batch min-id dedup + fingerprint anti-join
+       against the store (idempotent under at-least-once replay: a
+       retried batch finds its own append and writes nothing);
+    2. near-dup stage — batch signatures band-join the batch's own
+       bands (within-batch candidates, smaller id wins) AND the store's
+       band table (store always wins); candidates are Jaccard-verified
+       exactly against the pruned (doc_id, text) rows;
+    3. survivors append to the store, their band rows to ``_bands``.
+
+    Scale: the store-side work is two column-pruned probes (fingerprint
+    keys; band keys) plus a semi-joined text lookup for verify
+    candidates only — candidate generation scales with the batch, never
+    a corpus self-join. Doc ids must be globally unique across the
+    feed (they key the verify joins). If ``_bands`` is missing but the
+    store exists (store built by the exact-only sink), the band table
+    is REBUILT from the store's text in one batch-shaped pass — a
+    one-off migration cost, logged via the returned count's side
+    effect being unaffected. Returns rows appended.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    spark = batch_df.sparkSession
+    batch = batch_df.filter(F.col(text_col).isNotNull()).withColumn(
+        "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    )
+    batch = (
+        batch.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    store_docs = None
+    try:
+        store_docs = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+    if store_docs is not None:
+        fresh = batch.join(
+            store_docs.select("fingerprint"), "fingerprint", "left_anti"
+        )
+    else:
+        fresh = batch
+    fresh = fresh.persist()
+    try:
+        # --- near-dup stage over the exact-stage survivors ---
+        sig = minhash_signatures(
+            fresh, text_col, id_col, num_hashes, hash_family=hash_family
+        )
+        bt = minhash_band_table(sig, id_col, num_hashes, bands).persist()
+        # within-batch candidates: self band-join, smaller id wins
+        l = bt.select(
+            F.col(id_col).alias("id_a"), "band_idx", "band_val"
+        )
+        r = bt.select(
+            F.col(id_col).alias("id_b"), "band_idx", "band_val"
+        )
+        within = (
+            l.join(r, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        texts = fresh.select(F.col(id_col), F.col(text_col))
+        cand = within
+        if store_docs is not None:
+            try:
+                store_bands = spark.read.parquet(f"{path}/{BANDS_SUBDIR}")
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                # store predates the near-dup sink: rebuild its band
+                # table once from the stored text (batch-shaped pass)
+                store_bands = minhash_band_table(
+                    minhash_signatures(
+                        store_docs,
+                        text_col,
+                        id_col,
+                        num_hashes,
+                        hash_family=hash_family,
+                    ),
+                    id_col,
+                    num_hashes,
+                    bands,
+                )
+                store_bands.write.mode("overwrite").parquet(
+                    f"{path}/{BANDS_SUBDIR}"
+                )
+                store_bands = spark.read.parquet(f"{path}/{BANDS_SUBDIR}")
+            # vs-store candidates: (id_a = store doc, id_b = batch doc)
+            # — store always wins, so a verified pair drops id_b
+            vs_store = (
+                store_bands.select(
+                    F.col(id_col).alias("id_a"), "band_idx", "band_val"
+                )
+                .join(r, ["band_idx", "band_val"])
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            # verify needs both texts: batch side from fresh, store side
+            # pruned to the candidate ids only
+            store_cand_texts = store_docs.select(
+                F.col(id_col), F.col(text_col)
+            ).join(
+                vs_store.select(F.col("id_a").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+            texts = texts.unionByName(store_cand_texts)
+            cand = within.unionByName(vs_store).distinct()
+        dropped = (
+            jaccard_verify(
+                texts, cand, text_col, id_col, jaccard_threshold
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = fresh.join(dropped, id_col, "left_anti").persist()
+        n = survivors.count()
+        if n:
+            # Materialize the survivor band rows BEFORE touching the
+            # store: writing to `path` makes Spark's CacheManager
+            # invalidate every cached plan that READS `path` (fresh, bt,
+            # survivors all do, via the store probes), so a lazy plan
+            # evaluated after the append would recompute against the
+            # just-updated store — the fingerprint anti-join then finds
+            # its own append and the band write emits ZERO rows
+            # (observed). The eager localCheckpoint pins the rows to
+            # block storage, independent of the path.
+            band_rows = bt.join(
+                survivors.select(id_col), id_col, "left_semi"
+            ).localCheckpoint()
+            writer = survivors.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+            band_rows.write.mode("append").parquet(
+                f"{path}/{BANDS_SUBDIR}"
+            )
+        survivors.unpersist()
+        bt.unpersist()
+    finally:
+        fresh.unpersist()
+    return n
+
+
+def start_corpus_neardup_merge_sink(
+    curated: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: tuple[str, ...] = (),
+):
+    """foreachBatch sink running the near-dup-aware merge per micro-batch
+    (see merge_batch_neardup_into_corpus)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch_neardup_into_corpus(
+            batch_df, path, partition_by=partition_by
+        )
+
+    return (
+        curated.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
 
 
 def start_corpus_merge_sink(

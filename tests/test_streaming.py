@@ -439,3 +439,117 @@ def test_merge_batch_drops_null_fingerprints(spark, tmp_path):
         "replay re-appended NULL-fingerprint rows"
     )
     assert spark.read.parquet(store).count() == 1
+
+
+def test_neardup_merge_sink_blocks_near_and_exact_dups(spark, tmp_path):
+    """Near-dup-aware store merge: exact repeats die at the fingerprint
+    stage, NEAR repeats (edited copies, not byte-identical) die at the
+    band-probe + Jaccard stage against the persisted store band table,
+    within-batch near-dups collapse to the smaller id, and replay from a
+    fresh checkpoint appends nothing. The store's _bands side table stays
+    hidden from the document read and covers exactly the survivors."""
+    import json as _json
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        BANDS_SUBDIR,
+        start_corpus_neardup_merge_sink,
+        stream_docs,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "corpus")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+
+    def doc(i, text):
+        return dict(
+            doc_id=i, text=text, lang="en", source="crawl",
+            ingest_ts="2024-01-01T00:00:00",
+        )
+
+    # batch 1: one base doc, one unrelated doc, and an in-batch near-dup
+    # pair (30, 31) — only 30 may survive
+    (landing / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                doc(0, base),
+                doc(1, "completely different content about spark plans"),
+                doc(30, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                doc(31, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+            ]
+        )
+    )
+    q = start_corpus_neardup_merge_sink(
+        stream_docs(spark, str(landing)), store, str(tmp_path / "ck1")
+    ).start()
+    q.processAllAvailable(); q.stop()
+    stored = spark.read.parquet(store)
+    ids1 = {r["doc_id"] for r in stored.select("doc_id").collect()}
+    assert ids1 == {0, 1, 30}, ids1
+
+    # batch 2: exact repeat (new id), near-dup edit of the base doc, and
+    # one genuinely new doc
+    (landing / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                doc(100, base),                     # exact dup -> dropped
+                doc(101, base + " tonight"),        # near dup  -> dropped
+                doc(102, "entirely new material on dedup funnel reports"),
+            ]
+        )
+    )
+    q = start_corpus_neardup_merge_sink(
+        stream_docs(spark, str(landing)), store, str(tmp_path / "ck1")
+    ).start()
+    q.processAllAvailable(); q.stop()
+    stored = spark.read.parquet(store)
+    ids2 = {r["doc_id"] for r in stored.select("doc_id").collect()}
+    assert ids2 == {0, 1, 30, 102}, ids2
+
+    # _bands: hidden from the doc read (above), one entry set per survivor
+    bands = spark.read.parquet(f"{store}/{BANDS_SUBDIR}")
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == ids2
+
+    # full replay from a FRESH checkpoint appends nothing (idempotent)
+    q = start_corpus_neardup_merge_sink(
+        stream_docs(spark, str(landing)), store, str(tmp_path / "ck2")
+    ).start()
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(store).count() == 4
+
+
+def test_neardup_merge_rebuilds_bands_for_legacy_store(spark, tmp_path):
+    """A store created by the exact-only sink (no _bands) is upgraded in
+    place: the first near-dup merge rebuilds the band table from stored
+    text and then blocks near-dups against it."""
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        BANDS_SUBDIR,
+        merge_batch_into_corpus,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen"
+    )
+    legacy = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    assert merge_batch_into_corpus(legacy, store) == 1
+    import os
+
+    assert not os.path.isdir(f"{store}/{BANDS_SUBDIR}")
+    batch = spark.createDataFrame(
+        [(2, base + " seventeen"), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(batch, store) == 1
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {1, 3}, ids
+    assert os.path.isdir(f"{store}/{BANDS_SUBDIR}")
