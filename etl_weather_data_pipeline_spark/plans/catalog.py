@@ -143,8 +143,9 @@ def o_dround(x: str, n: int) -> str:
 # (1) queries whose code or oracle text changed this round (DSIR
 # pre-aggregated scoring join; the _o_passage/_o_winnow oracle refactor
 # behind doc_exact_passage_pairs + corpus_dedup_funnel; the IVF probe
-# tie-break behind ann_ivf_topk) and the two NEW queries
-# (doc_passage_pairs_blocked, corpus_dedup_funnel_incremental), then
+# tie-break behind ann_ivf_topk) and the round's NEW queries (blocked
+# passage, incremental + blocked funnels, near-dup merge state, recall
+# probe, boilerplate miner), then
 # (2) the 9 rows whose latest driver check is r3-vintage (7 oracled +
 # 2 rows-only — all mirror-verified every session since; pure evidence
 # hygiene), then (3) the two standing canaries, then (4) 33 of the 45
@@ -155,13 +156,15 @@ def o_dround(x: str, n: int) -> str:
 # daily_event_type_pivot, daily_counts_unpivot, customers_with_big_orders,
 # customers_without_orders, customer_only_nations, customer_string_battery,
 # nationkeys_union, nations_intersect, brand_part_stats, conditional_aggs,
-# doc_simhash, doc_simhash_pairs, doc_minhash_signatures.
+# doc_simhash, doc_simhash_pairs, doc_minhash_signatures,
+# doc_duplicate_groups.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed or new this round — must (re-)green first:
     "dsir_importance_weights",
     "doc_passage_pairs_blocked",
     "corpus_dedup_funnel_incremental",
     "corpus_dedup_funnel_blocked",
+    "corpus_neardup_merge_state",
     "dedup_recall_probe",
     "source_boilerplate_ngrams",
     "ann_ivf_topk",
@@ -209,7 +212,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "top_orders_per_customer",
     "customer_running_spend",
     "doc_dedup_exact",
-    "doc_duplicate_groups",
     "doc_minhash_lsh_pairs",
     # Dead-LAST on purpose: the registry's only mapInPandas query once
     # killed the round-1 driver harness mid-window; in last place a

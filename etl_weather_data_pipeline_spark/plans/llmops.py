@@ -140,25 +140,33 @@ def doc_minhash_signatures(spark, sf_dir):
     )
 
 
-def _o_lsh_ctes(num_hashes: int = 8, bands: int = 4, table: str = "documents") -> str:
+def _o_lsh_ctes(
+    num_hashes: int = 8,
+    bands: int = 4,
+    table: str = "documents",
+    prefix: str = "",
+) -> str:
     """CTE chain ``sig, bands, cand`` ending in the distinct LSH candidate
     pairs — composable (``WITH {_o_lsh_ctes()} SELECT ... FROM cand``) so
     the verify-stage oracle can consume the same candidates. ``table`` lets
-    the chain run over a CTE (any relation with doc_id + text)."""
+    the chain run over a CTE (any relation with doc_id + text);
+    ``prefix`` renames the chain (``p1sig, p1bands, p1cand``) so two
+    relations' band tables can coexist in one WITH (cross-table band
+    probes, e.g. the near-dup merge-state oracle)."""
     rows = num_hashes // bands
     sig_cols = ", ".join(f"{o_minhash(i)} AS h{i}" for i in range(num_hashes))
     return f"""
-    sig AS (SELECT doc_id, {sig_cols} FROM {table}),
-    bands AS (
+    {prefix}sig AS (SELECT doc_id, {sig_cols} FROM {table}),
+    {prefix}bands AS (
       SELECT doc_id, b.band_idx, b.band_val
-      FROM sig, unnest([{', '.join(
+      FROM {prefix}sig, unnest([{', '.join(
           '{' + f"'band_idx': {b}, 'band_val': " + " || '|' || ".join(
               f'h{b * rows + r}' for r in range(rows)) + '}'
           for b in range(bands))}]) AS t(b)
     ),
-    cand AS (
+    {prefix}cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM bands l JOIN bands r
+      FROM {prefix}bands l JOIN {prefix}bands r
         ON l.band_idx = r.band_idx AND l.band_val = r.band_val
            AND l.doc_id < r.doc_id
     )"""
@@ -2258,6 +2266,102 @@ def corpus_merge_state(spark, sf_dir):
     )
     merge_batch_into_corpus(docs, store, hash_family="md5")
     replayed = merge_batch_into_corpus(docs, store, hash_family="md5")
+    if replayed:  # explicit raise: a bare assert vanishes under python -O
+        raise AssertionError(
+            f"replay appended {replayed} rows — not idempotent"
+        )
+    return spark.read.parquet(store).select("doc_id", "lang", "fingerprint")
+
+
+@q(
+    "corpus_neardup_merge_state",
+    "Driver-grade evidence for the NEAR-DUP-aware streaming merge sink "
+    "(streaming/corpus.py merge_batch_neardup_into_corpus): runs the "
+    "foreachBatch body LIVE against a fresh store for two micro-batches "
+    "(batch 1 = doc_id%3==0, batch 2 = the full overlapping feed), then "
+    "REPLAYS batch 2 to prove idempotency (a non-zero third append "
+    "raises), and returns the store's post-merge state. Per batch: "
+    "within-batch min-id exact dedup, fingerprint anti-join vs the "
+    "store, MinHash band probe of the store's persisted _bands table + "
+    "the batch's own bands, exact Jaccard >= 0.5 verify on candidates "
+    "(store always wins; smaller id wins within a batch). The oracle "
+    "replays the same two merges relationally — the prefixed LSH band "
+    "CTEs let the store and batch band tables coexist for the "
+    "cross-table probe.",
+    oracle=f"""
+    WITH b1 AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+    f1 AS (SELECT doc_id, text, lang, {O_FINGERPRINT} AS fp FROM b1),
+    s1a AS (
+      SELECT f.doc_id, f.text, f.lang, f.fp FROM f1 f
+      JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM f1 GROUP BY 1) m
+        ON m.doc_id = f.doc_id),
+    {_o_lsh_ctes(8, 4, table="s1a", prefix="p1")},
+    t1 AS (SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM s1a),
+    drop1 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM p1cand c JOIN t1 l ON l.doc_id = c.id_a
+                    JOIN t1 r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    store1 AS (
+      SELECT * FROM s1a
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+    f2 AS (SELECT doc_id, text, lang, {O_FINGERPRINT} AS fp
+           FROM documents),
+    s2a AS (
+      SELECT f.doc_id, f.text, f.lang, f.fp FROM f2 f
+      JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM f2 GROUP BY 1) m
+        ON m.doc_id = f.doc_id),
+    s2b AS (
+      SELECT * FROM s2a
+      WHERE fp NOT IN (SELECT fp FROM store1)),
+    {_o_lsh_ctes(8, 4, table="store1", prefix="st")},
+    {_o_lsh_ctes(8, 4, table="s2b", prefix="bb")},
+    cross_cand AS (
+      SELECT DISTINCT st.doc_id AS id_a, bb.doc_id AS id_b
+      FROM stbands st JOIN bbbands bb
+        ON st.band_idx = bb.band_idx AND st.band_val = bb.band_val),
+    cand2 AS (
+      SELECT id_a, id_b FROM bbcand
+      UNION SELECT id_a, id_b FROM cross_cand),
+    t2 AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM store1
+      UNION ALL
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM s2b),
+    drop2 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand2 c JOIN t2 l ON l.doc_id = c.id_a
+                   JOIN t2 r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    surv2 AS (
+      SELECT * FROM s2b
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop2))
+    SELECT doc_id, lang, fp AS fingerprint FROM store1
+    UNION ALL SELECT doc_id, lang, fp FROM surv2
+    """,
+)
+def corpus_neardup_merge_state(spark, sf_dir):
+    """Live twin of the near-dup merge sink (md5 family so DuckDB
+    reproduces fingerprints, signatures, and band values bit-for-bit)."""
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = tempfile.mkdtemp(prefix="corpus_neardup_merge_") + "/store"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    merge_batch_neardup_into_corpus(
+        docs.filter(F.col("doc_id") % 3 == 0), store, hash_family="md5"
+    )
+    merge_batch_neardup_into_corpus(docs, store, hash_family="md5")
+    replayed = merge_batch_neardup_into_corpus(
+        docs, store, hash_family="md5"
+    )
     if replayed:  # explicit raise: a bare assert vanishes under python -O
         raise AssertionError(
             f"replay appended {replayed} rows — not idempotent"
