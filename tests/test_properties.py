@@ -328,3 +328,80 @@ def test_bucketed_store_probe_shuffles_batch_only(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS fp_store")
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+_doc_text = st.lists(
+    st.sampled_from(_WORDS), min_size=4, max_size=10
+).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc_text, min_size=2, max_size=14))
+def test_neardup_merge_no_false_drops(spark, texts):
+    """Arbitrary tiny-vocabulary corpora (forced collisions) through the
+    near-dup merge sink, split into two batches. Invariants that must
+    hold for EVERY input:
+
+    1. store fingerprints stay unique (no two exact-dups co-exist);
+    2. every batch doc NOT admitted has a justification — an exact-dup
+       already in the store / a smaller-id exact twin in its batch, or a
+       token-Jaccard >= 0.5 partner that is a store doc or a smaller-id
+       batch doc (verify is exact, so LSH can cause missed DROPS but
+       never unjustified ones);
+    3. replaying the second batch appends nothing.
+    """
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_neardup_into_corpus,
+    )
+
+    import tempfile
+
+    # fresh store PER EXAMPLE (a pytest tmp fixture is created once per
+    # test, not per hypothesis example — reuse would leak state)
+    store = tempfile.mkdtemp(prefix="ndstore_") + "/corpus"
+    docs = [(i, t) for i, t in enumerate(texts)]
+    cut = max(1, len(docs) // 2)
+    b1, b2 = docs[:cut], docs[cut:]
+    sdf = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    merge_batch_neardup_into_corpus(sdf(b1), store)
+    if b2:
+        merge_batch_neardup_into_corpus(sdf(b2), store)
+        assert merge_batch_neardup_into_corpus(sdf(b2), store) == 0
+
+    stored = spark.read.parquet(store).collect()
+    fps = [r["fingerprint"] for r in stored]
+    assert len(fps) == len(set(fps))  # (1)
+
+    def toks(t):
+        return set(t.split())
+
+    def jac(a, b):
+        i = len(toks(a) & toks(b))
+        u = len(toks(a) | toks(b))
+        return i / u if u else 0.0
+
+    admitted = {r["doc_id"] for r in stored}
+    by_id = dict(docs)
+    norm = lambda t: " ".join(t.split()).lower()  # noqa: E731
+    for batch in (b1, b2):
+        batch_ids = {i for i, _ in batch}
+        for i, t in batch:
+            if i in admitted:
+                continue
+            earlier_store = [
+                j for j in admitted if j not in batch_ids or j < i
+            ]
+            exact_twin = any(
+                norm(by_id[j]) == norm(t)
+                for j in by_id
+                if j != i and (j in admitted or (j in batch_ids and j < i))
+            )
+            near = any(jac(t, by_id[j]) >= 0.5 for j in earlier_store)
+            # a dropped doc may also near-dup a batch doc that was
+            # ITSELF dropped (single-pass semantics) — the partner then
+            # is any smaller-id batch doc
+            near_batch = any(
+                jac(t, by_id[j]) >= 0.5 for j in batch_ids if j < i
+            )
+            assert exact_twin or near or near_batch, (i, t)  # (2)
