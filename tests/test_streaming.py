@@ -553,3 +553,49 @@ def test_neardup_merge_rebuilds_bands_for_legacy_store(spark, tmp_path):
     ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
     assert ids == {1, 3}, ids
     assert os.path.isdir(f"{store}/{BANDS_SUBDIR}")
+
+
+def test_neardup_sink_agrees_with_batch_incremental_funnel(spark, tmp_path):
+    """The streaming near-dup merge and the batch incremental funnel
+    implement ONE admission policy (exact anti-join; near-dup where the
+    store always wins and the smaller id wins within a batch), via
+    different mechanics (persisted band-table probe vs union-LSH). On
+    the same (store, batch) inputs with the md5 family they must admit
+    EXACTLY the same documents — a drift between the streaming and
+    batch planners fails here."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators.dedup import dedup_exact
+    from etl_weather_data_pipeline_spark.plans import llmops
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_into_corpus,
+        merge_batch_neardup_into_corpus,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    store_raw = docs.filter(F.col("doc_id") % 5 != 0)
+
+    # batch path
+    llmops.release_curation_cache()
+    store = dedup_exact(store_raw).select("doc_id", "text")
+    _, _, b2 = llmops.incremental_funnel(store, batch)
+    funnel_admitted = {r["doc_id"] for r in b2.collect()}
+    llmops.release_curation_cache()
+
+    # streaming path: build the SAME store via the exact-only merge
+    # (min-id semantics match dedup_exact), then near-dup-merge the batch
+    # — the sink rebuilds the band table from the legacy store in place
+    spath = str(tmp_path / "corpus")
+    merge_batch_into_corpus(
+        store_raw.select("doc_id", "text"), spath, hash_family="md5"
+    )
+    before = {r["doc_id"] for r in spark.read.parquet(spath).collect()}
+    merge_batch_neardup_into_corpus(batch, spath, hash_family="md5")
+    after = {r["doc_id"] for r in spark.read.parquet(spath).collect()}
+    sink_admitted = after - before
+
+    assert sink_admitted == funnel_admitted, (
+        sorted(sink_admitted ^ funnel_admitted)
+    )
