@@ -106,6 +106,7 @@ def merge_batch_into_corpus(
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
     partition_by: tuple[str, ...] = (),
+    history: bool = True,
 ) -> int:
     """Append only NEVER-SEEN documents to the corpus store.
 
@@ -137,6 +138,7 @@ def merge_batch_into_corpus(
     batch = batch_df.filter(F.col(text_col).isNotNull()).withColumn(
         "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
     )
+    n_batch = batch.count() if history else 0
     rn = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     )
@@ -165,10 +167,43 @@ def merge_batch_into_corpus(
             writer.parquet(path)
     finally:
         fresh.unpersist()
+    if history:
+        _append_ingest_history(spark, path, n_batch, n_batch - n, 0, n)
     return n
 
 
 BANDS_SUBDIR = "_bands"  # underscore: hidden from parquet dir discovery
+INGEST_HISTORY_SUBDIR = "_ingest_history"  # per-merge audit rows
+
+
+def _append_ingest_history(
+    spark: SparkSession,
+    path: str,
+    n_batch: int,
+    n_exact_dropped: int,
+    n_neardup_dropped: int,
+    n_appended: int,
+) -> None:
+    """One audit row per merge — the corpus-store analogue of the
+    reference pipeline's load_history table (written even when nothing
+    was appended, so gaps in the feed are visible). Lives under an
+    underscore dir, invisible to the document read."""
+    from datetime import datetime, timezone
+
+    row = [
+        (
+            n_batch,
+            n_exact_dropped,
+            n_neardup_dropped,
+            n_appended,
+            datetime.now(timezone.utc).replace(tzinfo=None),
+        )
+    ]
+    spark.createDataFrame(
+        row,
+        "n_batch long, n_exact_dropped long, n_neardup_dropped long, "
+        "n_appended long, merged_at timestamp",
+    ).write.mode("append").parquet(f"{path}/{INGEST_HISTORY_SUBDIR}")
 
 
 def merge_batch_neardup_into_corpus(
@@ -181,6 +216,7 @@ def merge_batch_neardup_into_corpus(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     partition_by: tuple[str, ...] = (),
+    history: bool = True,
 ) -> int:
     """Near-dup-aware merge: append only batch docs that are neither
     exact NOR near duplicates of the store (or of a surviving smaller-id
@@ -222,6 +258,7 @@ def merge_batch_neardup_into_corpus(
     batch = batch_df.filter(F.col(text_col).isNotNull()).withColumn(
         "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
     )
+    n_batch = batch.count() if history else 0
     rn = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     )
@@ -242,6 +279,7 @@ def merge_batch_neardup_into_corpus(
         fresh = batch
     fresh = fresh.persist()
     try:
+        n_after_exact = fresh.count() if history else 0
         # --- near-dup stage over the exact-stage survivors ---
         sig = minhash_signatures(
             fresh, text_col, id_col, num_hashes, hash_family=hash_family
@@ -340,6 +378,11 @@ def merge_batch_neardup_into_corpus(
         bt.unpersist()
     finally:
         fresh.unpersist()
+    if history:
+        _append_ingest_history(
+            spark, path, n_batch, n_batch - n_after_exact,
+            n_after_exact - n, n,
+        )
     return n
 
 

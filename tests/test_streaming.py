@@ -599,3 +599,51 @@ def test_neardup_sink_agrees_with_batch_incremental_funnel(spark, tmp_path):
     assert sink_admitted == funnel_admitted, (
         sorted(sink_admitted ^ funnel_admitted)
     )
+
+
+def test_corpus_ingest_history_audit_rows(spark, tmp_path):
+    """Every merge writes one audit row to _ingest_history (even a
+    no-op replay), the counts decompose the batch exactly
+    (n_batch = exact_dropped + neardup_dropped + appended), the appended
+    column sums to the store size, and the audit dir stays hidden from
+    the document read."""
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        INGEST_HISTORY_SUBDIR,
+        merge_batch_into_corpus,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    base = (
+        "shared sentence about weather data pipelines running on spark "
+        "clusters every single day without fail"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base), (3, "some other unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    assert merge_batch_into_corpus(b1, store) == 2  # 2 kept 1 exact dup
+    b2 = spark.createDataFrame(
+        [(10, base), (11, base + " tonight"), (12, "brand new content here")],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(b2, store) == 1  # only 12
+    assert merge_batch_neardup_into_corpus(b2, store) == 0  # replay
+
+    hist = spark.read.parquet(f"{store}/{INGEST_HISTORY_SUBDIR}").collect()
+    assert len(hist) == 3
+    for r in hist:
+        assert (
+            r["n_batch"]
+            == r["n_exact_dropped"] + r["n_neardup_dropped"] + r["n_appended"]
+        ), r
+    assert sum(r["n_appended"] for r in hist) == 3
+    assert spark.read.parquet(store).count() == 3  # audit dir hidden
+    by_appended = sorted(
+        (r["n_batch"], r["n_exact_dropped"], r["n_neardup_dropped"], r["n_appended"])
+        for r in hist
+    )
+    # replay row: 10 and 12 die at the exact stage (they ARE stored);
+    # 11 was near-dup-dropped before, so it is not in the store and is
+    # re-dropped at the near-dup stage again — (3, 2, 1, 0)
+    assert by_appended == [(3, 1, 0, 2), (3, 1, 1, 1), (3, 2, 1, 0)], by_appended
