@@ -89,3 +89,72 @@ def stratified_take_n(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def pack_documents_intact(
+    docs: DataFrame,
+    budget: int = 256,
+    n_groups: int = 16,
+    id_col: str = "doc_id",
+    tc_col: str = "n_tokens",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Greedy intact-document sequence packing (no document is ever
+    split — the SFT/packed-finetuning constraint, where concat-then-chunk
+    packing like corpus_sequence_pack is forbidden).
+
+    Greedy next-fit is a sequential recurrence (each assignment depends
+    on the running fill), so it cannot be a window function — this is
+    the textbook case for a grouped ``applyInPandas`` custom operator:
+    docs are hash-bucketed into ``n_groups`` deterministic groups, and
+    WITHIN each group Python runs next-fit-decreasing over (token count
+    desc, id) order. Groups pack in parallel across executors; the
+    sequential part is per-group and Arrow-batched. Determinism: group
+    assignment is the key hash, in-group order is total, so the packing
+    is bit-stable across runs/partitionings. A doc longer than
+    ``budget`` gets a sequence of its own (the recurrence opens a fresh
+    sequence whenever the doc doesn't fit).
+
+    Input needs a precomputed token-count column (``tc_col``) so the
+    Python worker never re-tokenizes text. Returns
+    (id, pack_group, seq_id) — seq ids are per-group, dense from 0.
+
+    At 100 TB: n_groups scales with the cluster (it bounds per-task
+    state to one group's doc list); the shuffle is one hash partition
+    on the group key carrying only (id, token count).
+    """
+    import pandas as pd  # noqa: F401 — re-imported inside the UDF by value
+
+    grouped = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tc_col).alias("tc"),
+        hash_bucket(F.col(id_col), n_groups, hash_family).alias(
+            "pack_group"
+        ),
+    )
+
+    def pack_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["tc", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        seqs, fill, seq = [], 0, -1
+        for tc in pdf["tc"]:
+            if seq < 0 or fill + tc > budget:
+                seq += 1
+                fill = int(tc)
+            else:
+                fill += int(tc)
+            seqs.append(seq)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "pack_group": pdf["pack_group"],
+                "seq_id": seqs,
+            }
+        )
+
+    return grouped.groupBy("pack_group").applyInPandas(
+        pack_group, "doc_id long, pack_group long, seq_id long"
+    )

@@ -3765,6 +3765,56 @@ def source_boilerplate_ngrams(spark, sf_dir):
 
 
 @q(
+    "corpus_pack_intact",
+    "Intact-document sequence packing (the SFT constraint: no document "
+    "may be split across training sequences, so concat-then-chunk "
+    "packing is forbidden). Greedy next-fit-decreasing is a sequential "
+    "recurrence — the textbook grouped-applyInPandas custom operator: "
+    "docs hash-bucket into 16 deterministic groups, Python packs each "
+    "group over (token count desc, id) order, groups run in parallel "
+    "and the shuffle carries only (id, token count). The oracle "
+    "replays the same recurrence with a RECURSIVE CTE advancing all "
+    "groups in lockstep — per-doc assignments must match bit-for-bit "
+    "(operators/sampling.py pack_documents_intact).",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % 16 AS BIGINT) AS pack_group,
+             CAST(len({O_TOKS}) AS BIGINT) AS tc
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, pack_group, tc,
+             row_number() OVER (
+               PARTITION BY pack_group ORDER BY tc DESC, doc_id) AS rn
+      FROM base),
+    pack AS (
+      SELECT pack_group, doc_id, tc, rn,
+             CAST(0 AS BIGINT) AS seq_id, tc AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.pack_group, o.doc_id, o.tc, o.rn,
+             CASE WHEN p.fill + o.tc <= 256
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.fill + o.tc <= 256
+                  THEN p.fill + o.tc ELSE o.tc END
+      FROM pack p JOIN ordered o
+        ON o.pack_group = p.pack_group AND o.rn = p.rn + 1)
+    SELECT doc_id, pack_group, seq_id FROM pack
+    """,
+)
+def corpus_pack_intact(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        pack_documents_intact,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents_intact(docs, budget=256, n_groups=16)
+
+
+@q(
     "corpus_shard_manifest",
     "Per-shard manifest of a deterministic 8-way training-shard export: "
     "shard id from the md5 hash bucket of doc_id (a doc NEVER changes "

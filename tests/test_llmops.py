@@ -979,3 +979,32 @@ def test_funnel_blocked_consistency_with_exact(spark):
     for s in ("0_input", "1_exact", "2_neardup"):
         assert exact[s] == blocked[s], (s, exact, blocked)
     assert blocked["3_passage"] >= exact["3_passage"], (exact, blocked)
+
+
+def test_pack_intact_capacity_and_coverage(spark):
+    """Intact packing invariants: every doc assigned exactly once; no
+    sequence over budget unless it is a single oversize doc; in-group
+    seq ids dense from 0; deterministic across runs."""
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        pack_documents_intact,
+    )
+    from etl_weather_data_pipeline_spark.functions import text as TX
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    tc = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    out1 = pack_documents_intact(docs, budget=256, n_groups=16).collect()
+    out2 = pack_documents_intact(docs, budget=256, n_groups=16).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert {r["doc_id"] for r in out1} == set(tc)
+    seqs = {}
+    for r in out1:
+        seqs.setdefault((r["pack_group"], r["seq_id"]), []).append(
+            tc[r["doc_id"]]
+        )
+    for (g, s), tcs in seqs.items():
+        assert sum(tcs) <= 256 or len(tcs) == 1, (g, s, tcs)
+    for g in {r["pack_group"] for r in out1}:
+        sids = sorted({s for (gg, s) in seqs if gg == g})
+        assert sids == list(range(len(sids))), (g, sids)
