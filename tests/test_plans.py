@@ -458,6 +458,14 @@ def test_round6_additions_plan_shapes(spark):
     assert n_nodes(p, "InMemoryTableScan") >= 6, p
     release_curation_cache()
 
+    # intact packing: ONE hash exchange on the group key feeding the
+    # single Arrow grouped-map node (text is tokenized at the scan and
+    # projected away before the shuffle — the exchange carries id + tc)
+    p = plan_of(spark, "corpus_pack_intact")
+    assert n_nodes(p, "Exchange") == 1, p
+    assert n_nodes(p, "FlatMapGroupsInPandas") == 1, p
+    assert n_nodes(p, "Scan parquet") == 1, p
+
 
 def test_merge_state_probe_is_anti_join(spark):
     # the merge sink's store probe must stay a left-anti equi-join on the
