@@ -84,15 +84,20 @@ HEADLINE = [
 # hash. The driver's gate runs them at sf0.01; invariants can be
 # scale-dependent (the ann self-recall floor once broke only at sf0.1),
 # so `--check-invariants` re-asserts every boolean column at the bench
-# SF. corpus_merge_state carries its invariant as an internal raise
-# (replay idempotency) instead of a column.
+# SF. The merge-state queries carry their invariant as an internal
+# raise (replay idempotency inside the foreachBatch replay) instead of
+# a column — running them at the bench SF IS the assertion.
 PROPERTY_QUERIES = [
     "approx_aggregates",
     "kmeans_clusters",
     "ann_ivf_topk",
     "corpus_merge_state",
+    "corpus_neardup_merge_state",
     "doc_minhash_lsh_pairs_xxh",
 ]
+
+# Queries whose invariant is an internal raise, not boolean columns.
+RAISE_INVARIANT_QUERIES = {"corpus_merge_state", "corpus_neardup_merge_state"}
 
 
 def check_invariants(spark, registry, sf_dir: str) -> dict[str, str]:
@@ -109,7 +114,7 @@ def check_invariants(spark, registry, sf_dir: str) -> dict[str, str]:
             for f in df.schema.fields
             if isinstance(f.dataType, BooleanType)
         ]
-        if name != "corpus_merge_state":
+        if name not in RAISE_INVARIANT_QUERIES:
             assert bool_cols, (
                 f"{name}: no boolean invariant columns — schema drifted?"
             )

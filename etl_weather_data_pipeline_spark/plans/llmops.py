@@ -1817,8 +1817,24 @@ def multimodal_decode_features(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
+    # The oracle equates utf-8 payload BYTES with character codepoints
+    # (length(text) / unicode(substr)) — true only while the corpus is
+    # pure ASCII. Guard at the source (lazy per-row CASE): a regenerated
+    # testdata vintage with one multi-byte char fails loudly right here
+    # instead of surfacing as an inscrutable driver hash mismatch.
     payloads = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        "doc_id",
+        F.when(
+            F.col("text").rlike("^[\x00-\x7f]*$"),
+            F.encode(F.col("text"), "utf-8"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("multimodal_decode_features: non-ASCII text breaks "
+                      "the byte==codepoint oracle equivalence")
+            )
+        )
+        .alias("payload"),
     )
     # Per-batch memory is bounded INSIDE the operator (max_batch_rows
     # re-chunks the session's Arrow batches) — no shared session conf is
@@ -3550,7 +3566,10 @@ def corpus_dedup_funnel_incremental(spark, sf_dir):
                AS ptext
       FROM probe, unnest([2, 3, 7, 50]) AS t(k)),
     planted AS (
-      SELECT doc_id + k * 1000000 AS doc_id, ptext AS text FROM p2),
+      SELECT CASE WHEN doc_id < 1000000 THEN doc_id + k * 1000000
+                  ELSE error('dedup_recall_probe: doc_id >= 1e6 collides '
+                             'with the planted-id space') END AS doc_id,
+             ptext AS text FROM p2),
     corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL SELECT doc_id, text FROM planted),
@@ -3625,8 +3644,21 @@ def dedup_recall_probe(spark, sf_dir):
             " ",
         ),
     )
+    # Planted ids live at doc_id + k*1e6; a real doc_id >= 1e6 would
+    # collide with that space and silently corrupt the recall decode
+    # (id_b % 1e6). Guard IN the planted-id projection (lazy per-row
+    # CASE, zero cost on the happy path) so corpus growth past the
+    # offset fails loudly in both engines instead of drifting the curve.
+    planted_id = F.when(
+        F.col("doc_id") < 1000000, F.col("doc_id") + F.col("k") * 1000000
+    ).otherwise(
+        F.raise_error(
+            F.lit("dedup_recall_probe: doc_id >= 1e6 collides with the "
+                  "planted-id space; raise the offset")
+        )
+    )
     planted = p2.select(
-        (F.col("doc_id") + F.col("k") * 1000000).alias("doc_id"),
+        planted_id.alias("doc_id"),
         F.col("ptext").alias("text"),
     )
     corpus = docs.unionByName(planted)

@@ -278,6 +278,7 @@ def merge_batch_neardup_into_corpus(
     else:
         fresh = batch
     fresh = fresh.persist()
+    bt = survivors = None
     try:
         n_after_exact = fresh.count() if history else 0
         # --- near-dup stage over the exact-stage survivors ---
@@ -374,9 +375,13 @@ def merge_batch_neardup_into_corpus(
             band_rows.write.mode("append").parquet(
                 f"{path}/{BANDS_SUBDIR}"
             )
-        survivors.unpersist()
-        bt.unpersist()
     finally:
+        # All three persists release even when a stage or store write
+        # fails — a long-running streaming sink would otherwise leak one
+        # cached plan per failed batch for the session's lifetime.
+        for cached in (bt, survivors):
+            if cached is not None:
+                cached.unpersist()
         fresh.unpersist()
     if history:
         _append_ingest_history(
