@@ -2366,23 +2366,38 @@ def corpus_neardup_merge_state(spark, sf_dir):
     import tempfile
 
     from etl_weather_data_pipeline_spark.streaming.corpus import (
+        bands_table_name,
         merge_batch_neardup_into_corpus,
     )
 
     store = tempfile.mkdtemp(prefix="corpus_neardup_merge_") + "/store"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    merge_batch_neardup_into_corpus(
-        docs.filter(F.col("doc_id") % 3 == 0), store, hash_family="md5"
-    )
-    merge_batch_neardup_into_corpus(docs, store, hash_family="md5")
-    replayed = merge_batch_neardup_into_corpus(
-        docs, store, hash_family="md5"
-    )
-    if replayed:  # explicit raise: a bare assert vanishes under python -O
-        raise AssertionError(
-            f"replay appended {replayed} rows — not idempotent"
+    # band_buckets=8: the store is a one-shot temp dir; production sizing
+    # (64) would write 8x the files for zero benefit at this scale. The
+    # catalog entry for the temp store's bucketed band table is dropped
+    # after the result materializes (metadata only — external table).
+    try:
+        merge_batch_neardup_into_corpus(
+            docs.filter(F.col("doc_id") % 3 == 0), store,
+            hash_family="md5", band_buckets=8,
         )
-    return spark.read.parquet(store).select("doc_id", "lang", "fingerprint")
+        merge_batch_neardup_into_corpus(
+            docs, store, hash_family="md5", band_buckets=8
+        )
+        replayed = merge_batch_neardup_into_corpus(
+            docs, store, hash_family="md5", band_buckets=8
+        )
+        if replayed:  # explicit raise: bare assert vanishes under python -O
+            raise AssertionError(
+                f"replay appended {replayed} rows — not idempotent"
+            )
+        # The returned plan reads the store by PATH — dropping the band
+        # table's catalog entry below cannot invalidate it.
+        return spark.read.parquet(store).select(
+            "doc_id", "lang", "fingerprint"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
 
 
 @q(

@@ -176,6 +176,196 @@ BANDS_SUBDIR = "_bands"  # underscore: hidden from parquet dir discovery
 INGEST_HISTORY_SUBDIR = "_ingest_history"  # per-merge audit rows
 
 
+def bands_table_name(path: str) -> str:
+    """Catalog name for the store's bucketed band table, derived from the
+    store path (stable across sessions, collision-free across stores)."""
+    import hashlib
+    import os
+
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    return f"corpus_bands_{digest}"
+
+
+def _read_parquet_if_exists(spark: SparkSession, p: str) -> DataFrame | None:
+    """Read a parquet dir, or None iff the path doesn't exist. Any OTHER
+    read failure (permissions, corrupt footer) propagates — swallowing it
+    would silently disable dedup probes."""
+    try:
+        return spark.read.parquet(p)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+
+
+_BANDS_SCHEMA_DDL = "doc_id BIGINT, band_idx INT, band_val STRING"
+_BANDS_COLS = ("doc_id", "band_idx", "band_val")
+
+
+def _create_bands_table(spark: SparkSession, name: str, bands_path: str,
+                        n_buckets: int) -> None:
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({_BANDS_SCHEMA_DDL}) "
+        f"USING PARQUET CLUSTERED BY (band_idx, band_val) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{bands_path}'"
+    )
+
+
+def _append_bands_bucketed(
+    band_rows: DataFrame, name: str, bands_path: str, n_buckets: int
+) -> None:
+    """Append band rows to the store's BUCKETED band table (creates the
+    external table on first use). The repartition aligns tasks with the
+    bucket hash (same Murmur3), so each append writes at most
+    ``n_buckets`` files instead of tasks x buckets."""
+    (
+        band_rows.select(*_BANDS_COLS)
+        .repartition(n_buckets, F.col("band_idx"), F.col("band_val"))
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "band_idx", "band_val")
+        .option("path", bands_path)
+        .saveAsTable(name)
+    )
+
+
+def _rewrite_bands_bucketed(
+    spark: SparkSession, rows: DataFrame, name: str, bands_path: str,
+    n_buckets: int,
+) -> None:
+    """Rewrite the band table bucketed, crash-safely: stage the bucketed
+    copy to a sibling dir (reading the live files directly), swap the two
+    dirs, re-point the catalog entry. Doubles as compaction — the output
+    is exactly one file per non-empty bucket."""
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import _swap_dirs
+
+    staged = bands_path.rstrip("/") + ".__staged__"
+    tmp_name = name + "__staged"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    (
+        rows.select(*_BANDS_COLS)
+        .repartition(n_buckets, F.col("band_idx"), F.col("band_val"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "band_idx", "band_val")
+        .option("path", staged)
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # metadata only
+    if os.path.isdir(bands_path):
+        _swap_dirs(bands_path, staged)
+    else:
+        os.rename(staged, bands_path)
+    # Re-create rather than refresh: the rewrite may have CHANGED the
+    # bucket count, and a stale INTO n BUCKETS declaration over files
+    # written with a different n mis-assigns every probe. External
+    # table: drop/create touch metadata only.
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _create_bands_table(spark, name, bands_path, n_buckets)
+
+
+def _bucket_file_ids(bands_path: str) -> list[int] | None:
+    """Bucket ids parsed from the dir's parquet file names, or None if any
+    file lacks the ``_NNNNN`` bucket tag (legacy unbucketed layout)."""
+    import glob
+    import os
+    import re
+
+    ids = []
+    for f in glob.glob(os.path.join(bands_path, "*.parquet")):
+        m = re.search(r"_(\d{5})\.", os.path.basename(f))
+        if m is None:
+            return None
+        ids.append(int(m.group(1)))
+    return ids
+
+
+def _ensure_bands_table(
+    spark: SparkSession, path: str, n_buckets: int
+) -> str | None:
+    """Make ``<path>/_bands`` readable as a BUCKETED catalog table; returns
+    the table name, or None when no band data exists yet (fresh store —
+    the first survivor append creates the table).
+
+    Cases: (1) catalog entry alive — nothing to do; (2) files are
+    bucket-tagged from a previous session's bucketed writes — re-attach
+    with one DDL statement (bucket ids live in the file names, so a
+    restart costs zero data movement); (3) legacy plain-parquet layout
+    (pre-bucketing stores) — one staged bucketed rewrite, then the
+    catalog entry. A bucket id >= n_buckets (table written with a
+    different bucket count) also takes the rewrite path."""
+    name = bands_table_name(path)
+    if spark.catalog.tableExists(name):
+        return name
+    bands_path = f"{path}/{BANDS_SUBDIR}"
+    rows = _read_parquet_if_exists(spark, bands_path)
+    if rows is None:
+        return None
+    ids = _bucket_file_ids(bands_path)
+    if ids is not None and all(i < n_buckets for i in ids):
+        _create_bands_table(spark, name, bands_path, n_buckets)
+    else:
+        _rewrite_bands_bucketed(spark, rows, name, bands_path, n_buckets)
+    return name
+
+
+def compact_corpus_side_tables(
+    spark: SparkSession,
+    path: str,
+    band_buckets: int = 64,
+    target_file_mb: int = 128,
+) -> dict[str, dict[str, int]]:
+    """Maintenance pass for the streaming sinks' side tables: every
+    micro-batch appends small files to ``<path>/_bands`` (up to
+    ``band_buckets`` per batch) and one row-file to
+    ``<path>/_ingest_history`` — a long-running ingest stream accumulates
+    them without bound. The history compacts byte-targeted
+    (:func:`sinks.writers.compact_parquet`); the band table rewrites
+    through the bucketed stager, landing at exactly one file per
+    non-empty bucket while PRESERVING the bucket layout the per-batch
+    probe's no-shuffle plan depends on. Run it on the schedule the
+    document store's own ``compact_parquet`` runs on. Returns
+    {"bands": {...}, "ingest_history": {...}} file counts."""
+    import glob
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import compact_parquet
+
+    out: dict[str, dict[str, int]] = {}
+    hist = f"{path}/{INGEST_HISTORY_SUBDIR}"
+    if _read_parquet_if_exists(spark, hist) is not None:
+        out["ingest_history"] = compact_parquet(
+            spark, hist, target_file_mb=target_file_mb
+        )
+    bands_path = f"{path}/{BANDS_SUBDIR}"
+    name = _ensure_bands_table(spark, path, band_buckets)
+    if name is not None:
+        n_before = len(glob.glob(os.path.join(bands_path, "*.parquet")))
+        # Force the HONORED bucketed scan for the rewrite. Two reasons:
+        # (1) correctness — with autoBucketedScan on, Catalyst may keep
+        # the scan file-based yet still elide the aligning repartition
+        # (its required distribution reads as satisfied from the table
+        # metadata), scattering each bucket across tasks (observed: a
+        # 4-bucket table compacting to 6 files, buckets split 2 ways);
+        # (2) scale — the honored bucketed scan makes the rewrite
+        # ZERO-SHUFFLE when the bucket count is unchanged: each task
+        # streams one bucket's small files into exactly one output file.
+        k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prior = spark.conf.get(k, "true")
+        spark.conf.set(k, "false")
+        try:
+            _rewrite_bands_bucketed(
+                spark, spark.table(name), name, bands_path, band_buckets
+            )
+        finally:
+            spark.conf.set(k, prior)
+        n_after = len(glob.glob(os.path.join(bands_path, "*.parquet")))
+        out["bands"] = {"files_before": n_before, "files_after": n_after}
+    return out
+
+
 def _append_ingest_history(
     spark: SparkSession,
     path: str,
@@ -203,7 +393,9 @@ def _append_ingest_history(
         row,
         "n_batch long, n_exact_dropped long, n_neardup_dropped long, "
         "n_appended long, merged_at timestamp",
-    ).write.mode("append").parquet(f"{path}/{INGEST_HISTORY_SUBDIR}")
+    ).coalesce(1).write.mode("append").parquet(
+        f"{path}/{INGEST_HISTORY_SUBDIR}"
+    )
 
 
 def merge_batch_neardup_into_corpus(
@@ -217,6 +409,7 @@ def merge_batch_neardup_into_corpus(
     jaccard_threshold: float = 0.5,
     partition_by: tuple[str, ...] = (),
     history: bool = True,
+    band_buckets: int = 64,
 ) -> int:
     """Near-dup-aware merge: append only batch docs that are neither
     exact NOR near duplicates of the store (or of a surviving smaller-id
@@ -225,7 +418,15 @@ def merge_batch_neardup_into_corpus(
     The store carries two probe-able projections: ``fingerprint`` (in
     the document rows, as in `merge_batch_into_corpus`) and a persisted
     MinHash BAND table under ``<path>/_bands`` (doc_id, band_idx,
-    band_val — written for every appended survivor). Each batch:
+    band_val — written for every appended survivor). The band table is
+    a BUCKETED catalog table on (band_idx, band_val) — the probe's join
+    key — so the per-batch probe reads the (corpus-sized) store bands
+    in place and shuffles ONLY the batch's bands into the bucket layout
+    (plan pinned in tests/test_properties.py; same contract as the
+    bucketed fingerprint store). ``band_buckets`` sizes that layout —
+    it is fixed at table creation, so size it for the store's TARGET
+    scale; re-bucketing later is one `compact_corpus_side_tables` pass
+    away. Each batch:
 
     1. exact stage — within-batch min-id dedup + fingerprint anti-join
        against the store (idempotent under at-least-once replay: a
@@ -301,15 +502,15 @@ def merge_batch_neardup_into_corpus(
         )
         texts = fresh.select(F.col(id_col), F.col(text_col))
         cand = within
+        bands_path = f"{path}/{BANDS_SUBDIR}"
+        bands_name = bands_table_name(path)
         if store_docs is not None:
-            try:
-                store_bands = spark.read.parquet(f"{path}/{BANDS_SUBDIR}")
-            except AnalysisException as e:
-                if "PATH_NOT_FOUND" not in str(e):
-                    raise
+            tbl = _ensure_bands_table(spark, path, band_buckets)
+            if tbl is None:
                 # store predates the near-dup sink: rebuild its band
-                # table once from the stored text (batch-shaped pass)
-                store_bands = minhash_band_table(
+                # table once from the stored text (batch-shaped pass);
+                # the bucketed append creates the catalog table
+                rebuilt = minhash_band_table(
                     minhash_signatures(
                         store_docs,
                         text_col,
@@ -320,16 +521,18 @@ def merge_batch_neardup_into_corpus(
                     id_col,
                     num_hashes,
                     bands,
+                ).select(
+                    F.col(id_col).alias("doc_id"), "band_idx", "band_val"
                 )
-                store_bands.write.mode("overwrite").parquet(
-                    f"{path}/{BANDS_SUBDIR}"
+                _append_bands_bucketed(
+                    rebuilt, bands_name, bands_path, band_buckets
                 )
-                store_bands = spark.read.parquet(f"{path}/{BANDS_SUBDIR}")
+            store_bands = spark.table(bands_name)
             # vs-store candidates: (id_a = store doc, id_b = batch doc)
             # — store always wins, so a verified pair drops id_b
             vs_store = (
                 store_bands.select(
-                    F.col(id_col).alias("id_a"), "band_idx", "band_val"
+                    F.col("doc_id").alias("id_a"), "band_idx", "band_val"
                 )
                 .join(r, ["band_idx", "band_val"])
                 .select("id_a", "id_b")
@@ -365,15 +568,19 @@ def merge_batch_neardup_into_corpus(
             # its own append and the band write emits ZERO rows
             # (observed). The eager localCheckpoint pins the rows to
             # block storage, independent of the path.
-            band_rows = bt.join(
-                survivors.select(id_col), id_col, "left_semi"
-            ).localCheckpoint()
+            band_rows = (
+                bt.join(survivors.select(id_col), id_col, "left_semi")
+                .select(
+                    F.col(id_col).alias("doc_id"), "band_idx", "band_val"
+                )
+                .localCheckpoint()
+            )
             writer = survivors.write.mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
-            band_rows.write.mode("append").parquet(
-                f"{path}/{BANDS_SUBDIR}"
+            _append_bands_bucketed(
+                band_rows, bands_name, bands_path, band_buckets
             )
     finally:
         # All three persists release even when a stage or store write
@@ -396,13 +603,15 @@ def start_corpus_neardup_merge_sink(
     path: str,
     checkpoint_dir: str,
     partition_by: tuple[str, ...] = (),
+    band_buckets: int = 64,
 ):
     """foreachBatch sink running the near-dup-aware merge per micro-batch
     (see merge_batch_neardup_into_corpus)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch_neardup_into_corpus(
-            batch_df, path, partition_by=partition_by
+            batch_df, path, partition_by=partition_by,
+            band_buckets=band_buckets,
         )
 
     return (

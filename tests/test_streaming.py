@@ -647,3 +647,196 @@ def test_corpus_ingest_history_audit_rows(spark, tmp_path):
     # 11 was near-dup-dropped before, so it is not in the store and is
     # re-dropped at the near-dup stage again — (3, 2, 1, 0)
     assert by_appended == [(3, 1, 0, 2), (3, 1, 1, 1), (3, 2, 1, 0)], by_appended
+
+
+def test_neardup_band_probe_reads_store_in_place(spark, tmp_path):
+    """The band-table scale contract (r6 verdict directive): the store's
+    _bands table is a catalog table bucketed on the probe's join key
+    (band_idx, band_val), so the per-batch vs-store candidate join reads
+    the corpus-sized band table IN PLACE and shuffles only the batch's
+    bands — the same contract the bucketed fingerprint store pins in
+    test_properties.py::test_bucketed_store_probe_shuffles_batch_only."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures,
+    )
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        bands_table_name,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 3} with words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(b1, store, band_buckets=8) > 0
+
+    batch = spark.createDataFrame(
+        [(100, "a fresh probe document"), (101, "another probe text")],
+        "doc_id long, text string",
+    )
+    bt = minhash_band_table(
+        minhash_signatures(batch, "text", "doc_id", 8, hash_family="xxhash64"),
+        "doc_id", 8, 4,
+    ).select(F.col("doc_id").alias("id_b"), "band_idx", "band_val")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at real scale the batch exceeds any broadcast threshold; force
+        # the shuffle-join path the pin is about
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = (
+            spark.table(bands_table_name(store))
+            .select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
+            .join(bt, ["band_idx", "band_val"])
+            .select("id_a", "id_b")
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            probe._jdf.queryExecution(), "formatted"
+        )
+        # the store subtree (left join child, ':'-prefixed tree lines)
+        # must contain NO Exchange — the bucketed scan feeds the join in
+        # place; the batch side keeps its own 2 (signature aggregate +
+        # bucket alignment), both batch-sized
+        store_side_exchanges = re.findall(r"^\s*:.*Exchange", plan, re.M)
+        assert store_side_exchanges == [], plan
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchange == 2, plan
+        assert "Bucketed: true" in plan, plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_compact_corpus_side_tables(spark, tmp_path):
+    """Side-table maintenance (r6 verdict directive): per-batch appends
+    accumulate small files in _bands and _ingest_history forever;
+    compact_corpus_side_tables rewrites the band table to one file per
+    non-empty bucket WITHOUT losing the bucketed layout (the no-shuffle
+    probe plan survives), compacts the audit log, changes no rows, and
+    the sink keeps working (replay still appends nothing)."""
+    import glob
+    import os
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        BANDS_SUBDIR,
+        INGEST_HISTORY_SUBDIR,
+        bands_table_name,
+        compact_corpus_side_tables,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        [(2, "one two three four five six seven eight nine")],
+        [(3, "red orange yellow green blue indigo violet colors")],
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert merge_batch_neardup_into_corpus(df, store, band_buckets=4) == 1
+
+    bands_path = f"{store}/{BANDS_SUBDIR}"
+    hist_path = f"{store}/{INGEST_HISTORY_SUBDIR}"
+    name = bands_table_name(store)
+    before_rows = sorted(
+        tuple(r) for r in spark.table(name).collect()
+    )
+    files_before = len(glob.glob(os.path.join(bands_path, "*.parquet")))
+    hist_before = len(glob.glob(os.path.join(hist_path, "*.parquet")))
+    assert files_before > 4  # 3 appends x non-empty buckets
+    assert hist_before >= 3  # one audit file per merge
+
+    out = compact_corpus_side_tables(spark, store, band_buckets=4)
+    assert out["bands"]["files_after"] <= 4 < out["bands"]["files_before"]
+    assert out["ingest_history"]["files_after"] < hist_before
+
+    # identical content, still registered, still bucketed
+    after_rows = sorted(tuple(r) for r in spark.table(name).collect())
+    assert after_rows == before_rows
+    hist = spark.read.parquet(hist_path)
+    assert hist.count() == 3
+    # the bucketed layout survives compaction: a join on the bucket key
+    # still reads the store side in place (a bare scan intentionally
+    # reads unbucketed — autoBucketedScan demotes it when no operator
+    # benefits, so the pin must be on a join plan)
+    from pyspark.sql import functions as F
+
+    probe_side = spark.createDataFrame(
+        [(0, "x")], "band_idx int, band_val string"
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(name).join(probe_side, ["band_idx", "band_val"])
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    # the sink still functions against the compacted side tables
+    replay = spark.createDataFrame(
+        batches[0], "doc_id long, text string"
+    )
+    assert merge_batch_neardup_into_corpus(replay, store, band_buckets=4) == 0
+
+
+def test_neardup_merge_migrates_plain_bands_layout(spark, tmp_path):
+    """A pre-bucketing store (plain-parquet _bands, no catalog entry) is
+    migrated in place on first touch: the merge detects the unbucketed
+    file layout, rewrites it through the crash-safe stager, and carries
+    on with identical admission semantics."""
+    import glob
+    import os
+    import re
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        BANDS_SUBDIR,
+        bands_table_name,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "totally different text about bucketed tables")],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(b1, store, band_buckets=4) == 2
+
+    # simulate the legacy layout: demote the band table to plain parquet
+    # (collect first — an in-place overwrite cannot read what it deletes)
+    name = bands_table_name(store)
+    bands_path = f"{store}/{BANDS_SUBDIR}"
+    rows = spark.table(name).collect()
+    spark.sql(f"DROP TABLE {name}")
+    import shutil as _sh
+
+    _sh.rmtree(bands_path)
+    spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_val string"
+    ).coalesce(1).write.parquet(bands_path)
+    assert all(
+        re.search(r"_(\d{5})\.", os.path.basename(f)) is None
+        for f in glob.glob(os.path.join(bands_path, "*.parquet"))
+    )
+
+    # first merge against the legacy layout migrates + still blocks dups
+    b2 = spark.createDataFrame(
+        [(10, base + " today"), (11, "genuinely novel content right here")],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(b2, store, band_buckets=4) == 1
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {1, 2, 11}, ids
+    assert spark.catalog.tableExists(name)
+    assert all(
+        re.search(r"_(\d{5})\.", os.path.basename(f)) is not None
+        for f in glob.glob(os.path.join(bands_path, "*.parquet"))
+    )
