@@ -67,6 +67,9 @@ HEADLINE = [
     "doc_passage_pairs_blocked",
     "corpus_dedup_funnel_incremental",
     "dedup_recall_probe",
+    # round-7: the planted-passage recall probe (stage-3 blocking
+    # calibration; one blocked-dedup-run's cost over a 1.4x corpus)
+    "passage_recall_probe",
     # flagships: full weather transform pipeline + corpus curation chain
     # + the three-stage dedup funnel (exact -> near-dup -> passage)
     "weather_pipeline_e2e",
@@ -89,6 +92,7 @@ HEADLINE = [
 # a column — running them at the bench SF IS the assertion.
 PROPERTY_QUERIES = [
     "approx_aggregates",
+    "events_mad_outliers_approx",
     "kmeans_clusters",
     "ann_ivf_topk",
     "corpus_merge_state",

@@ -3042,6 +3042,25 @@ def doc_exact_passage_pairs(spark, sf_dir):
     return exact_passage_pairs(kept, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K)
 
 
+# CTE fragment ``wd, wkept, cand`` — winnow-sketch-blocked candidate
+# pairs (docs sharing >= _WINNOW_MIN_SHARED stop-bounded fingerprints);
+# assumes ``wf`` (doc_id, fingerprint) in scope. Shared by the blocked
+# passage composition and the passage recall probe so the blocking the
+# probe measures is EXACTLY the blocking the composition runs.
+_O_WINNOW_CAND = f"""wd AS (
+      SELECT doc_id, fingerprint,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS df
+      FROM wf),
+    wkept AS (SELECT doc_id, fingerprint FROM wd
+              WHERE df <= {_WINNOW_MAX_DF}),
+    cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM wkept l JOIN wkept r
+        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_WINNOW_MIN_SHARED})"""
+
+
 @q(
     "doc_passage_pairs_blocked",
     "The 100 TB composition of the two substring operators: winnow "
@@ -3072,18 +3091,7 @@ def doc_exact_passage_pairs(spark, sf_dir):
     oracle=f"""
     WITH {_o_rolling(_WINNOW_K)},
     {_o_winnow_rows(_WINNOW_W)},
-    wd AS (
-      SELECT doc_id, fingerprint,
-             COUNT(*) OVER (PARTITION BY fingerprint) AS df
-      FROM wf),
-    wkept AS (SELECT doc_id, fingerprint FROM wd
-              WHERE df <= {_WINNOW_MAX_DF}),
-    cand AS (
-      SELECT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM wkept l JOIN wkept r
-        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
-      GROUP BY 1, 2
-      HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
+    {_O_WINNOW_CAND},
     {_o_passage(cand="cand", with_rolling=False)}
     SELECT id_a, id_b,
            CAST(max_run_grams AS BIGINT) AS max_run_grams,
@@ -3092,22 +3100,39 @@ def doc_exact_passage_pairs(spark, sf_dir):
     """,
 )
 def doc_passage_pairs_blocked(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    release_curation_cache()
+    cand, grams = _passage_stack(docs)
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+    )
+
+    return exact_passage_pairs(
+        grams, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K, candidates=cand
+    )
+
+
+def _passage_stack(docs):
+    """The shared core of the blocked passage composition: ONE persisted
+    Rabin-Karp hash pass feeding both the winnow-candidate sketch and the
+    gram-position table. Returns ``(cand, grams)`` — the sketch-blocked
+    (id_a, id_b) candidate pairs and the PERSISTED gram table (persisted
+    because every consumer joins it at least twice). Caller owns
+    release_curation_cache().
+
+    One pass matters: the winnow sketch is per-window minima of the SAME
+    hash arrays the gram table explodes, so normalize+hash runs once and
+    both tables derive from the cache — without this the composition
+    pays the (dominant, data-bound) hash chain twice and can never beat
+    the standalone full-gram join."""
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     from etl_weather_data_pipeline_spark.operators.passages import (
-        exact_passage_pairs,
         gram_positions,
         rolling_hashes,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    release_curation_cache()
-    # ONE Rabin-Karp pass for the whole composition: the winnow sketch is
-    # per-window minima of the SAME hash arrays the gram table explodes,
-    # so normalize+hash runs once and both tables derive from the cache —
-    # without this the composition pays the (dominant, data-bound) hash
-    # chain twice and can never beat the standalone full-gram join.
     hs = rolling_hashes(docs, k=_WINNOW_K).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -3149,9 +3174,7 @@ def doc_passage_pairs_blocked(spark, sf_dir):
         k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC, hashes=hs
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(grams)
-    return exact_passage_pairs(
-        grams, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K, candidates=cand
-    )
+    return cand, grams
 
 
 @q(
@@ -3735,6 +3758,201 @@ def dedup_recall_probe(spark, sf_dir):
     )
 
 
+@q(
+    "passage_recall_probe",
+    "Planted-PASSAGE recall measurement for the blocked substring "
+    "pipeline (r6 verdict directive — the stage-3 companion of "
+    "dedup_recall_probe): for a 10% probe subset, a splice of the "
+    "doc's first 16/32/64/128 raw chars is embedded in an otherwise "
+    "dissimilar planted doc (the doc's reversed text — no winnow/gram "
+    "overlap beyond chance), the full winnow-candidates -> "
+    "exact-passage-verify composition runs over corpus+planted, and "
+    "per splice length the report gives truth-eligible pairs (the "
+    "EXACT passage operator run with the planted pair as a known "
+    "candidate — same gram table, no blocking, no quadratic pass) vs "
+    "blocking-recovered pairs (verify is exact on candidates, so "
+    "misses are always the sketch blocking's). Measured curve at "
+    "sf0.01: 16 raw chars (~13 normalized) is below the 23-char run "
+    "floor — ineligible by construction (n_eligible 0); 32 chars sits "
+    "at the winnow knee (eligible 43/50, blocking recovers 0.33 — ~19 "
+    "grams can yield fewer than the 8 shared fingerprints blocking "
+    "demands); 64+ recovers 1.0. At sf0.1 the probe surfaces a SECOND "
+    "honest boundary: the synthetic corpus draws from a ~30-word "
+    "vocabulary, so at 5000 docs most 8-char grams exceed the "
+    "max_occ=50 boilerplate bound and the EXACT operator itself deems "
+    "head-splices ineligible (0/0/10/17 of 500) — blocking recovers "
+    "1.0 of every eligible pair. That is the stop-gram/corpus-size "
+    "interaction a real deployment must re-measure per corpus, which "
+    "is the probe's job. ONE shared Rabin-Karp pass over the 1.4x "
+    "corpus feeds sketch, gram table, blocked match AND truth match — "
+    "the probe costs what one blocked dedup run costs, at any scale.",
+    oracle=f"""
+    WITH probe AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    p2 AS (
+      SELECT doc_id, t.li,
+             CASE t.li WHEN 1 THEN 16 WHEN 2 THEN 32
+                       WHEN 3 THEN 64 ELSE 128 END AS sl,
+             text
+      FROM probe, unnest([1, 2, 3, 4]) AS t(li)),
+    planted AS (
+      SELECT CASE WHEN doc_id < 1000000 THEN doc_id + li * 1000000
+                  ELSE error('passage_recall_probe: doc_id >= 1e6 '
+                             'collides with the planted-id space')
+             END AS doc_id,
+             reverse(text) || ' ' || substr(text, 1, sl) AS text
+      FROM p2),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM planted),
+    {_o_rolling(_WINNOW_K, table="corpus")},
+    {_o_winnow_rows(_WINNOW_W)},
+    {_O_WINNOW_CAND},
+    {_o_passage(cand="cand", with_rolling=False)},
+    ppairs AS (
+      SELECT doc_id AS id_a, doc_id + li * 1000000 AS id_b, li FROM p2),
+    tm AS (
+      SELECT cp.id_a, cp.id_b, l.pos AS pa, l.pos - r.pos AS diag
+      FROM (SELECT DISTINCT id_a, id_b FROM ppairs) cp
+      JOIN kept l ON l.doc_id = cp.id_a
+      JOIN kept r ON r.doc_id = cp.id_b AND r.gh = l.gh),
+    truns AS (
+      SELECT id_a, id_b, diag,
+             pa - row_number() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
+      FROM tm),
+    tr2 AS (
+      SELECT id_a, id_b, COUNT(*) AS run_len
+      FROM truns GROUP BY id_a, id_b, diag, island),
+    tpr AS (
+      SELECT id_a, id_b FROM tr2
+      GROUP BY id_a, id_b HAVING MAX(run_len) >= {_PASSAGE_MIN_RUN}),
+    elig AS (
+      SELECT p.li, COUNT(*) AS n_planted,
+             CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eligible
+      FROM ppairs p LEFT JOIN tpr t
+        ON t.id_a = p.id_a AND t.id_b = p.id_b
+      GROUP BY 1),
+    rec AS (
+      SELECT CAST((id_b - id_a) // 1000000 AS BIGINT) AS li,
+             COUNT(*) AS n_recovered
+      FROM pr
+      WHERE id_b >= 1000000 AND id_a < 1000000
+        AND id_a = id_b % 1000000
+      GROUP BY 1)
+    SELECT CAST(CASE e.li WHEN 1 THEN 16 WHEN 2 THEN 32
+                          WHEN 3 THEN 64 ELSE 128 END AS BIGINT)
+             AS splice_chars,
+           CAST(e.n_planted AS BIGINT) AS n_planted,
+           e.n_eligible,
+           CAST(coalesce(r.n_recovered, 0) AS BIGINT) AS n_recovered,
+           CASE WHEN e.n_eligible > 0 THEN
+             {o_dround("CAST(coalesce(r.n_recovered, 0) AS DOUBLE)"
+                       " / e.n_eligible", 6)}
+           ELSE 0.0 END AS blocking_recall
+    FROM elig e LEFT JOIN rec r ON r.li = e.li
+    """,
+)
+def passage_recall_probe(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    lens = F.array(F.lit(16), F.lit(32), F.lit(64), F.lit(128))
+    # constant 4-element array: the explode-filter trap targets expensive
+    # array expressions; a literal array re-evaluates for free
+    p2 = probe.select(
+        "doc_id",
+        F.explode(
+            F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))
+        ).alias("li"),
+        "text",
+    ).withColumn("sl", F.element_at(lens, F.col("li")))
+    ptext = F.concat(
+        F.reverse(F.col("text")),
+        F.lit(" "),
+        F.col("text").substr(F.lit(1), F.col("sl")),
+    )
+    # same planted-id collision guard as dedup_recall_probe
+    planted_id = F.when(
+        F.col("doc_id") < 1000000,
+        F.col("doc_id") + F.col("li") * 1000000,
+    ).otherwise(
+        F.raise_error(
+            F.lit("passage_recall_probe: doc_id >= 1e6 collides with "
+                  "the planted-id space; raise the offset")
+        )
+    )
+    planted = p2.select(planted_id.alias("doc_id"), ptext.alias("text"))
+    corpus = docs.unionByName(planted)
+    release_curation_cache()
+    cand, grams = _passage_stack(corpus)
+    blocked = exact_passage_pairs(
+        grams, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K, candidates=cand
+    )
+    ppairs = p2.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.col("li") * 1000000).alias("id_b"),
+        "li",
+    )
+    # truth: the SAME exact-verify over the SAME persisted gram table,
+    # with the planted pair as a known candidate — isolates exactly what
+    # the sketch blocking loses, at |planted| cost
+    truth = exact_passage_pairs(
+        grams,
+        min_run=_PASSAGE_MIN_RUN,
+        k=_WINNOW_K,
+        candidates=ppairs.select("id_a", "id_b"),
+    )
+    elig = (
+        ppairs.join(
+            truth.select("id_a", "id_b", F.lit(1).alias("__hit")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .groupBy("li")
+        .agg(
+            F.count(F.lit(1)).alias("n_planted"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_eligible"),
+        )
+    )
+    rec = (
+        blocked.filter(
+            (F.col("id_b") >= 1000000)
+            & (F.col("id_a") < 1000000)
+            & (F.col("id_a") == F.col("id_b") % 1000000)
+        )
+        .groupBy(
+            F.expr("CAST((id_b - id_a) DIV 1000000 AS BIGINT)").alias("li")
+        )
+        .agg(F.count(F.lit(1)).alias("n_recovered"))
+    )
+    recall = F.when(
+        F.col("n_eligible") > 0,
+        dround(
+            F.coalesce(F.col("n_recovered"), F.lit(0)).cast("double")
+            / F.col("n_eligible"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return elig.join(rec, "li", "left").select(
+        F.element_at(lens, F.col("li").cast("int"))
+        .cast("long")
+        .alias("splice_chars"),
+        "n_planted",
+        "n_eligible",
+        F.coalesce(F.col("n_recovered"), F.lit(0))
+        .cast("long")
+        .alias("n_recovered"),
+        recall.alias("blocking_recall"),
+    )
+
+
 def _o_shingles_k(k: int) -> str:
     """k-word shingle list over ``text`` — mirrors TX.word_shingles_of
     incl. the 0<n<k whole-doc fallback (generalizes the k=3 O_SHINGLES
@@ -3811,20 +4029,11 @@ def source_boilerplate_ngrams(spark, sf_dir):
     )
 
 
-@q(
-    "corpus_pack_intact",
-    "Intact-document sequence packing (the SFT constraint: no document "
-    "may be split across training sequences, so concat-then-chunk "
-    "packing is forbidden). Greedy next-fit-decreasing is a sequential "
-    "recurrence — the textbook grouped-applyInPandas custom operator: "
-    "docs hash-bucket into 16 deterministic groups, Python packs each "
-    "group over (token count desc, id) order, groups run in parallel "
-    "and the shuffle carries only (id, token count). The oracle "
-    "replays the same recurrence with a RECURSIVE CTE advancing all "
-    "groups in lockstep — per-doc assignments must match bit-for-bit "
-    "(operators/sampling.py pack_documents_intact).",
-    oracle=f"""
-    WITH RECURSIVE base AS (
+# Oracle replay of pack_documents_intact (budget 256, 16 hash groups):
+# greedy next-fit-decreasing as a RECURSIVE CTE advancing all groups in
+# lockstep — shared by the per-doc assignment query and the packing-
+# efficiency report so the two can never drift.
+_O_PACK_CTES = f"""base AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                   ::BIGINT % 16 AS BIGINT) AS pack_group,
@@ -3846,7 +4055,23 @@ def source_boilerplate_ngrams(spark, sf_dir):
              CASE WHEN p.fill + o.tc <= 256
                   THEN p.fill + o.tc ELSE o.tc END
       FROM pack p JOIN ordered o
-        ON o.pack_group = p.pack_group AND o.rn = p.rn + 1)
+        ON o.pack_group = p.pack_group AND o.rn = p.rn + 1)"""
+
+
+@q(
+    "corpus_pack_intact",
+    "Intact-document sequence packing (the SFT constraint: no document "
+    "may be split across training sequences, so concat-then-chunk "
+    "packing is forbidden). Greedy next-fit-decreasing is a sequential "
+    "recurrence — the textbook grouped-applyInPandas custom operator: "
+    "docs hash-bucket into 16 deterministic groups, Python packs each "
+    "group over (token count desc, id) order, groups run in parallel "
+    "and the shuffle carries only (id, token count). The oracle "
+    "replays the same recurrence with a RECURSIVE CTE advancing all "
+    "groups in lockstep — per-doc assignments must match bit-for-bit "
+    "(operators/sampling.py pack_documents_intact).",
+    oracle=f"""
+    WITH RECURSIVE {_O_PACK_CTES}
     SELECT doc_id, pack_group, seq_id FROM pack
     """,
 )
@@ -3859,6 +4084,68 @@ def corpus_pack_intact(spark, sf_dir):
         "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
     )
     return pack_documents_intact(docs, budget=256, n_groups=16)
+
+
+@q(
+    "corpus_pack_stats",
+    "Packing-efficiency report over the intact packer's assignments "
+    "(r6 verdict directive): per pack group — docs, sequences, total "
+    "tokens, waste (unused budget) and mean fill ratio at budget 256. "
+    "This is the dashboard that catches a silent next-fit-decreasing "
+    "regression: a degraded packer shows up as rising waste/falling "
+    "fill long before anyone inspects per-doc assignments. A doc "
+    "longer than the budget overflows its own dedicated sequence, so "
+    "fill_ratio can legitimately exceed 1 and waste can go negative — "
+    "both are honest, not clamped. Plan: the grouped-applyInPandas "
+    "packer (shuffle carries only id + token count) joined back to the "
+    "persisted narrow (doc_id, n_tokens) projection it consumed — "
+    "persisted ONCE via the bounded cache registry because it feeds "
+    "both the packer and the join (two-branch re-evaluation trap) — "
+    "then one 16-row hash aggregate. Oracle: the shared RECURSIVE "
+    "replay aggregated the same way.",
+    oracle=f"""
+    WITH RECURSIVE {_O_PACK_CTES}
+    SELECT pack_group,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(tc) AS BIGINT) AS total_tokens,
+           CAST((MAX(seq_id) + 1) * 256 - SUM(tc) AS BIGINT)
+             AS waste_tokens,
+           {o_dround(
+               'CAST(SUM(tc) AS DOUBLE) / ((MAX(seq_id) + 1) * 256)', 6)}
+             AS fill_ratio
+    FROM pack GROUP BY 1
+    """,
+)
+def corpus_pack_stats(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        pack_documents_intact,
+    )
+
+    release_curation_cache()
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(counts)
+    asg = pack_documents_intact(counts, budget=256, n_groups=16)
+    j = asg.join(counts, "doc_id")
+    return j.groupBy("pack_group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("seq_id") + 1).alias("n_seqs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        ((F.max("seq_id") + 1) * 256 - F.sum(F.col("n_tokens").cast("long")))
+        .cast("long")
+        .alias("waste_tokens"),
+        dround(
+            F.sum(F.col("n_tokens").cast("long")).cast("double")
+            / ((F.max("seq_id") + 1) * 256),
+            6,
+        ).alias("fill_ratio"),
+    )
 
 
 @q(

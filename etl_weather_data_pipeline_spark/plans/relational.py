@@ -750,6 +750,117 @@ def events_mad_outliers(spark, sf_dir):
     )
 
 
+@q(
+    "events_mad_outliers_approx",
+    "The 100 TB variant of events_mad_outliers, itself checked: the two "
+    "exact F.median passes are full sort-based aggregations (fine at "
+    "small groups, a scan-wide sort at 100 TB), so the production plan "
+    "swaps them for percentile_approx — same two-pass shape, sketch "
+    "aggregation. Sketches are engine- and merge-order-specific, so "
+    "this is a PROPERTY oracle (approx_aggregates pattern): the row "
+    "carries the EXACT median/MAD/outlier columns (cross-checked "
+    "value-for-value by DuckDB) plus booleans asserting the approx "
+    "stats sit inside tight exact-percentile bands — approx median "
+    "within the exact p45-p55, approx MAD within the deviation "
+    "distribution's p45-p55 (deviations taken around the APPROX median, "
+    "so the band checks the sketch, not the recentering), and the "
+    "approx outlier rate within 0.02 absolute of the exact rate. "
+    "Default sketch accuracy 10000 bounds rank error at n/10000, "
+    "orders of magnitude inside these bands.",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, median(dev) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_dround('MIN(d.med)', 6)} AS median_exact,
+           {o_dround('MIN(m.mad)', 6)} AS mad_exact,
+           CAST(COUNT(*) FILTER (
+             WHERE d.dev > 3.5 * 1.4826 * m.mad) AS BIGINT)
+             AS n_outliers_exact,
+           TRUE AS approx_med_in_p45_p55,
+           TRUE AS approx_mad_in_p45_p55,
+           TRUE AS approx_rate_within_002
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_mad_outliers_approx(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    g1 = ev.groupBy("event_type").agg(
+        F.median("value").alias("__med"),
+        F.percentile_approx("value", 0.5).alias("__amed"),
+        F.percentile("value", 0.45).alias("__p45"),
+        F.percentile("value", 0.55).alias("__p55"),
+    )
+    j = ev.join(F.broadcast(g1), "event_type").select(
+        "event_type",
+        "__med",
+        "__amed",
+        "__p45",
+        "__p55",
+        F.abs(F.col("value") - F.col("__med")).alias("__dev_e"),
+        F.abs(F.col("value") - F.col("__amed")).alias("__dev_a"),
+    )
+    g2 = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("__med").alias("__med"),
+        F.min("__amed").alias("__amed"),
+        F.min("__p45").alias("__p45"),
+        F.min("__p55").alias("__p55"),
+        F.median("__dev_e").alias("__mad_e"),
+        F.percentile_approx("__dev_a", 0.5).alias("__amad"),
+        F.percentile("__dev_a", 0.45).alias("__d45"),
+        F.percentile("__dev_a", 0.55).alias("__d55"),
+    )
+    # third lightweight pass for the outlier counts: thresholds depend on
+    # the medians/MADs just aggregated, broadcast back into the scan
+    j2 = ev.join(F.broadcast(g2), "event_type")
+    out_e = (
+        F.abs(F.col("value") - F.col("__med"))
+        > F.lit(3.5) * F.lit(1.4826) * F.col("__mad_e")
+    )
+    out_a = (
+        F.abs(F.col("value") - F.col("__amed"))
+        > F.lit(3.5) * F.lit(1.4826) * F.col("__amad")
+    )
+    g3 = j2.groupBy("event_type").agg(
+        F.min("n_events").alias("n_events"),
+        dround(F.min("__med"), 6).alias("median_exact"),
+        dround(F.min("__mad_e"), 6).alias("mad_exact"),
+        F.count(F.when(out_e, 1)).alias("n_outliers_exact"),
+        F.count(F.when(out_a, 1)).alias("__n_out_a"),
+        F.min("__amed").alias("__amed"),
+        F.min("__p45").alias("__p45"),
+        F.min("__p55").alias("__p55"),
+        F.min("__amad").alias("__amad"),
+        F.min("__d45").alias("__d45"),
+        F.min("__d55").alias("__d55"),
+    )
+    rate_gap = F.abs(
+        F.col("__n_out_a").cast("double") / F.col("n_events")
+        - F.col("n_outliers_exact").cast("double") / F.col("n_events")
+    )
+    return g3.select(
+        "event_type",
+        "n_events",
+        "median_exact",
+        "mad_exact",
+        "n_outliers_exact",
+        F.col("__amed")
+        .between(F.col("__p45"), F.col("__p55"))
+        .alias("approx_med_in_p45_p55"),
+        F.col("__amad")
+        .between(F.col("__d45"), F.col("__d55"))
+        .alias("approx_mad_in_p45_p55"),
+        (rate_gap <= F.lit(0.02)).alias("approx_rate_within_002"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping extensions: pivot, rollup, daily quality (A4)
 # ---------------------------------------------------------------------------

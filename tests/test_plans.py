@@ -499,3 +499,42 @@ def test_merge_state_probe_is_anti_join(spark):
     assert "CartesianProduct" not in plan
     rs = plan.split("ReadSchema")[-1].split("\n")[0]
     assert "text" not in rs, rs  # store scan pruned to the fingerprint
+
+
+def test_round7_additions_plan_shapes(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # passage recall probe: ONE shared Rabin-Karp pass over the planted
+    # corpus (hash cache + sketch + gram caches, each multi-consumer:
+    # the gram cache feeds the blocked match's two sides AND the truth
+    # match's two sides); planting is map-side (constant-array Generate
+    # + reverse/substr projection, no join builds the copies); blocking,
+    # blocked verify, and the known-pair truth verify are all equi-joins
+    # — never a cartesian, never a quadratic truth pass, no Python
+    p = plan_of(spark, "passage_recall_probe")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert n_nodes(p, "InMemoryTableScan") >= 4, p
+    release_curation_cache()
+
+    # pack-stats report: the narrow (doc_id, n_tokens) projection is
+    # persisted ONCE and feeds both the Arrow packer and the join back
+    # (two-branch re-evaluation trap) — one parquet scan inside the
+    # cache, one grouped-map node, no extra tokenization pass
+    p = plan_of(spark, "corpus_pack_stats")
+    assert n_nodes(p, "Scan parquet") <= 1, p
+    assert n_nodes(p, "InMemoryTableScan") == 2, p
+    assert n_nodes(p, "FlatMapGroupsInPandas") == 1, p
+    release_curation_cache()
+
+    # approx MAD twin: same two-broadcast-pass shape as the exact query
+    # (group stats broadcast back into the scan twice), sketch and exact
+    # percentiles ride the same aggregates — no extra shuffle beyond the
+    # three group-by passes, no cartesian
+    p = plan_of(spark, "events_mad_outliers_approx")
+    assert "CartesianProduct" not in p
+    assert n_nodes(p, "BroadcastHashJoin") == 2, p
+    assert "BatchEvalPython" not in p
