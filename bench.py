@@ -76,8 +76,9 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "corpus_dedup_funnel",
     # the production-shaped funnel: stage 3 via the blocked composition
-    # (measured 10% cheaper than the exact funnel, interleaved min-of-5;
-    # identical survivors at sf0.01)
+    # (identical survivors at sf0.01; wall-clock parity with the exact
+    # funnel at test SFs — inside cross-session noise — the scale claim
+    # is the 184x pinned gram-match volume reduction)
     "corpus_dedup_funnel_blocked",
 ]
 

@@ -139,80 +139,90 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-6 rotation:
-# (1) queries whose code or oracle text changed this round (DSIR
-# pre-aggregated scoring join; the _o_passage/_o_winnow oracle refactor
-# behind doc_exact_passage_pairs + corpus_dedup_funnel; the IVF probe
-# tie-break behind ann_ivf_topk) and the round's NEW queries (blocked
-# passage, incremental + blocked funnels, near-dup merge state, recall
-# probe, boilerplate miner), then
-# (2) the 9 rows whose latest driver check is r3-vintage (7 oracled +
-# 2 rows-only — all mirror-verified every session since; pure evidence
-# hygiene), then (3) the two standing canaries, then (4) 33 of the 45
-# r4-vintage rows. Deferred to r7 (banked r4-green + mirror-verified,
-# lowest marginal evidence — pure-relational, timestamp-insensitive,
-# unchanged since r2, plus one stable dedup row bumped for the new
-# recall probe): orders_cube, orders_grouping_sets,
-# daily_event_type_pivot, daily_counts_unpivot, customers_with_big_orders,
-# customers_without_orders, customer_only_nations, customer_string_battery,
-# nationkeys_union, nations_intersect, brand_part_stats, conditional_aggs,
-# doc_simhash, doc_simhash_pairs, doc_minhash_signatures,
-# doc_duplicate_groups.
+# file holds exactly the first 50 registry entries). Round-7 rotation
+# (closes the cumulative evidence gap — after this window every one of
+# the 116 registry queries has had at least one green driver row):
+# (1) queries whose code or oracle changed this round (dedup_recall_probe
+# id-space guard; corpus_neardup_merge_state bucketed band table;
+# doc_passage_pairs_blocked _passage_stack refactor) and the round's NEW
+# queries (passage_recall_probe, events_mad_outliers_approx;
+# corpus_pack_stats runs in the Python tail), then (2) the 3 queries
+# that have NEVER had a driver row (landed after r6's window froze),
+# then (3) the 16 rows deferred from r6 (r4-vintage), then (4) the two
+# standing canaries, then (5) 22 of the 44 r5-vintage rows — weather
+# family (reference-parity core), the property oracles, the
+# timestamp-sensitive events family, and the deepest llm chains first.
+# Python-worker queries (grouped/arrow applyInPandas + mapInPandas) sit
+# at the window TAIL so a worker-death costs no other query its row;
+# multimodal_decode_features stays dead-last (it once killed the r1
+# harness). Deferred to r8 (banked r5-green + mirror-verified every
+# session, lowest marginal evidence): doc_ngram_jaccard_pairs,
+# doc_text_stats, doc_lang_id, ann_multi_query_topk,
+# multimodal_binary_features, embedding_lsh_buckets, doc_pii_scrub,
+# doc_stratified_sample, label_centroids, doc_minhash_jaccard_estimate,
+# doc_span_dedup, doc_quality_quantile_filter, embedding_quantize_stats,
+# neardup_degree_stats, doc_repetition_stats, corpus_length_histogram,
+# doc_chunk_spans, corpus_sequence_pack, corpus_temperature_sample,
+# neardup_cross_source_matrix, corpus_shard_manifest,
+# source_quality_stats.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed or new this round — must (re-)green first:
-    "dsir_importance_weights",
-    "doc_passage_pairs_blocked",
-    "corpus_dedup_funnel_incremental",
-    "corpus_dedup_funnel_blocked",
-    "corpus_neardup_merge_state",
     "dedup_recall_probe",
-    "source_boilerplate_ngrams",
-    "ann_ivf_topk",
-    "doc_exact_passage_pairs",
-    "corpus_dedup_funnel",
-    # r3-vintage stale rows (directive: every oracled query gets a
-    # post-regeneration driver row this round):
-    "doc_fingerprints",
-    "doc_token_counts",
-    "doc_gopher_quality_flags",
-    "embedding_semdedup_keep",
-    "corpus_dataset_card",
-    "doc_incremental_dedup",
-    "doc_unigram_logprob",
-    "doc_minhash_lsh_pairs_xxh",
+    "corpus_neardup_merge_state",
+    "doc_passage_pairs_blocked",
+    "passage_recall_probe",
+    "events_mad_outliers_approx",
+    # Never driver-checked (r6 landed after the window froze):
+    "events_mad_outliers",
+    "neardup_transitivity_stats",
+    # r4-vintage rows deferred from r6:
+    "orders_cube",
+    "orders_grouping_sets",
+    "daily_event_type_pivot",
+    "daily_counts_unpivot",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "customer_only_nations",
+    "customer_string_battery",
+    "nationkeys_union",
+    "nations_intersect",
+    "brand_part_stats",
+    "conditional_aggs",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_minhash_signatures",
+    "doc_duplicate_groups",
     # Standing canaries (deepest chains; each caught a real bug class):
     "corpus_curation_pipeline",
     "corpus_merge_state",
-    # r4-vintage refresh:
-    "source_token_kl",
-    "embedding_dim_stats",
-    "doc_ngram_novelty",
-    "user_sessions",
-    "session_window_stats",
-    "sliding_window_counts",
-    "latest_event_per_user",
-    "dedup_events_hourly",
-    "events_asof_orders",
-    "events_range_join",
-    "events_enriched",
-    "events_filtered_scored",
-    "events_json_props",
-    "event_type_rollup",
-    "daily_quality_summary",
-    "median_value_by_type",
-    "skewed_type_stats",
-    "type_value_buckets",
-    "user_running_value",
-    "value_percentiles_by_type",
-    "nation_revenue",
-    "top_revenue_orders",
-    "segment_order_stats",
-    "global_order_metrics",
-    "order_rankings",
-    "top_orders_per_customer",
-    "customer_running_spend",
-    "doc_dedup_exact",
-    "doc_minhash_lsh_pairs",
+    # r5-vintage refresh (22 of 44): reference-parity weather family,
+    # property oracles, events family, deepest llm chains:
+    "weather_pipeline_e2e",
+    "weather_daily_summary",
+    "weather_latest",
+    "weather_seasonal_trends",
+    "weather_quality_metrics",
+    "approx_aggregates",
+    "kmeans_clusters",
+    "pricing_summary",
+    "events_anomaly_zscore",
+    "user_retention_cohorts",
+    "events_funnel_conversion",
+    "orders_monthly_growth",
+    "doc_neardup_clusters",
+    "doc_winnow_overlap_pairs",
+    "doc_winnow_fingerprints",
+    "corpus_train_split",
+    "doc_contamination_flags",
+    "doc_tfidf_top_terms",
+    "corpus_vocab_stats",
+    "doc_jaccard_pairs",
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    # Python-worker tail (grouped applyInPandas packer + its report —
+    # a Python-worker death here costs no relational query its row):
+    "corpus_pack_intact",
+    "corpus_pack_stats",
     # Dead-LAST on purpose: the registry's only mapInPandas query once
     # killed the round-1 driver harness mid-window; in last place a
     # repeat death costs no other query its driver row. (Now fully
