@@ -111,12 +111,15 @@ def merge_batch_into_corpus(
     """Append only NEVER-SEEN documents to the corpus store.
 
     The store carries a ``fingerprint`` column, so the history probe is a
-    column-pruned scan of 8/32-byte keys — the batch anti-joins that
-    projection, never the documents. When the store itself is multi-TB,
-    keep it as a table bucketed on the fingerprint
-    (``sinks.writers.write_bucketed_table``): the probe then shuffles
-    ONLY the new batch while the store reads in place (plan pinned in
-    tests/test_properties.py::test_bucketed_store_probe_shuffles_batch_only). Within-batch duplicates collapse to
+    column-pruned scan of 8/32-byte keys — and via the two-step
+    broadcast probe (:func:`_probe_fresh`) the store side never
+    shuffles: the scan streams against the broadcast batch keys and
+    only the (batch-bounded) hit set travels. Plan pinned in
+    tests/test_streaming.py::test_fingerprint_probe_never_shuffles_store.
+    (For batch-side pipelines that maintain a standalone fingerprint
+    table instead, bucketing it on the key is the equivalent contract —
+    tests/test_properties.py::test_bucketed_store_probe_shuffles_batch_only.)
+    Within-batch duplicates collapse to
     the min-id row first (window over the fingerprint), so a batch can't
     race itself. Returns the number of rows appended.
 
@@ -148,12 +151,11 @@ def merge_batch_into_corpus(
     # (permissions, corrupt footer, listing error) must fail the batch so
     # the streaming query retries; swallowing it would silently disable
     # full-history dedup and append duplicates.
-    try:
-        seen = spark.read.parquet(path).select("fingerprint")
-        fresh = batch.join(seen, "fingerprint", "left_anti")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
+    seen_docs = _read_parquet_if_exists(spark, path)
+    if seen_docs is not None:
+        # zero store-side shuffle; store stays the idempotency truth
+        fresh = _probe_fresh(batch, seen_docs.select("fingerprint"))
+    else:
         fresh = batch  # first batch: store doesn't exist yet
     # persist: count + write are two actions; without it the fingerprint
     # projection + store anti-join runs twice per micro-batch.
@@ -174,6 +176,33 @@ def merge_batch_into_corpus(
 
 BANDS_SUBDIR = "_bands"  # underscore: hidden from parquet dir discovery
 INGEST_HISTORY_SUBDIR = "_ingest_history"  # per-merge audit rows
+
+
+def _probe_fresh(
+    batch: DataFrame, seen: DataFrame, key: str = "fingerprint"
+) -> DataFrame:
+    """Batch rows whose ``key`` is NOT in ``seen``, with ZERO store-side
+    shuffle: a plain ``batch.join(seen, key, "left_anti")`` can only
+    broadcast the build (store) side, so at store scale Spark shuffles
+    the store's keys on EVERY micro-batch. Instead probe in two
+    broadcast steps — (1) semi-join the store's keys against the
+    broadcast batch keys (the store SCANS, column-pruned, but never
+    shuffles; the output is at most |batch| keys), (2) anti-join the
+    batch against that broadcast hit set. Both broadcasts are
+    batch-bounded.
+
+    Why not a bucketed fingerprint side table (the `_bands` treatment)?
+    The fingerprint probe is the sink's IDEMPOTENCY mechanism: a
+    replayed batch must find its own previous append, so the probe has
+    to read the STORE itself — a side table appended in a separate
+    write could miss the crash window between the two writes and
+    re-admit (duplicate) the whole batch. Bands are derived data (a
+    crash gap there degrades near-dup recall, not uniqueness), so only
+    they get the side-table treatment; the fingerprint probe keeps the
+    store as its source of truth and drops the shuffle instead."""
+    bkeys = batch.select(key).distinct()
+    hit = seen.join(F.broadcast(bkeys), key, "left_semi")
+    return batch.join(F.broadcast(hit), key, "left_anti")
 
 
 def bands_table_name(path: str) -> str:
@@ -466,16 +495,10 @@ def merge_batch_neardup_into_corpus(
     batch = (
         batch.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
     )
-    store_docs = None
-    try:
-        store_docs = spark.read.parquet(path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
+    store_docs = _read_parquet_if_exists(spark, path)
     if store_docs is not None:
-        fresh = batch.join(
-            store_docs.select("fingerprint"), "fingerprint", "left_anti"
-        )
+        # zero store-side shuffle; store stays the idempotency truth
+        fresh = _probe_fresh(batch, store_docs.select("fingerprint"))
     else:
         fresh = batch
     fresh = fresh.persist()

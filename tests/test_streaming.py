@@ -840,3 +840,57 @@ def test_neardup_merge_migrates_plain_bands_layout(spark, tmp_path):
         re.search(r"_(\d{5})\.", os.path.basename(f)) is not None
         for f in glob.glob(os.path.join(bands_path, "*.parquet"))
     )
+
+
+def test_fingerprint_probe_never_shuffles_store(spark, tmp_path):
+    """The exact-stage store probe (the sink's idempotency mechanism)
+    must SCAN the store but never SHUFFLE it: a plain left_anti can only
+    broadcast the store side, so at store scale it degenerates into
+    re-shuffling every stored fingerprint per micro-batch. The two-step
+    broadcast probe (_probe_fresh) pins the shape: two
+    BroadcastHashJoins, no sort-merge/shuffled-hash join anywhere, and
+    the only shuffle Exchange is the batch-side key distinct."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.functions import text as TX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        _probe_fresh,
+        merge_batch_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(i, f"stored document number {i} with body text") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert merge_batch_into_corpus(b1, store) == 30
+
+    batch = spark.createDataFrame(
+        [(100, "stored document number 3 with body text"),
+         (101, "a new document entirely")],
+        "doc_id long, text string",
+    ).withColumn("fingerprint", TX.fingerprint(F.col("text"), "xxhash64"))
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at store scale nothing auto-broadcasts; the probe's broadcasts
+        # are explicit hints, so they must survive threshold -1
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fresh = _probe_fresh(
+            batch, spark.read.parquet(store).select("fingerprint")
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            fresh._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        # only shuffle: the batch-side fingerprint distinct
+        n_shuffle = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_shuffle <= 1, plan
+        # semantics unchanged: the stored twin is dropped, the new doc kept
+        ids = {r["doc_id"] for r in fresh.collect()}
+        assert ids == {101}, ids
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
