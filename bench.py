@@ -68,8 +68,10 @@ HEADLINE = [
     "corpus_dedup_funnel_incremental",
     "dedup_recall_probe",
     # round-7: the planted-passage recall probe (stage-3 blocking
-    # calibration; one blocked-dedup-run's cost over a 1.4x corpus)
+    # calibration; one blocked-dedup-run's cost over a 1.4x corpus) and
+    # CDC sub-document chunk dedup (map-side chunking, two shuffles)
     "passage_recall_probe",
+    "doc_cdc_chunk_dedup",
     # flagships: full weather transform pipeline + corpus curation chain
     # + the three-stage dedup funnel (exact -> near-dup -> passage)
     "weather_pipeline_e2e",

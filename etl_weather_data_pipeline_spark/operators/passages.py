@@ -181,3 +181,106 @@ def exact_passage_pairs(
             .alias("max_match_chars"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk) content-defined chunks of the alnum-normalized
+    text — gear/FastCDC-style chunking re-expressed relationally: a
+    chunk boundary falls after every position whose Rabin-Karp k-gram
+    hash is ≡ 0 (mod ``divisor``), giving ~``divisor``-char average
+    chunks whose boundaries move WITH the content. That is the property
+    fixed-size chunking lacks and the reason storage dedup uses CDC
+    (FastCDC, Xia et al., USENIX ATC'16): an insertion or deletion
+    re-chunks only its own chunk, so two near-identical documents still
+    share every chunk outside the edit — sub-document dedup by hash
+    equality, no alignment pass.
+
+    Entirely map-side (normalize → rolling hashes → boundary positions
+    → offset pairs → substrings, each stage a bound column — the HOF
+    re-eval trap), no shuffle until a consumer aggregates on the chunk
+    fingerprint. ``explode_outer`` keeps zero-chunk documents as a null
+    row so per-doc reports cover the whole corpus.
+
+    Simplification vs production FastCDC: no min/max chunk clamps and a
+    single divisor (no normalized two-gear levels) — boundary density
+    is then exactly geometric with mean ``divisor``; clamps would be
+    two extra filter conditions on the same positions array."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    b0 = docs.select(F.col(id_col).alias("doc_id"), norm.alias("__norm"))
+    b1 = b0.select("doc_id", "__norm", TX.chars_of(F.col("__norm")).alias("__ch"))
+    b2 = b1.select(
+        "doc_id", "__norm", TX.char_codes_of(F.col("__ch")).alias("__codes")
+    )
+    b3 = b2.select(
+        "doc_id",
+        "__norm",
+        TX.rolling_kgram_hashes_of(F.col("__codes"), k).alias("__h"),
+    )
+    # boundary positions in the hash array (1-based); Spark's sequence()
+    # DESCENDS when stop < start, so the empty-array case needs a guard
+    # (DuckDB's end-exclusive range() just yields [])
+    pos_seq = F.when(
+        F.size(F.col("__h")) > 0,
+        F.sequence(F.lit(1), F.size(F.col("__h"))),
+    ).otherwise(F.array().cast("array<int>"))
+    b4 = b3.select(
+        "doc_id",
+        "__norm",
+        F.filter(
+            pos_seq,
+            lambda i: F.element_at(F.col("__h"), i) % divisor == 0,
+        ).alias("__bpos"),
+    )
+    # text-offset cut after each boundary gram's last char; chunk spans
+    # are [start+1, end] over consecutive cuts, with 0 and len(norm) as
+    # the outer sentinels
+    b5 = b4.select(
+        "doc_id",
+        "__norm",
+        F.transform(F.col("__bpos"), lambda p: p + F.lit(k - 1)).alias(
+            "__cuts"
+        ),
+    )
+    b6 = b5.select(
+        "doc_id",
+        "__norm",
+        F.concat(F.array(F.lit(0)), F.col("__cuts")).alias("__starts"),
+        F.concat(
+            F.col("__cuts"), F.array(F.length(F.col("__norm")))
+        ).alias("__ends"),
+    )
+    # index-based span materialization (a span is kept iff end > start —
+    # drops the empty tail when the last cut lands on the text end, and
+    # the short-text fallback's out-of-range cut degenerates to the
+    # clamped whole-string chunk identically in both engines)
+    b7 = b6.select(
+        "doc_id",
+        "__norm",
+        "__starts",
+        "__ends",
+        F.filter(
+            F.sequence(F.lit(1), F.size(F.col("__starts"))),
+            lambda i: F.element_at(F.col("__ends"), i)
+            > F.element_at(F.col("__starts"), i),
+        ).alias("__idx"),
+    )
+    b8 = b7.select(
+        "doc_id",
+        F.transform(
+            F.col("__idx"),
+            lambda i: F.col("__norm").substr(
+                F.element_at(F.col("__starts"), i) + 1,
+                F.element_at(F.col("__ends"), i)
+                - F.element_at(F.col("__starts"), i),
+            ),
+        ).alias("__chunks"),
+    )
+    return b8.select(
+        "doc_id", F.explode_outer(F.col("__chunks")).alias("chunk")
+    )

@@ -145,18 +145,20 @@ def o_dround(x: str, n: int) -> str:
 # (1) queries whose code or oracle changed this round (dedup_recall_probe
 # id-space guard; corpus_neardup_merge_state bucketed band table;
 # doc_passage_pairs_blocked _passage_stack refactor) and the round's NEW
-# queries (passage_recall_probe, events_mad_outliers_approx;
-# corpus_pack_stats runs in the Python tail), then (2) the 3 queries
+# queries (passage_recall_probe, events_mad_outliers_approx,
+# doc_cdc_chunk_dedup; corpus_pack_stats runs in the Python tail),
+# then (2) the 3 queries
 # that have NEVER had a driver row (landed after r6's window froze),
 # then (3) the 16 rows deferred from r6 (r4-vintage), then (4) the two
-# standing canaries, then (5) 22 of the 44 r5-vintage rows — weather
+# standing canaries, then (5) 21 of the 44 r5-vintage rows — weather
 # family (reference-parity core), the property oracles, the
 # timestamp-sensitive events family, and the deepest llm chains first.
 # Python-worker queries (grouped/arrow applyInPandas + mapInPandas) sit
 # at the window TAIL so a worker-death costs no other query its row;
 # multimodal_decode_features stays dead-last (it once killed the r1
 # harness). Deferred to r8 (banked r5-green + mirror-verified every
-# session, lowest marginal evidence): doc_ngram_jaccard_pairs,
+# session, lowest marginal evidence): embedding_neardup_pairs,
+# doc_ngram_jaccard_pairs,
 # doc_text_stats, doc_lang_id, ann_multi_query_topk,
 # multimodal_binary_features, embedding_lsh_buckets, doc_pii_scrub,
 # doc_stratified_sample, label_centroids, doc_minhash_jaccard_estimate,
@@ -172,6 +174,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_passage_pairs_blocked",
     "passage_recall_probe",
     "events_mad_outliers_approx",
+    "doc_cdc_chunk_dedup",
     # Never driver-checked (r6 landed after the window froze):
     "events_mad_outliers",
     "neardup_transitivity_stats",
@@ -195,7 +198,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Standing canaries (deepest chains; each caught a real bug class):
     "corpus_curation_pipeline",
     "corpus_merge_state",
-    # r5-vintage refresh (22 of 44): reference-parity weather family,
+    # r5-vintage refresh (21 of 44): reference-parity weather family,
     # property oracles, events family, deepest llm chains:
     "weather_pipeline_e2e",
     "weather_daily_summary",
@@ -218,7 +221,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_vocab_stats",
     "doc_jaccard_pairs",
     "ann_cosine_topk",
-    "embedding_neardup_pairs",
     # Python-worker tail (grouped applyInPandas packer + its report —
     # a Python-worker death here costs no relational query its row):
     "corpus_pack_intact",

@@ -3953,6 +3953,103 @@ def passage_recall_probe(spark, sf_dir):
     )
 
 
+@q(
+    "doc_cdc_chunk_dedup",
+    "Content-defined-chunking sub-document dedup report (FastCDC/gear "
+    "style, the storage-dedup technique, re-expressed relationally): "
+    "chunk boundaries fall wherever the Rabin-Karp 8-gram hash is "
+    "divisible by 64 (~64-char average chunks whose boundaries move "
+    "WITH the content, so an edit re-chunks only its own chunk), "
+    "chunks fingerprint by md5, and each doc reports how much of it "
+    "is duplicated at chunk granularity ANYWHERE in the corpus. "
+    "Complements the other two substring operators: winnow overlap "
+    "gives a containment SCORE from a sketch, exact passages give "
+    "alignment extents, CDC gives the cheap always-on dedup-ratio "
+    "dashboard (two shuffles: chunk-fingerprint window + doc "
+    "aggregate; chunking itself is entirely map-side). "
+    "operators/passages.py cdc_chunks.",
+    oracle=f"""
+    WITH {_o_rolling(_WINNOW_K)},
+    n AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+      FROM documents),
+    bp AS (
+      SELECT doc_id,
+             list_filter(range(1, len(hashes) + 1),
+                         i -> hashes[i] % 64 = 0) AS bpos
+      FROM h),
+    cu AS (
+      SELECT b.doc_id,
+             list_transform(b.bpos, p -> p + {_WINNOW_K - 1}) AS cuts,
+             n.norm
+      FROM bp b JOIN n USING (doc_id)),
+    se AS (
+      SELECT doc_id, norm,
+             list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
+             list_append(cuts, CAST(length(norm) AS BIGINT)) AS ends
+      FROM cu),
+    ch AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(range(1, len(starts) + 1),
+                           i -> ends[i] > starts[i]),
+               i -> substr(norm, CAST(starts[i] + 1 AS INT),
+                           CAST(ends[i] - starts[i] AS INT))) AS chunks
+      FROM se),
+    ex AS (SELECT doc_id, u.chunk FROM ch, unnest(chunks) AS u(chunk)),
+    oc AS (
+      SELECT doc_id, chunk,
+             COUNT(*) OVER (PARTITION BY md5(chunk)) AS occ
+      FROM ex),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_chunks,
+             SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup,
+             SUM(length(chunk)) AS chunk_chars
+      FROM oc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+           CASE WHEN coalesce(a.n_chunks, 0) > 0 THEN
+             {o_dround("CAST(a.n_dup AS DOUBLE) / a.n_chunks", 6)}
+           ELSE 0.0 END AS dup_chunk_ratio,
+           CAST(coalesce(a.chunk_chars, 0) AS BIGINT) AS chunk_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_cdc_chunk_dedup(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        cdc_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, k=_WINNOW_K, divisor=64)
+    oc = ch.withColumn(
+        "__occ",
+        F.count(F.lit(1)).over(Window.partitionBy(F.md5(F.col("chunk")))),
+    )
+    live = F.col("chunk").isNotNull()
+    n_chunks = F.count(F.when(live, 1))
+    n_dup = F.count(F.when(live & (F.col("__occ") >= 2), 1))
+    return oc.groupBy("doc_id").agg(
+        n_chunks.alias("n_chunks"),
+        n_dup.alias("n_dup_chunks"),
+        F.when(
+            n_chunks > 0,
+            dround(n_dup.cast("double") / n_chunks, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_chunk_ratio"),
+        F.coalesce(
+            F.sum(F.when(live, F.length(F.col("chunk")))), F.lit(0)
+        )
+        .cast("long")
+        .alias("chunk_chars"),
+    )
+
+
 def _o_shingles_k(k: int) -> str:
     """k-word shingle list over ``text`` — mirrors TX.word_shingles_of
     incl. the 0<n<k whole-doc fallback (generalizes the k=3 O_SHINGLES

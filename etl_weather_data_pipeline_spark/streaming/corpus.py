@@ -627,15 +627,28 @@ def start_corpus_neardup_merge_sink(
     checkpoint_dir: str,
     partition_by: tuple[str, ...] = (),
     band_buckets: int = 64,
+    compact_every: int | None = None,
 ):
     """foreachBatch sink running the near-dup-aware merge per micro-batch
-    (see merge_batch_neardup_into_corpus)."""
+    (see merge_batch_neardup_into_corpus).
+
+    ``compact_every=N`` folds side-table maintenance into the sink
+    itself: every N-th batch id triggers `compact_corpus_side_tables`
+    after the merge, so a long-running ingest stream never accumulates
+    unbounded small files in ``_bands``/``_ingest_history`` without an
+    external scheduler. Compaction is crash-safe (staged + swapped) and
+    idempotent; running it inside foreachBatch serializes it with the
+    merges, so there is no concurrent-writer window."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch_neardup_into_corpus(
             batch_df, path, partition_by=partition_by,
             band_buckets=band_buckets,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_corpus_side_tables(
+                batch_df.sparkSession, path, band_buckets=band_buckets
+            )
 
     return (
         curated.writeStream.foreachBatch(_merge)

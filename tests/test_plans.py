@@ -538,3 +538,17 @@ def test_round7_additions_plan_shapes(spark):
     assert "CartesianProduct" not in p
     assert n_nodes(p, "BroadcastHashJoin") == 2, p
     assert "BatchEvalPython" not in p
+
+
+def test_cdc_chunk_dedup_plan_shape(spark):
+    # chunking is entirely map-side (one Generate over the per-doc chunk
+    # arrays, layered projections — no join builds the chunks); the only
+    # shuffles are the chunk-fingerprint window and the doc aggregate;
+    # no cartesian, no Python workers
+    p = plan_of(spark, "doc_cdc_chunk_dedup")
+    assert n_nodes(p, "Generate") == 1, p
+    assert n_nodes(p, "Scan parquet") == 1, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p, p  # fully map-side until the window/agg
+    assert "BatchEvalPython" not in p

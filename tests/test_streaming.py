@@ -894,3 +894,61 @@ def test_fingerprint_probe_never_shuffles_store(spark, tmp_path):
         assert ids == {101}, ids
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_neardup_sink_inline_compaction(spark, tmp_path):
+    """compact_every folds side-table maintenance into the sink: after a
+    multi-batch run the band table sits at <= band_buckets files and the
+    store still blocks duplicates (compaction is serialized with merges
+    inside foreachBatch, so there is no concurrent-writer window)."""
+    import glob
+    import json as _json
+    import os
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        BANDS_SUBDIR,
+        start_corpus_neardup_merge_sink,
+        stream_docs,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "corpus")
+
+    def doc(i, text):
+        return dict(
+            doc_id=i, text=text, lang="en", source="crawl",
+            ingest_ts="2024-01-01T00:00:00",
+        )
+
+    (landing / "b1.json").write_text(
+        _json.dumps(doc(1, "alpha beta gamma delta epsilon zeta eta"))
+    )
+    (landing / "b2.json").write_text(
+        _json.dumps(doc(2, "one two three four five six seven eight"))
+    )
+    q = start_corpus_neardup_merge_sink(
+        stream_docs(spark, str(landing)), store, str(tmp_path / "ck"),
+        band_buckets=4, compact_every=1,
+    ).start()
+    q.processAllAvailable(); q.stop()
+    # maxFilesPerTrigger default ingests both files in one batch; force a
+    # second batch with new data so batch_id 1 triggers the compaction
+    (landing / "b3.json").write_text(
+        "\n".join([
+            _json.dumps(doc(3, "red orange yellow green blue indigo")),
+            _json.dumps(doc(4, "alpha beta gamma delta epsilon zeta eta")),
+        ])
+    )
+    q = start_corpus_neardup_merge_sink(
+        stream_docs(spark, str(landing)), store, str(tmp_path / "ck"),
+        band_buckets=4, compact_every=1,
+    ).start()
+    q.processAllAvailable(); q.stop()
+
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {1, 2, 3}, ids  # 4 is an exact dup of 1
+    n_band_files = len(
+        glob.glob(os.path.join(store, BANDS_SUBDIR, "*.parquet"))
+    )
+    assert n_band_files <= 4, n_band_files
