@@ -146,11 +146,11 @@ def o_dround(x: str, n: int) -> str:
 # id-space guard; corpus_neardup_merge_state bucketed band table;
 # doc_passage_pairs_blocked _passage_stack refactor) and the round's NEW
 # queries (passage_recall_probe, events_mad_outliers_approx,
-# doc_cdc_chunk_dedup; corpus_pack_stats runs in the Python tail),
-# then (2) the 3 queries
+# doc_cdc_chunk_dedup, corpus_ingest_history_report; corpus_pack_stats
+# runs in the Python tail), then (2) the 3 queries
 # that have NEVER had a driver row (landed after r6's window froze),
 # then (3) the 16 rows deferred from r6 (r4-vintage), then (4) the two
-# standing canaries, then (5) 21 of the 44 r5-vintage rows — weather
+# standing canaries, then (5) 20 of the 44 r5-vintage rows — weather
 # family (reference-parity core), the property oracles, the
 # timestamp-sensitive events family, and the deepest llm chains first.
 # Python-worker queries (grouped/arrow applyInPandas + mapInPandas) sit
@@ -158,7 +158,7 @@ def o_dround(x: str, n: int) -> str:
 # multimodal_decode_features stays dead-last (it once killed the r1
 # harness). Deferred to r8 (banked r5-green + mirror-verified every
 # session, lowest marginal evidence): embedding_neardup_pairs,
-# doc_ngram_jaccard_pairs,
+# doc_jaccard_pairs, doc_ngram_jaccard_pairs,
 # doc_text_stats, doc_lang_id, ann_multi_query_topk,
 # multimodal_binary_features, embedding_lsh_buckets, doc_pii_scrub,
 # doc_stratified_sample, label_centroids, doc_minhash_jaccard_estimate,
@@ -175,6 +175,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "passage_recall_probe",
     "events_mad_outliers_approx",
     "doc_cdc_chunk_dedup",
+    "corpus_ingest_history_report",
     # Never driver-checked (r6 landed after the window froze):
     "events_mad_outliers",
     "neardup_transitivity_stats",
@@ -198,7 +199,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Standing canaries (deepest chains; each caught a real bug class):
     "corpus_curation_pipeline",
     "corpus_merge_state",
-    # r5-vintage refresh (21 of 44): reference-parity weather family,
+    # r5-vintage refresh (20 of 44): reference-parity weather family,
     # property oracles, events family, deepest llm chains:
     "weather_pipeline_e2e",
     "weather_daily_summary",
@@ -219,7 +220,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_contamination_flags",
     "doc_tfidf_top_terms",
     "corpus_vocab_stats",
-    "doc_jaccard_pairs",
     "ann_cosine_topk",
     # Python-worker tail (grouped applyInPandas packer + its report —
     # a Python-worker death here costs no relational query its row):

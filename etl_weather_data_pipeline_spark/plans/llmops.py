@@ -2401,6 +2401,65 @@ def corpus_neardup_merge_state(spark, sf_dir):
 
 
 @q(
+    "corpus_ingest_history_report",
+    "Driver-grade evidence for the merge sinks' per-merge audit rows "
+    "(the corpus-store analogue of the reference pipeline's "
+    "load_history table, K8): runs the exact-dedup merge LIVE against "
+    "a fresh store for two overlapping batches plus a replay, then "
+    "returns the _ingest_history side table's COUNT columns — one row "
+    "per merge, n_batch decomposing exactly into dropped + appended, "
+    "with the replay row showing a full batch dropped and zero "
+    "appended (the at-least-once idempotency audit trail an operator "
+    "actually reads). Timestamps are excluded (nondeterministic); the "
+    "count rows are fully deterministic and the oracle recomputes all "
+    "three from the documents relation.",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, {O_FINGERPRINT} AS fp FROM documents),
+    b1 AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+    s1 AS (SELECT COUNT(*) AS nb, COUNT(DISTINCT fp) AS ap FROM b1),
+    s2 AS (SELECT COUNT(*) AS nb,
+                  (SELECT COUNT(DISTINCT fp) FROM f) -
+                  (SELECT COUNT(DISTINCT fp) FROM b1) AS ap
+           FROM f)
+    SELECT CAST(nb AS BIGINT) AS n_batch,
+           CAST(nb - ap AS BIGINT) AS n_exact_dropped,
+           CAST(0 AS BIGINT) AS n_neardup_dropped,
+           CAST(ap AS BIGINT) AS n_appended
+    FROM s1
+    UNION ALL
+    SELECT CAST(nb AS BIGINT), CAST(nb - ap AS BIGINT),
+           CAST(0 AS BIGINT), CAST(ap AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(nb AS BIGINT), CAST(nb AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM s2
+    """,
+)
+def corpus_ingest_history_report(spark, sf_dir):
+    """Live twin: three real merges against a temp store (md5 family so
+    the fingerprint arithmetic is the oracle's), then the audit table's
+    deterministic count columns. The driver's hash gate compares row
+    SETS (sorted), so no merge-sequence column is needed — the three
+    rows are distinguishable by their counts."""
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        INGEST_HISTORY_SUBDIR,
+        merge_batch_into_corpus,
+    )
+
+    store = tempfile.mkdtemp(prefix="corpus_ingest_report_") + "/store"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merge_batch_into_corpus(
+        docs.filter(F.col("doc_id") % 3 == 0), store, hash_family="md5"
+    )
+    merge_batch_into_corpus(docs, store, hash_family="md5")
+    merge_batch_into_corpus(docs, store, hash_family="md5")  # replay
+    return spark.read.parquet(f"{store}/{INGEST_HISTORY_SUBDIR}").select(
+        "n_batch", "n_exact_dropped", "n_neardup_dropped", "n_appended"
+    )
+
+
+@q(
     "doc_unigram_logprob",
     "Corpus-trained unigram log-probability score per document — the "
     "perplexity-proxy quality filter (a KenLM-style LM gate without the "

@@ -562,11 +562,19 @@ def merge_batch_neardup_into_corpus(
                 .distinct()
             )
             # verify needs both texts: batch side from fresh, store side
-            # pruned to the candidate ids only
+            # pruned to the candidate ids only — broadcast the (batch-
+            # bounded) candidate-id set so the store's (id, text) scan
+            # streams against it instead of shuffling (same rationale as
+            # _probe_fresh: the store side of every per-batch probe must
+            # scan, never shuffle)
             store_cand_texts = store_docs.select(
                 F.col(id_col), F.col(text_col)
             ).join(
-                vs_store.select(F.col("id_a").alias(id_col)).distinct(),
+                F.broadcast(
+                    vs_store.select(
+                        F.col("id_a").alias(id_col)
+                    ).distinct()
+                ),
                 id_col,
                 "left_semi",
             )
