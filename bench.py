@@ -100,11 +100,16 @@ PROPERTY_QUERIES = [
     "ann_ivf_topk",
     "corpus_merge_state",
     "corpus_neardup_merge_state",
+    "corpus_funnel_merge_state",
     "doc_minhash_lsh_pairs_xxh",
 ]
 
 # Queries whose invariant is an internal raise, not boolean columns.
-RAISE_INVARIANT_QUERIES = {"corpus_merge_state", "corpus_neardup_merge_state"}
+RAISE_INVARIANT_QUERIES = {
+    "corpus_merge_state",
+    "corpus_neardup_merge_state",
+    "corpus_funnel_merge_state",
+}
 
 
 def check_invariants(spark, registry, sf_dir: str) -> dict[str, str]:

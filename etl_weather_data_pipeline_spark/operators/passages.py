@@ -284,3 +284,35 @@ def cdc_chunks(
     return b8.select(
         "doc_id", F.explode_outer(F.col("__chunks")).alias("chunk")
     )
+
+
+def winnow_fingerprint_table(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, fingerprint) winnowing sketch rows (MOSS local-similarity
+    sketch): distinct per-w-window minima of the Rabin-Karp k-gram hash
+    arrays. Any shared substring of >= k+w-1 normalized chars yields a
+    shared fingerprint — the recall guarantee sketch blocking rests on.
+    ``hashes``: optional precomputed :func:`rolling_hashes` result for
+    shared-pass compositions. Map-only; layered projections (HOF re-eval
+    trap, see rolling_hashes)."""
+    h = (
+        hashes
+        if hashes is not None
+        else rolling_hashes(docs, k, id_col, text_col)
+    )
+    fps = h.select(
+        "doc_id",
+        TX.winnow_fingerprints_of(F.col("__h"), w).alias("__fps"),
+    )
+    # explode_OUTER + isNotNull: plain explode infers a size()>0 filter
+    # that sinks below the projections and re-evaluates the whole chain
+    # per row (>100x measured; doc_winnow_fingerprints precedent).
+    return fps.select(
+        "doc_id", F.explode_outer(F.col("__fps")).alias("fingerprint")
+    ).filter(F.col("fingerprint").isNotNull())

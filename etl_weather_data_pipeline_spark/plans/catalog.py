@@ -146,11 +146,12 @@ def o_dround(x: str, n: int) -> str:
 # id-space guard; corpus_neardup_merge_state bucketed band table;
 # doc_passage_pairs_blocked _passage_stack refactor) and the round's NEW
 # queries (passage_recall_probe, events_mad_outliers_approx,
-# doc_cdc_chunk_dedup, corpus_ingest_history_report; corpus_pack_stats
+# doc_cdc_chunk_dedup, corpus_ingest_history_report,
+# corpus_funnel_merge_state; corpus_pack_stats
 # runs in the Python tail), then (2) the 3 queries
 # that have NEVER had a driver row (landed after r6's window froze),
 # then (3) the 16 rows deferred from r6 (r4-vintage), then (4) the two
-# standing canaries, then (5) 20 of the 44 r5-vintage rows — weather
+# standing canaries, then (5) 19 of the 44 r5-vintage rows — weather
 # family (reference-parity core), the property oracles, the
 # timestamp-sensitive events family, and the deepest llm chains first.
 # Python-worker queries (grouped/arrow applyInPandas + mapInPandas) sit
@@ -158,7 +159,7 @@ def o_dround(x: str, n: int) -> str:
 # multimodal_decode_features stays dead-last (it once killed the r1
 # harness). Deferred to r8 (banked r5-green + mirror-verified every
 # session, lowest marginal evidence): embedding_neardup_pairs,
-# doc_jaccard_pairs, doc_ngram_jaccard_pairs,
+# doc_jaccard_pairs, doc_tfidf_top_terms, doc_ngram_jaccard_pairs,
 # doc_text_stats, doc_lang_id, ann_multi_query_topk,
 # multimodal_binary_features, embedding_lsh_buckets, doc_pii_scrub,
 # doc_stratified_sample, label_centroids, doc_minhash_jaccard_estimate,
@@ -176,6 +177,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_mad_outliers_approx",
     "doc_cdc_chunk_dedup",
     "corpus_ingest_history_report",
+    "corpus_funnel_merge_state",
     # Never driver-checked (r6 landed after the window froze):
     "events_mad_outliers",
     "neardup_transitivity_stats",
@@ -199,7 +201,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Standing canaries (deepest chains; each caught a real bug class):
     "corpus_curation_pipeline",
     "corpus_merge_state",
-    # r5-vintage refresh (20 of 44): reference-parity weather family,
+    # r5-vintage refresh (19 of 44): reference-parity weather family,
     # property oracles, events family, deepest llm chains:
     "weather_pipeline_e2e",
     "weather_daily_summary",
@@ -218,7 +220,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_winnow_fingerprints",
     "corpus_train_split",
     "doc_contamination_flags",
-    "doc_tfidf_top_terms",
     "corpus_vocab_stats",
     "ann_cosine_topk",
     # Python-worker tail (grouped applyInPandas packer + its report —

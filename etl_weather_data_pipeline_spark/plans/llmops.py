@@ -571,15 +571,25 @@ def doc_token_counts(spark, sf_dir):
 # minima, distinct. Any shared substring of >= k+w-1 = 11 normalized chars
 # yields a shared fingerprint.
 _WINNOW_K, _WINNOW_W = 8, 4
+# Stop-fingerprint / candidate thresholds shared by the winnow overlap
+# pairs, the blocked compositions, and the streaming funnel oracle
+# (defined here because decorator f-strings evaluate at module load).
+_WINNOW_MAX_DF = 50
+_WINNOW_MIN_SHARED = 8
 
 
-def _o_rolling(k: int = _WINNOW_K, table: str = "documents") -> str:
+def _o_rolling(
+    k: int = _WINNOW_K, table: str = "documents", prefix: str = ""
+) -> str:
     """CTE chain ``c, h`` ending in per-doc Rabin-Karp k-gram hash arrays
     — shared by the winnow, exact-passage, and dedup-funnel oracles.
-    ``table``: any relation with doc_id + text (a CTE name works)."""
+    ``table``: any relation with doc_id + text (a CTE name works).
+    ``prefix`` renames the chain (``p1c, p1h``) so several relations'
+    hash chains can coexist in one WITH (the funnel-merge-state
+    oracle)."""
     base, mod = TX.ROLL_BASE, TX.ROLL_MOD
     return f"""
-    c AS (
+    {prefix}c AS (
       SELECT doc_id,
              CASE WHEN length(norm) > 0 THEN
                 list_transform(string_split(norm, ''), ch -> unicode(ch))
@@ -587,7 +597,7 @@ def _o_rolling(k: int = _WINNOW_K, table: str = "documents") -> str:
       FROM (SELECT doc_id,
                    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
             FROM {table})),
-    h AS (
+    {prefix}h AS (
       SELECT doc_id,
              CASE WHEN len(codes) >= {k} THEN
                 list_transform(range(1, len(codes) - {k} + 2),
@@ -598,16 +608,16 @@ def _o_rolling(k: int = _WINNOW_K, table: str = "documents") -> str:
                 [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
                              (a, x) -> (a * {base} + x) % {mod})]
              ELSE CAST([] AS BIGINT[]) END AS hashes
-      FROM c)"""
+      FROM {prefix}c)"""
 
 
-def _o_winnow_rows(w: int = _WINNOW_W) -> str:
+def _o_winnow_rows(w: int = _WINNOW_W, prefix: str = "") -> str:
     """CTE fragment ``wf`` — (doc_id, fingerprint) winnow sketch rows.
-    Assumes the rolling chain's ``h`` (doc_id, hashes) is in scope, so the
-    fragment composes with the passage-gram chain over ONE shared rolling
-    pass (the blocked-passage oracle)."""
+    Assumes the rolling chain's ``h`` (doc_id, hashes) is in scope (same
+    ``prefix``), so the fragment composes with the passage-gram chain
+    over ONE shared rolling pass (the blocked-passage oracle)."""
     return f"""
-    wf AS (
+    {prefix}wf AS (
       SELECT doc_id, unnest(fps) AS fingerprint FROM (
         SELECT doc_id,
                CASE WHEN len(hashes) > 0 THEN
@@ -615,7 +625,7 @@ def _o_winnow_rows(w: int = _WINNOW_W) -> str:
                     range(1, greatest(len(hashes) - {w - 1}, 1) + 1),
                     i -> list_min(hashes[i:i+{w - 1}])))
                ELSE CAST([] AS BIGINT[]) END AS fps
-        FROM h) t)"""
+        FROM {prefix}h) t)"""
 
 
 def _o_winnow(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
@@ -642,31 +652,14 @@ def doc_winnow_fingerprints(spark, sf_dir):
 
 def _winnow_fps(docs) -> DataFrame:
     """(doc_id, fingerprint) winnowing sketch rows; shared by the
-    fingerprint listing and the overlap-pair consumer."""
-    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
-    # Each stage projects a bound column for the next (HOF re-eval trap).
-    chars = docs.select("doc_id", TX.chars_of(norm).alias("__ch"))
-    codes = chars.select(
-        "doc_id", TX.char_codes_of(F.col("__ch")).alias("__codes")
+    fingerprint listing and the overlap-pair consumer. Delegates to the
+    operator (operators/passages.py winnow_fingerprint_table — also the
+    streaming funnel sink's stage-3 sketch) at this module's k/w."""
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        winnow_fingerprint_table,
     )
-    hashes = codes.select(
-        "doc_id",
-        TX.rolling_kgram_hashes_of(F.col("__codes"), _WINNOW_K).alias("__h"),
-    )
-    fps = hashes.select(
-        "doc_id",
-        TX.winnow_fingerprints_of(F.col("__h"), _WINNOW_W).alias("__fps"),
-    )
-    # explode_OUTER, not explode: a plain explode makes the optimizer infer
-    # a `size(__fps) > 0` row filter (InferFiltersFromGenerate) and push it
-    # below every projection, substituting aliases as it goes — the pushed
-    # filter then re-evaluates the ENTIRE nested winnow chain per row
-    # (measured: >100x this stage's cost, superlinear in doc length). The
-    # outer variant infers no filter; the cheap isNotNull on the GENERATED
-    # attribute can't sink below the Generate, so the layering survives.
-    return fps.select(
-        "doc_id", F.explode_outer(F.col("__fps")).alias("fingerprint")
-    ).filter(F.col("fingerprint").isNotNull())
+
+    return winnow_fingerprint_table(docs, k=_WINNOW_K, w=_WINNOW_W)
 
 
 # Quality-bucket CASE over a relation with a `text` column (mirrors
@@ -2530,10 +2523,6 @@ def doc_unigram_logprob(spark, sf_dir):
 # dimension stats, n-gram novelty
 # ---------------------------------------------------------------------------
 
-_WINNOW_MAX_DF = 50
-_WINNOW_MIN_SHARED = 8
-
-
 @q(
     "doc_winnow_overlap_pairs",
     "Substring-granular near-dup pairs from the winnowing sketch (MOSS "
@@ -3003,6 +2992,7 @@ def _o_passage(
     table: str = "documents",
     cand: str | None = None,
     with_rolling: bool = True,
+    prefix: str = "",
 ) -> str:
     """CTE chain ending in ``pr`` (id_a, id_b, max_run_grams) — the exact
     shared-passage pairs of ``table``; mirrors
@@ -3013,43 +3003,50 @@ def _o_passage(
     matching is then routed THROUGH it (the exact_passage_pairs
     ``candidates=`` path) instead of the full gram self-join.
     ``with_rolling=False`` omits the ``c, h`` rolling chain when the
-    enclosing WITH already built it (shared-pass composition)."""
-    head = f"{_o_rolling(_WINNOW_K, table=table)},\n" if with_rolling else ""
+    enclosing WITH already built it (shared-pass composition).
+    ``prefix`` renames the whole chain (incl. its rolling head) so two
+    verify stages can coexist in one WITH."""
+    p = prefix
+    head = (
+        f"{_o_rolling(_WINNOW_K, table=table, prefix=p)},\n"
+        if with_rolling
+        else ""
+    )
     if cand is None:
-        m_cte = f"""m AS (
+        m_cte = f"""{p}m AS (
       SELECT l.doc_id AS id_a, r.doc_id AS id_b,
              l.pos AS pa, l.pos - r.pos AS diag
-      FROM kept l JOIN kept r
+      FROM {p}kept l JOIN {p}kept r
         ON l.gh = r.gh AND l.doc_id < r.doc_id)"""
     else:
-        m_cte = f"""m AS (
+        m_cte = f"""{p}m AS (
       SELECT cp.id_a, cp.id_b, l.pos AS pa, l.pos - r.pos AS diag
       FROM (SELECT DISTINCT id_a, id_b FROM {cand}) cp
-      JOIN kept l ON l.doc_id = cp.id_a
-      JOIN kept r ON r.doc_id = cp.id_b AND r.gh = l.gh)"""
+      JOIN {p}kept l ON l.doc_id = cp.id_a
+      JOIN {p}kept r ON r.doc_id = cp.id_b AND r.gh = l.gh)"""
     return f"""
-    {head}g0 AS (
+    {head}{p}g0 AS (
       SELECT doc_id, t.g['p'] AS pos, t.g['h'] AS gh
-      FROM h, unnest(list_transform(range(1, len(hashes) + 1),
+      FROM {p}h, unnest(list_transform(range(1, len(hashes) + 1),
                i -> {{'p': i, 'h': hashes[i]}})) AS t(g)),
-    gd AS (
+    {p}gd AS (
       SELECT doc_id, pos, gh,
              COUNT(*) OVER (PARTITION BY gh) AS occ
-      FROM g0),
-    kept AS (SELECT doc_id, pos, gh FROM gd
+      FROM {p}g0),
+    {p}kept AS (SELECT doc_id, pos, gh FROM {p}gd
              WHERE occ BETWEEN 2 AND {_PASSAGE_MAX_OCC}),
     {m_cte},
-    runs AS (
+    {p}runs AS (
       SELECT id_a, id_b, diag,
              pa - row_number() OVER (
                PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
-      FROM m),
-    r2 AS (
+      FROM {p}m),
+    {p}r2 AS (
       SELECT id_a, id_b, COUNT(*) AS run_len
-      FROM runs GROUP BY id_a, id_b, diag, island),
-    pr AS (
+      FROM {p}runs GROUP BY id_a, id_b, diag, island),
+    {p}pr AS (
       SELECT id_a, id_b, MAX(run_len) AS max_run_grams
-      FROM r2 GROUP BY id_a, id_b
+      FROM {p}r2 GROUP BY id_a, id_b
       HAVING MAX(run_len) >= {_PASSAGE_MIN_RUN})"""
 
 
@@ -3629,6 +3626,154 @@ def corpus_dedup_funnel_incremental(spark, sf_dir):
         .unionAll(stage("2_exact", b1))
         .unionAll(stage("3_neardup", b2))
     )
+
+
+@q(
+    "corpus_funnel_merge_state",
+    "Driver-grade evidence for the FULL-FUNNEL streaming merge "
+    "(streaming/corpus.py merge_batch_neardup_into_corpus with "
+    "passage_min_run — stage 3 = the blocked passage composition "
+    "probing the store's bucketed _winnow fingerprint table): builds a "
+    "store with the stage-2-only sink (one batch, doc_id%3==0), then "
+    "runs ONE passage-aware merge of the full overlapping feed — which "
+    "also exercises the _winnow legacy-store migration — then REPLAYS "
+    "it to prove idempotency (a non-zero third append raises), and "
+    "returns the store's post-merge state. The oracle replays all "
+    "three stages relationally: exact fingerprint anti-join, prefixed "
+    "cross-table LSH band probe + Jaccard verify, then winnow "
+    "fingerprints for store and batch (prefixed rolling chains), the "
+    "store-side df>50 stop bound, shared>=8 candidates "
+    "(within-batch unbounded, cross-probe stop-bounded — exactly the "
+    "sink's locality semantics), and the exact gram-run verify over "
+    "the candidate-pruned union (prefixed passage chain).",
+    oracle=f"""
+    WITH b1 AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+    f1 AS (SELECT doc_id, text, lang, {O_FINGERPRINT} AS fp FROM b1),
+    s1a AS (
+      SELECT f.doc_id, f.text, f.lang, f.fp FROM f1 f
+      JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM f1 GROUP BY 1) m
+        ON m.doc_id = f.doc_id),
+    {_o_lsh_ctes(8, 4, table="s1a", prefix="p1")},
+    t1 AS (SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM s1a),
+    drop1 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM p1cand c JOIN t1 l ON l.doc_id = c.id_a
+                    JOIN t1 r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    store1 AS (
+      SELECT * FROM s1a
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+    f2 AS (SELECT doc_id, text, lang, {O_FINGERPRINT} AS fp
+           FROM documents),
+    s2a AS (
+      SELECT f.doc_id, f.text, f.lang, f.fp FROM f2 f
+      JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM f2 GROUP BY 1) m
+        ON m.doc_id = f.doc_id),
+    s2b AS (
+      SELECT * FROM s2a
+      WHERE fp NOT IN (SELECT fp FROM store1)),
+    {_o_lsh_ctes(8, 4, table="store1", prefix="st")},
+    {_o_lsh_ctes(8, 4, table="s2b", prefix="bb")},
+    cross_cand AS (
+      SELECT DISTINCT st.doc_id AS id_a, bb.doc_id AS id_b
+      FROM stbands st JOIN bbbands bb
+        ON st.band_idx = bb.band_idx AND st.band_val = bb.band_val),
+    cand2 AS (
+      SELECT id_a, id_b FROM bbcand
+      UNION SELECT id_a, id_b FROM cross_cand),
+    t2 AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM store1
+      UNION ALL
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM s2b),
+    drop2 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand2 c JOIN t2 l ON l.doc_id = c.id_a
+                   JOIN t2 r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    surv2 AS (
+      SELECT * FROM s2b
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+    {_o_rolling(_WINNOW_K, table="store1", prefix="sw")},
+    {_o_winnow_rows(_WINNOW_W, prefix="sw")},
+    {_o_rolling(_WINNOW_K, table="surv2", prefix="bw")},
+    {_o_winnow_rows(_WINNOW_W, prefix="bw")},
+    stop3 AS (
+      SELECT fingerprint FROM swwf
+      GROUP BY 1 HAVING COUNT(*) > {_WINNOW_MAX_DF}),
+    within3 AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bwwf l JOIN bwwf r
+        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
+    vs3 AS (
+      SELECT s.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT * FROM swwf WHERE fingerprint NOT IN
+              (SELECT fingerprint FROM stop3)) s
+      JOIN (SELECT * FROM bwwf WHERE fingerprint NOT IN
+              (SELECT fingerprint FROM stop3)) b
+        ON s.fingerprint = b.fingerprint
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
+    cand3 AS (
+      SELECT id_a, id_b FROM within3
+      UNION SELECT id_a, id_b FROM vs3),
+    texts3 AS (
+      SELECT doc_id, text FROM surv2
+      UNION ALL
+      SELECT doc_id, text FROM store1
+      WHERE doc_id IN (SELECT id_a FROM vs3)),
+    {_o_passage(table="texts3", cand="cand3", prefix="pg")},
+    drop3 AS (SELECT DISTINCT id_b AS doc_id FROM pgpr),
+    surv3 AS (
+      SELECT * FROM surv2
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop3))
+    SELECT doc_id, lang, fp AS fingerprint FROM store1
+    UNION ALL SELECT doc_id, lang, fp FROM surv3
+    """,
+)
+def corpus_funnel_merge_state(spark, sf_dir):
+    """Live twin of the full-funnel streaming merge (md5 family so DuckDB
+    reproduces fingerprints, signatures, band values, and the winnow /
+    gram arithmetic bit-for-bit)."""
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        bands_table_name,
+        merge_batch_neardup_into_corpus,
+        winnow_table_name,
+    )
+
+    store = tempfile.mkdtemp(prefix="corpus_funnel_merge_") + "/store"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    try:
+        # store built stage-2-only: the passage-aware merge below then
+        # exercises the _winnow legacy-store migration path live
+        merge_batch_neardup_into_corpus(
+            docs.filter(F.col("doc_id") % 3 == 0), store,
+            hash_family="md5", band_buckets=8,
+        )
+        merge_batch_neardup_into_corpus(
+            docs, store, hash_family="md5", band_buckets=8,
+            passage_min_run=16,
+        )
+        replayed = merge_batch_neardup_into_corpus(
+            docs, store, hash_family="md5", band_buckets=8,
+            passage_min_run=16,
+        )
+        if replayed:  # explicit raise: bare assert vanishes under python -O
+            raise AssertionError(
+                f"replay appended {replayed} rows — not idempotent"
+            )
+        return spark.read.parquet(store).select(
+            "doc_id", "lang", "fingerprint"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
+        spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
 
 
 @q(

@@ -227,42 +227,86 @@ def _read_parquet_if_exists(spark: SparkSession, p: str) -> DataFrame | None:
         return None
 
 
-_BANDS_SCHEMA_DDL = "doc_id BIGINT, band_idx INT, band_val STRING"
-_BANDS_COLS = ("doc_id", "band_idx", "band_val")
+from typing import NamedTuple
 
 
-def _create_bands_table(spark: SparkSession, name: str, bands_path: str,
-                        n_buckets: int) -> None:
+class _SideSpec(NamedTuple):
+    """Shape of one bucketed side table maintained next to a corpus
+    store: subdir under the store path, catalog-name prefix, schema DDL,
+    column order, and the bucket key (= the per-batch probe's join
+    key, so the probe reads the store side in place)."""
+
+    subdir: str
+    prefix: str
+    ddl: str
+    cols: tuple[str, ...]
+    bucket_cols: tuple[str, ...]
+
+
+_BANDS_SPEC = _SideSpec(
+    subdir=BANDS_SUBDIR,
+    prefix="corpus_bands_",
+    ddl="doc_id BIGINT, band_idx INT, band_val STRING",
+    cols=("doc_id", "band_idx", "band_val"),
+    bucket_cols=("band_idx", "band_val"),
+)
+WINNOW_SUBDIR = "_winnow"  # stage-3 sketch rows (underscore: hidden)
+_WINNOW_SPEC = _SideSpec(
+    subdir=WINNOW_SUBDIR,
+    prefix="corpus_winnow_",
+    ddl="doc_id BIGINT, fingerprint BIGINT",
+    cols=("doc_id", "fingerprint"),
+    bucket_cols=("fingerprint",),
+)
+
+
+def _side_table_name(path: str, spec: _SideSpec) -> str:
+    import hashlib
+    import os
+
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    return f"{spec.prefix}{digest}"
+
+
+def winnow_table_name(path: str) -> str:
+    """Catalog name for the store's bucketed winnow-fingerprint table."""
+    return _side_table_name(path, _WINNOW_SPEC)
+
+
+def _create_side_table(
+    spark: SparkSession, name: str, loc: str, spec: _SideSpec,
+    n_buckets: int,
+) -> None:
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {name} ({_BANDS_SCHEMA_DDL}) "
-        f"USING PARQUET CLUSTERED BY (band_idx, band_val) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{bands_path}'"
+        f"CREATE TABLE IF NOT EXISTS {name} ({spec.ddl}) "
+        f"USING PARQUET CLUSTERED BY ({', '.join(spec.bucket_cols)}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
     )
 
 
-def _append_bands_bucketed(
-    band_rows: DataFrame, name: str, bands_path: str, n_buckets: int
+def _append_side_bucketed(
+    rows: DataFrame, name: str, loc: str, spec: _SideSpec, n_buckets: int
 ) -> None:
-    """Append band rows to the store's BUCKETED band table (creates the
-    external table on first use). The repartition aligns tasks with the
-    bucket hash (same Murmur3), so each append writes at most
-    ``n_buckets`` files instead of tasks x buckets."""
+    """Append rows to a BUCKETED side table (creates the external table
+    on first use). The repartition aligns tasks with the bucket hash
+    (same Murmur3), so each append writes at most ``n_buckets`` files
+    instead of tasks x buckets."""
     (
-        band_rows.select(*_BANDS_COLS)
-        .repartition(n_buckets, F.col("band_idx"), F.col("band_val"))
+        rows.select(*spec.cols)
+        .repartition(n_buckets, *[F.col(c) for c in spec.bucket_cols])
         .write.mode("append")
         .format("parquet")
-        .bucketBy(n_buckets, "band_idx", "band_val")
-        .option("path", bands_path)
+        .bucketBy(n_buckets, *spec.bucket_cols)
+        .option("path", loc)
         .saveAsTable(name)
     )
 
 
-def _rewrite_bands_bucketed(
-    spark: SparkSession, rows: DataFrame, name: str, bands_path: str,
-    n_buckets: int,
+def _rewrite_side_bucketed(
+    spark: SparkSession, rows: DataFrame, name: str, loc: str,
+    spec: _SideSpec, n_buckets: int,
 ) -> None:
-    """Rewrite the band table bucketed, crash-safely: stage the bucketed
+    """Rewrite a side table bucketed, crash-safely: stage the bucketed
     copy to a sibling dir (reading the live files directly), swap the two
     dirs, re-point the catalog entry. Doubles as compaction — the output
     is exactly one file per non-empty bucket."""
@@ -270,32 +314,32 @@ def _rewrite_bands_bucketed(
 
     from etl_weather_data_pipeline_spark.sinks.writers import _swap_dirs
 
-    staged = bands_path.rstrip("/") + ".__staged__"
+    staged = loc.rstrip("/") + ".__staged__"
     tmp_name = name + "__staged"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
     (
-        rows.select(*_BANDS_COLS)
-        .repartition(n_buckets, F.col("band_idx"), F.col("band_val"))
+        rows.select(*spec.cols)
+        .repartition(n_buckets, *[F.col(c) for c in spec.bucket_cols])
         .write.mode("overwrite")
         .format("parquet")
-        .bucketBy(n_buckets, "band_idx", "band_val")
+        .bucketBy(n_buckets, *spec.bucket_cols)
         .option("path", staged)
         .saveAsTable(tmp_name)
     )
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # metadata only
-    if os.path.isdir(bands_path):
-        _swap_dirs(bands_path, staged)
+    if os.path.isdir(loc):
+        _swap_dirs(loc, staged)
     else:
-        os.rename(staged, bands_path)
+        os.rename(staged, loc)
     # Re-create rather than refresh: the rewrite may have CHANGED the
     # bucket count, and a stale INTO n BUCKETS declaration over files
     # written with a different n mis-assigns every probe. External
     # table: drop/create touch metadata only.
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    _create_bands_table(spark, name, bands_path, n_buckets)
+    _create_side_table(spark, name, loc, spec, n_buckets)
 
 
-def _bucket_file_ids(bands_path: str) -> list[int] | None:
+def _bucket_file_ids(loc: str) -> list[int] | None:
     """Bucket ids parsed from the dir's parquet file names, or None if any
     file lacks the ``_NNNNN`` bucket tag (legacy unbucketed layout)."""
     import glob
@@ -303,7 +347,7 @@ def _bucket_file_ids(bands_path: str) -> list[int] | None:
     import re
 
     ids = []
-    for f in glob.glob(os.path.join(bands_path, "*.parquet")):
+    for f in glob.glob(os.path.join(loc, "*.parquet")):
         m = re.search(r"_(\d{5})\.", os.path.basename(f))
         if m is None:
             return None
@@ -311,12 +355,12 @@ def _bucket_file_ids(bands_path: str) -> list[int] | None:
     return ids
 
 
-def _ensure_bands_table(
-    spark: SparkSession, path: str, n_buckets: int
+def _ensure_side_table(
+    spark: SparkSession, path: str, spec: _SideSpec, n_buckets: int
 ) -> str | None:
-    """Make ``<path>/_bands`` readable as a BUCKETED catalog table; returns
-    the table name, or None when no band data exists yet (fresh store —
-    the first survivor append creates the table).
+    """Make ``<path>/<spec.subdir>`` readable as a BUCKETED catalog
+    table; returns the table name, or None when no data exists yet
+    (fresh store — the first survivor append creates the table).
 
     Cases: (1) catalog entry alive — nothing to do; (2) files are
     bucket-tagged from a previous session's bucketed writes — re-attach
@@ -325,18 +369,18 @@ def _ensure_bands_table(
     (pre-bucketing stores) — one staged bucketed rewrite, then the
     catalog entry. A bucket id >= n_buckets (table written with a
     different bucket count) also takes the rewrite path."""
-    name = bands_table_name(path)
+    name = _side_table_name(path, spec)
     if spark.catalog.tableExists(name):
         return name
-    bands_path = f"{path}/{BANDS_SUBDIR}"
-    rows = _read_parquet_if_exists(spark, bands_path)
+    loc = f"{path}/{spec.subdir}"
+    rows = _read_parquet_if_exists(spark, loc)
     if rows is None:
         return None
-    ids = _bucket_file_ids(bands_path)
+    ids = _bucket_file_ids(loc)
     if ids is not None and all(i < n_buckets for i in ids):
-        _create_bands_table(spark, name, bands_path, n_buckets)
+        _create_side_table(spark, name, loc, spec, n_buckets)
     else:
-        _rewrite_bands_bucketed(spark, rows, name, bands_path, n_buckets)
+        _rewrite_side_bucketed(spark, rows, name, loc, spec, n_buckets)
     return name
 
 
@@ -347,16 +391,18 @@ def compact_corpus_side_tables(
     target_file_mb: int = 128,
 ) -> dict[str, dict[str, int]]:
     """Maintenance pass for the streaming sinks' side tables: every
-    micro-batch appends small files to ``<path>/_bands`` (up to
-    ``band_buckets`` per batch) and one row-file to
-    ``<path>/_ingest_history`` — a long-running ingest stream accumulates
-    them without bound. The history compacts byte-targeted
-    (:func:`sinks.writers.compact_parquet`); the band table rewrites
-    through the bucketed stager, landing at exactly one file per
-    non-empty bucket while PRESERVING the bucket layout the per-batch
-    probe's no-shuffle plan depends on. Run it on the schedule the
-    document store's own ``compact_parquet`` runs on. Returns
-    {"bands": {...}, "ingest_history": {...}} file counts."""
+    micro-batch appends small files to ``<path>/_bands`` (and, for the
+    full-funnel sink, ``<path>/_winnow``; up to ``band_buckets`` per
+    batch each) plus one row-file to ``<path>/_ingest_history`` — a
+    long-running ingest stream accumulates them without bound. The
+    history compacts byte-targeted
+    (:func:`sinks.writers.compact_parquet`); each bucketed side table
+    rewrites through the bucketed stager, landing at exactly one file
+    per non-empty bucket while PRESERVING the bucket layout the
+    per-batch probe's no-shuffle plan depends on. Run it on the
+    schedule the document store's own ``compact_parquet`` runs on.
+    Returns {"bands": {...}, "winnow": {...}, "ingest_history": {...}}
+    file counts (present-tables only)."""
     import glob
     import os
 
@@ -368,10 +414,12 @@ def compact_corpus_side_tables(
         out["ingest_history"] = compact_parquet(
             spark, hist, target_file_mb=target_file_mb
         )
-    bands_path = f"{path}/{BANDS_SUBDIR}"
-    name = _ensure_bands_table(spark, path, band_buckets)
-    if name is not None:
-        n_before = len(glob.glob(os.path.join(bands_path, "*.parquet")))
+    for label, spec in (("bands", _BANDS_SPEC), ("winnow", _WINNOW_SPEC)):
+        loc = f"{path}/{spec.subdir}"
+        name = _ensure_side_table(spark, path, spec, band_buckets)
+        if name is None:
+            continue
+        n_before = len(glob.glob(os.path.join(loc, "*.parquet")))
         # Force the HONORED bucketed scan for the rewrite. Two reasons:
         # (1) correctness — with autoBucketedScan on, Catalyst may keep
         # the scan file-based yet still elide the aligning repartition
@@ -385,13 +433,13 @@ def compact_corpus_side_tables(
         prior = spark.conf.get(k, "true")
         spark.conf.set(k, "false")
         try:
-            _rewrite_bands_bucketed(
-                spark, spark.table(name), name, bands_path, band_buckets
+            _rewrite_side_bucketed(
+                spark, spark.table(name), name, loc, spec, band_buckets
             )
         finally:
             spark.conf.set(k, prior)
-        n_after = len(glob.glob(os.path.join(bands_path, "*.parquet")))
-        out["bands"] = {"files_before": n_before, "files_after": n_after}
+        n_after = len(glob.glob(os.path.join(loc, "*.parquet")))
+        out[label] = {"files_before": n_before, "files_after": n_after}
     return out
 
 
@@ -427,6 +475,118 @@ def _append_ingest_history(
     )
 
 
+def _passage_stage_drops(
+    spark: SparkSession,
+    s2: DataFrame,
+    store_docs: DataFrame | None,
+    path: str,
+    text_col: str,
+    id_col: str,
+    min_run: int,
+    min_shared: int,
+    k: int,
+    w: int,
+    max_df: int,
+    n_buckets: int,
+):
+    """Stage 3 of the streaming funnel: winnow-sketch blocking against
+    the store's persisted ``_winnow`` fingerprint table + within-batch,
+    then EXACT passage verify (>= ``min_run`` consecutive matching gram
+    hashes) over the candidate-pruned texts — the streaming twin of
+    corpus_dedup_funnel_blocked's stage 3.
+
+    Store-side scale contract matches the band probe: the fingerprint
+    table is bucketed on ``fingerprint`` (probe joins read it in
+    place), the boilerplate stop-fingerprint bound is a zero-exchange
+    aggregate ON that bucketed key whose (tiny, > max_df only) result
+    broadcasts into both probe sides, and candidate store texts prune
+    through a broadcast semi-join. Two locality notes, both documented
+    semantics: the stop bound counts fingerprint df over the STORE
+    (batch-side df is bounded by the batch), and the verify stage's
+    gram-occurrence bounds are computed over the candidate-pruned union
+    rather than the whole corpus — the periodic batch re-curation
+    (corpus_dedup_funnel_blocked) remains the corpus-global audit.
+
+    Returns ``(pdrop, bfps, grams)`` — batch ids to drop, the batch's
+    winnow fingerprint rows (persisted; the caller appends the
+    survivors' rows to ``_winnow`` and unpersists), and the persisted
+    gram table (caller unpersists)."""
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+        gram_positions,
+        winnow_fingerprint_table,
+    )
+
+    bfps = winnow_fingerprint_table(s2, k, w, id_col, text_col).persist()
+    rb = bfps.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    lb = bfps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    within = (
+        lb.join(rb, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    cand = within
+    texts = s2.select(F.col(id_col), F.col(text_col))
+    if store_docs is not None:
+        wname = _side_table_name(path, _WINNOW_SPEC)
+        tbl = _ensure_side_table(spark, path, _WINNOW_SPEC, n_buckets)
+        if tbl is None:
+            # store predates the funnel sink: rebuild its fingerprint
+            # table once from the stored text (batch-shaped pass)
+            rebuilt = winnow_fingerprint_table(
+                store_docs, k, w, id_col, text_col
+            )
+            _append_side_bucketed(
+                rebuilt, wname, f"{path}/{WINNOW_SUBDIR}", _WINNOW_SPEC,
+                n_buckets,
+            )
+        store_w = spark.table(wname)
+        stop = (
+            store_w.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("fingerprint")
+        )
+        sw = store_w.join(
+            F.broadcast(stop), "fingerprint", "left_anti"
+        ).select(F.col("doc_id").alias("id_a"), "fingerprint")
+        rbf = rb.join(F.broadcast(stop), "fingerprint", "left_anti")
+        vs_store = (
+            sw.join(rbf, "fingerprint")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__shared"))
+            .filter(F.col("__shared") >= min_shared)
+            .select("id_a", "id_b")
+        )
+        cand = within.unionByName(vs_store).distinct()
+        store_cand_texts = store_docs.select(
+            F.col(id_col), F.col(text_col)
+        ).join(
+            F.broadcast(
+                vs_store.select(F.col("id_a").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        )
+        texts = texts.unionByName(store_cand_texts)
+    # gram table over the candidate-pruned union only; persisted because
+    # the candidate-routed match consumes it on both join sides
+    grams = gram_positions(
+        texts, k=k, min_occ=2, max_occ=max_df, id_col=id_col,
+        text_col=text_col,
+    ).persist()
+    pairs = exact_passage_pairs(
+        grams, min_run=min_run, k=k, candidates=cand
+    )
+    # id_b is always the batch doc (vs-store) or the larger batch id
+    # (within) — store wins, smaller id wins, same policy as stage 2
+    pdrop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return pdrop, bfps, grams
+
+
 def merge_batch_neardup_into_corpus(
     batch_df: DataFrame,
     path: str,
@@ -439,6 +599,11 @@ def merge_batch_neardup_into_corpus(
     partition_by: tuple[str, ...] = (),
     history: bool = True,
     band_buckets: int = 64,
+    passage_min_run: int | None = None,
+    winnow_min_shared: int = 8,
+    winnow_k: int = 8,
+    winnow_w: int = 4,
+    winnow_max_df: int = 50,
 ) -> int:
     """Near-dup-aware merge: append only batch docs that are neither
     exact NOR near duplicates of the store (or of a surviving smaller-id
@@ -464,7 +629,17 @@ def merge_batch_neardup_into_corpus(
        bands (within-batch candidates, smaller id wins) AND the store's
        band table (store always wins); candidates are Jaccard-verified
        exactly against the pruned (doc_id, text) rows;
-    3. survivors append to the store, their band rows to ``_bands``.
+    3. OPTIONAL passage stage (``passage_min_run=16``) — the streaming
+       twin of the blocked funnel's stage 3: stage-2 survivors'
+       winnow fingerprints probe the store's bucketed ``_winnow``
+       table (+ within-batch), pairs sharing >= ``winnow_min_shared``
+       fingerprints verify by EXACT gram-run matching, and a batch doc
+       sharing a verbatim passage of >= min_run consecutive grams with
+       the store (or a surviving smaller-id batch doc) is dropped —
+       near-verbatim quote-level dedup the Jaccard stage can't see
+       (a short shared passage barely moves whole-doc Jaccard);
+    4. survivors append to the store, their band rows to ``_bands``
+       (and, with stage 3 on, their fingerprint rows to ``_winnow``).
 
     Scale: the store-side work is two column-pruned probes (fingerprint
     keys; band keys) plus a semi-joined text lookup for verify
@@ -503,6 +678,7 @@ def merge_batch_neardup_into_corpus(
         fresh = batch
     fresh = fresh.persist()
     bt = survivors = None
+    extra_persists: list[DataFrame] = []
     try:
         n_after_exact = fresh.count() if history else 0
         # --- near-dup stage over the exact-stage survivors ---
@@ -528,7 +704,7 @@ def merge_batch_neardup_into_corpus(
         bands_path = f"{path}/{BANDS_SUBDIR}"
         bands_name = bands_table_name(path)
         if store_docs is not None:
-            tbl = _ensure_bands_table(spark, path, band_buckets)
+            tbl = _ensure_side_table(spark, path, _BANDS_SPEC, band_buckets)
             if tbl is None:
                 # store predates the near-dup sink: rebuild its band
                 # table once from the stored text (batch-shaped pass);
@@ -547,8 +723,9 @@ def merge_batch_neardup_into_corpus(
                 ).select(
                     F.col(id_col).alias("doc_id"), "band_idx", "band_val"
                 )
-                _append_bands_bucketed(
-                    rebuilt, bands_name, bands_path, band_buckets
+                _append_side_bucketed(
+                    rebuilt, bands_name, bands_path, _BANDS_SPEC,
+                    band_buckets,
                 )
             store_bands = spark.table(bands_name)
             # vs-store candidates: (id_a = store doc, id_b = batch doc)
@@ -587,11 +764,30 @@ def merge_batch_neardup_into_corpus(
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
-        survivors = fresh.join(dropped, id_col, "left_anti").persist()
+        s2 = fresh.join(dropped, id_col, "left_anti")
+        if passage_min_run:
+            # --- stage 3: exact shared-passage dedup over the stage-2
+            # survivors, winnow-blocked against the store's persisted
+            # _winnow fingerprint table (store wins; smaller id wins
+            # within a batch). History folds these drops into
+            # n_neardup_dropped (stage 2 + 3 are both near-duplicate
+            # mechanisms; the decomposition invariant holds unchanged).
+            s2 = s2.persist()
+            extra_persists.append(s2)
+            pdrop, bfps, grams = _passage_stage_drops(
+                spark, s2, store_docs, path, text_col, id_col,
+                passage_min_run, winnow_min_shared, winnow_k, winnow_w,
+                winnow_max_df, band_buckets,
+            )
+            extra_persists.extend([bfps, grams])
+            survivors = s2.join(pdrop, id_col, "left_anti").persist()
+        else:
+            bfps = None
+            survivors = s2.persist()
         n = survivors.count()
         if n:
-            # Materialize the survivor band rows BEFORE touching the
-            # store: writing to `path` makes Spark's CacheManager
+            # Materialize the survivor side-table rows BEFORE touching
+            # the store: writing to `path` makes Spark's CacheManager
             # invalidate every cached plan that READS `path` (fresh, bt,
             # survivors all do, via the store probes), so a lazy plan
             # evaluated after the append would recompute against the
@@ -606,18 +802,34 @@ def merge_batch_neardup_into_corpus(
                 )
                 .localCheckpoint()
             )
+            winnow_rows = None
+            if bfps is not None:
+                winnow_rows = bfps.join(
+                    survivors.select(F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                ).localCheckpoint()
             writer = survivors.write.mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
-            _append_bands_bucketed(
-                band_rows, bands_name, bands_path, band_buckets
+            _append_side_bucketed(
+                band_rows, bands_name, bands_path, _BANDS_SPEC,
+                band_buckets,
             )
+            if winnow_rows is not None:
+                _append_side_bucketed(
+                    winnow_rows,
+                    _side_table_name(path, _WINNOW_SPEC),
+                    f"{path}/{WINNOW_SUBDIR}",
+                    _WINNOW_SPEC,
+                    band_buckets,
+                )
     finally:
-        # All three persists release even when a stage or store write
+        # Every persist releases even when a stage or store write
         # fails — a long-running streaming sink would otherwise leak one
         # cached plan per failed batch for the session's lifetime.
-        for cached in (bt, survivors):
+        for cached in (bt, survivors, *extra_persists):
             if cached is not None:
                 cached.unpersist()
         fresh.unpersist()
@@ -636,6 +848,7 @@ def start_corpus_neardup_merge_sink(
     partition_by: tuple[str, ...] = (),
     band_buckets: int = 64,
     compact_every: int | None = None,
+    passage_min_run: int | None = None,
 ):
     """foreachBatch sink running the near-dup-aware merge per micro-batch
     (see merge_batch_neardup_into_corpus).
@@ -651,7 +864,7 @@ def start_corpus_neardup_merge_sink(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch_neardup_into_corpus(
             batch_df, path, partition_by=partition_by,
-            band_buckets=band_buckets,
+            band_buckets=band_buckets, passage_min_run=passage_min_run,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_corpus_side_tables(

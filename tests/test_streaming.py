@@ -952,3 +952,102 @@ def test_neardup_sink_inline_compaction(spark, tmp_path):
         glob.glob(os.path.join(store, BANDS_SUBDIR, "*.parquet"))
     )
     assert n_band_files <= 4, n_band_files
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_funnel_merge_sink_blocks_shared_passages(spark, tmp_path):
+    """Stage-3 streaming dedup (passage_min_run): a batch doc sharing a
+    long VERBATIM passage with a stored doc — but with enough unique
+    filler that whole-doc Jaccard stays far below 0.5 — survives the
+    LSH stage and must die at the winnow-blocked exact-passage stage
+    (probing the store's persisted _winnow table). Within a batch the
+    smaller id wins; replay appends nothing; without the passage stage
+    the same doc is admitted (proving stage 3 is the difference)."""
+    import os
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        WINNOW_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+
+    # passage P: 25 unique tokens (~170 normalized chars >> 23-char run
+    # floor, >> 8 shared winnow fingerprints)
+    P = _words("passagetoken", 25)
+    P2 = _words("otherquote", 25)
+    store = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(1, P + " " + _words("storefill", 40)),
+         (2, _words("unrelated", 30))],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(
+        b1, store, band_buckets=4, passage_min_run=16
+    ) == 2
+    assert os.path.isdir(f"{store}/{WINNOW_SUBDIR}")
+
+    b2 = spark.createDataFrame(
+        [
+            (10, P + " " + _words("freshfill", 40)),   # quotes doc 1 -> drop
+            (11, _words("brandnew", 30)),              # genuinely new -> keep
+            (20, P2 + " " + _words("alphafill", 40)),  # within-batch pair:
+            (21, P2 + " " + _words("betafill", 40)),   # 20 kept, 21 dropped
+        ],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(
+        b2, store, band_buckets=4, passage_min_run=16
+    ) == 2
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {1, 2, 11, 20}, ids
+
+    # _winnow covers exactly the survivors
+    wf = spark.read.parquet(f"{store}/{WINNOW_SUBDIR}")
+    assert {
+        r["doc_id"] for r in wf.select("doc_id").distinct().collect()
+    } == ids
+
+    # replay: idempotent (everything dies at the exact stage)
+    assert merge_batch_neardup_into_corpus(
+        b2, store, band_buckets=4, passage_min_run=16
+    ) == 0
+
+    # control: WITHOUT stage 3 the passage-quoting doc is admitted
+    store2 = str(tmp_path / "corpus_nostage3")
+    assert merge_batch_neardup_into_corpus(b1, store2, band_buckets=4) == 2
+    assert merge_batch_neardup_into_corpus(b2, store2, band_buckets=4) == 4
+
+
+def test_funnel_merge_migrates_legacy_store_winnow(spark, tmp_path):
+    """A store built by the stage-2-only sink (no _winnow) upgrades in
+    place: the first passage-aware merge rebuilds the fingerprint table
+    from stored text and then blocks passage-sharing docs against it."""
+    import os
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        WINNOW_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+
+    P = _words("sharedpassage", 25)
+    store = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(1, P + " " + _words("oldfill", 40))],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(b1, store, band_buckets=4) == 1
+    assert not os.path.isdir(f"{store}/{WINNOW_SUBDIR}")
+
+    b2 = spark.createDataFrame(
+        [(10, P + " " + _words("newfill", 40)),
+         (11, _words("elsewords", 30))],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(
+        b2, store, band_buckets=4, passage_min_run=16
+    ) == 1
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {1, 11}, ids
+    assert os.path.isdir(f"{store}/{WINNOW_SUBDIR}")
