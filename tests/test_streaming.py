@@ -1051,3 +1051,56 @@ def test_funnel_merge_migrates_legacy_store_winnow(spark, tmp_path):
     ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
     assert ids == {1, 11}, ids
     assert os.path.isdir(f"{store}/{WINNOW_SUBDIR}")
+
+
+def test_winnow_probe_and_stop_bound_read_store_in_place(spark, tmp_path):
+    """Stage-3 store-side scale pins: (a) the df>max_df stop-fingerprint
+    bound is a ZERO-exchange aggregate (the bucket key IS the group key,
+    so the bucketed scan satisfies the aggregate's distribution), and
+    (b) the fingerprint probe join reads the store-side _winnow table in
+    place — no Exchange in the store subtree."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_neardup_into_corpus,
+        winnow_table_name,
+    )
+
+    store = str(tmp_path / "corpus")
+    b = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(
+        b, store, band_buckets=4, passage_min_run=16
+    ) == 10
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        w = spark.table(winnow_table_name(store))
+        stop = (
+            w.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > 50)
+        )
+        p1 = spark._jvm.PythonSQLUtils.explainString(
+            stop._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"^\(\d+\) Exchange", p1, re.M)) == 0, p1
+        assert "Bucketed: true" in p1, p1
+
+        batch_fps = spark.createDataFrame(
+            [(100, 123), (101, 456)], "id_b long, fingerprint long"
+        )
+        probe = w.select(F.col("doc_id").alias("id_a"), "fingerprint").join(
+            batch_fps, "fingerprint"
+        )
+        p2 = spark._jvm.PythonSQLUtils.explainString(
+            probe._jdf.queryExecution(), "formatted"
+        )
+        assert re.findall(r"^\s*:.*Exchange", p2, re.M) == [], p2
+        assert "Bucketed: true" in p2, p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
