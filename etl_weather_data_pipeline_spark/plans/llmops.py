@@ -357,6 +357,94 @@ def doc_neardup_clusters(spark, sf_dir):
 
 
 @q(
+    "neardup_cluster_keep",
+    "Cluster-representative RETENTION: for each near-dup cluster keep "
+    "the most information-rich member (max distinct-token count, ties "
+    "to the lower doc_id) instead of the min-id convention every dedup "
+    "query here uses — the policy real curation runs want, because the "
+    "canonical-by-id doc can be the truncated or boilerplate-padded "
+    "variant while a later crawl carries the full text. Pipeline: LSH "
+    "candidates -> Jaccard >= 0.5 verify -> connected components -> "
+    "score members map-side -> ONE window pass per cluster (row_number "
+    "+ count over the same partition spec share a single shuffle). "
+    "Scale shape: the window partitions by cluster_id — cluster count "
+    "shrinks with dedup progress and near-dup clusters are small, so "
+    "no skewed giant partition; the scoring join is doc_id-equi on the "
+    "components output (rows = clustered docs only, not the corpus).",
+    oracle=f"""
+    WITH RECURSIVE
+    {_o_lsh_ctes(8, 4)},
+    toksets AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM documents),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN toksets l ON l.doc_id = c.id_a
+                  JOIN toksets r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+    comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_uniq_toks,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY len(t.toks) DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM comp c JOIN toksets t ON t.doc_id = c.doc_id)
+    SELECT cluster_id, n_members, doc_id AS keep_doc_id,
+           n_uniq_toks AS keep_n_uniq_toks,
+           n_members - 1 AS n_dropped
+    FROM scored WHERE rn = 1
+    """,
+)
+def neardup_cluster_keep(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from etl_weather_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    pairs = jaccard_verify(docs, cand, threshold=0.5).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    scored = comps.join(
+        docs.select(
+            "doc_id",
+            F.size(F.array_distinct(TX.tokens(F.col("text"))))
+            .cast("long")
+            .alias("__nu"),
+        ),
+        "doc_id",
+    )
+    part = Window.partitionBy("cluster_id")
+    ranked = scored.select(
+        "cluster_id",
+        "doc_id",
+        "__nu",
+        F.row_number()
+        .over(part.orderBy(F.col("__nu").desc(), "doc_id"))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(part).alias("n_members"),
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        "cluster_id",
+        "n_members",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("__nu").alias("keep_n_uniq_toks"),
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )
+
+
+@q(
     "doc_ngram_jaccard_pairs",
     "Character-3-gram Jaccard verify over MinHash-LSH candidates — the "
     "n-gram flavor of near-dup detection (robust to word-boundary edits "
@@ -4486,4 +4574,116 @@ def corpus_shard_manifest(spark, sf_dir):
             "n_tokens"
         ),
         F.bit_xor(word).alias("content_checksum"),
+    )
+
+
+@q(
+    "corpus_mixture_plan",
+    "Training-mixture planning table (the 'epochs over each dataset' "
+    "view from the LLaMA / Gopher data recipes): per-source token mass, "
+    "alpha=0.5-smoothed mixture weight w_s = sqrt(mass_s)/SUM(sqrt(mass))"
+    " (the same smoothing corpus_temperature_sample applies when it "
+    "actually draws docs), the token allocation w_s * total_mass at a "
+    "budget of one corpus-mass equivalent, the per-source sampling rate "
+    "that allocation implies, and the epoch count (rate > 1 means the "
+    "source repeats — head domains shed mass to the tail, so tail "
+    "sources oversample). Scale shape: ONE hash aggregate over the fact "
+    "table down to #sources rows; every subsequent step is arithmetic "
+    "on that tiny side (broadcast of a 1-row global), so the plan costs "
+    "a single fact-table pass at any corpus size. Determinism: sqrt is "
+    "correctly-rounded IEEE, the cross-source sum of sqrts goes through "
+    "exact decimals, and every derived double is decimal-routed before "
+    "comparison or floor/ceil.",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len({O_TOKS}) AS BIGINT)) AS BIGINT) AS mass
+      FROM documents GROUP BY source),
+    s AS (SELECT source, n_docs, mass,
+                 {o_dround("sqrt(mass)", 6)} AS sq
+          FROM m),
+    d AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS denom,
+                 CAST(SUM(mass) AS BIGINT) AS total_mass
+          FROM s),
+    w AS (SELECT source, n_docs, mass,
+                 {o_dround("sq / denom", 6)} AS mix_weight,
+                 total_mass
+          FROM s, d),
+    t AS (SELECT source, n_docs, mass, mix_weight,
+                 CAST(FLOOR(mix_weight * total_mass) AS BIGINT)
+                   AS target_tokens
+          FROM w),
+    r AS (SELECT source, n_docs, mass, mix_weight, target_tokens,
+                 {o_dround("CAST(target_tokens AS DOUBLE) / mass", 6)}
+                   AS sampling_rate
+          FROM t)
+    SELECT source, n_docs, mass AS mass_tokens, mix_weight,
+           target_tokens, sampling_rate,
+           CAST(CEIL(sampling_rate) AS BIGINT) AS n_epochs,
+           sampling_rate > 1.0 AS oversampled
+    FROM r
+    """,
+)
+def corpus_mixture_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    m = (
+        docs.select(
+            "source",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("__n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("__mass"),
+        )
+    )
+    s = m.select(
+        "source",
+        "n_docs",
+        "__mass",
+        dround(F.sqrt(F.col("__mass")), 6).alias("__sq"),
+    )
+    # Cross-source totals as WINDOW sums over the #sources-row aggregate
+    # output (not a separate .agg() branch: a second consumer of `s`
+    # re-evaluates its whole subtree — two fact scans — per the
+    # two-branch re-evaluation trap). Single-partition window is fine
+    # HERE because it runs after the aggregate, on #sources rows.
+    g = Window.partitionBy()
+    w = s.select(
+        "source",
+        "n_docs",
+        "__mass",
+        dround(
+            F.col("__sq")
+            / F.sum(F.col("__sq").cast("decimal(18,6)"))
+            .over(g)
+            .cast("double"),
+            6,
+        ).alias("mix_weight"),
+        F.sum("__mass").over(g).alias("__total_mass"),
+    )
+    t = w.select(
+        "source",
+        "n_docs",
+        "__mass",
+        "mix_weight",
+        F.floor(F.col("mix_weight") * F.col("__total_mass"))
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    r = t.withColumn(
+        "sampling_rate",
+        dround(F.col("target_tokens").cast("double") / F.col("__mass"), 6),
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        F.col("__mass").alias("mass_tokens"),
+        "mix_weight",
+        "target_tokens",
+        "sampling_rate",
+        F.ceil(F.col("sampling_rate")).cast("long").alias("n_epochs"),
+        (F.col("sampling_rate") > F.lit(1.0)).alias("oversampled"),
     )

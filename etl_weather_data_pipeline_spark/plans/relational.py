@@ -1039,3 +1039,93 @@ def session_window_stats(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data layout (Z-order clustering)
+# ---------------------------------------------------------------------------
+
+from etl_weather_data_pipeline_spark.operators.layout import (  # noqa: E402
+    o_zorder,
+    zorder_key,
+)
+
+_ZBITS = 11  # covers user_id <= 1499 and floor(value) <= 561 at every SF
+
+
+@q(
+    "events_zorder_layout",
+    "Z-order layout quality report: quantize (user_id, floor(value)) to "
+    "11-bit ints, Morton-interleave them into one sort key "
+    "(operators/layout.py zorder_key — pure shift/mask/or, codegen'd), "
+    "split the table into 64 equal files under BOTH orderings (z-order "
+    "vs arrival order by event_id), and report each file's min/max "
+    "range per dimension. The z-order files are narrow in BOTH "
+    "dimensions at once, so parquet footer stats prune most files for "
+    "a predicate on EITHER column — single-key layouts prune only "
+    "their own key. tests/test_plans.py pins the measured span "
+    "reduction; the write path (write_zordered) range-partitions on "
+    "the key with sampled boundaries (no global sort) — this REPORT "
+    "uses a deterministic ntile over the full ordering so the oracle "
+    "can replay it, and at 100 TB it runs on a sample.",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_id, user_id,
+             CAST(GREATEST(FLOOR(value), 0) AS BIGINT) AS vq,
+             {o_zorder('user_id', 'GREATEST(FLOOR(value), 0)', 11)} AS z
+      FROM events),
+    assigned AS (
+      SELECT 'zorder' AS layout, user_id, vq,
+             ntile(64) OVER (ORDER BY z, event_id) AS file_id
+      FROM k
+      UNION ALL
+      SELECT 'arrival' AS layout, user_id, vq,
+             ntile(64) OVER (ORDER BY event_id) AS file_id
+      FROM k)
+    SELECT layout, CAST(file_id AS INT) AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+           MIN(vq) AS v_min, MAX(vq) AS v_max,
+           MAX(user_id) - MIN(user_id) AS u_span,
+           MAX(vq) - MIN(vq) AS v_span
+    FROM assigned GROUP BY layout, file_id
+    """,
+)
+def events_zorder_layout(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    vq = F.greatest(F.floor(F.col("value")), F.lit(0)).cast("long")
+    k = ev.select(
+        "event_id",
+        "user_id",
+        vq.alias("vq"),
+        zorder_key(F.col("user_id"), vq, bits=_ZBITS).alias("__z"),
+    )
+    # Both layouts' file ids come from chained windows in ONE pass over
+    # k, then stack() unpivots to (layout, file_id) rows — a union of
+    # two selects over k would re-evaluate its subtree per branch (the
+    # two-branch re-evaluation trap) and scan the fact table twice.
+    both = k.select(
+        "user_id",
+        "vq",
+        F.ntile(64).over(Window.orderBy("__z", "event_id")).alias("__zf"),
+        F.ntile(64).over(Window.orderBy("event_id")).alias("__af"),
+    )
+    assigned = both.select(
+        "user_id",
+        "vq",
+        F.expr(
+            "stack(2, 'zorder', __zf, 'arrival', __af) AS (layout, file_id)"
+        ),
+    )
+    return (
+        assigned.groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("vq").alias("v_min"),
+            F.max("vq").alias("v_max"),
+            (F.max("user_id") - F.min("user_id")).alias("u_span"),
+            (F.max("vq") - F.min("vq")).alias("v_span"),
+        )
+    )

@@ -493,3 +493,73 @@ def test_export_training_shards(spark, tmp_path):
         int(r["shard"]): r["count"]
         for r in rows_multi.groupBy("shard").count().collect()
     } == counts
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    """write_zordered must produce files whose footer min/max ranges are
+    narrow in BOTH interleaved dimensions — a single-key sorted layout
+    is narrow only in its own key (its files span ~the whole domain of
+    every other column). Verified against actual parquet footers, at
+    the gate SF so the effect is unambiguous."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_weather_data_pipeline_spark.operators.layout import (
+        write_zordered,
+        zorder_key,
+    )
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        write_parquet_sorted,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id",
+        "user_id",
+        F.greatest(F.floor(F.col("value")), F.lit(0))
+        .cast("long")
+        .alias("vq"),
+    )
+    zkey = zorder_key(F.col("user_id"), F.col("vq"), bits=11)
+    write_zordered(ev, str(tmp_path / "z"), zkey, n_files=16)
+    write_parquet_sorted(
+        ev.repartition(16), str(tmp_path / "u"), ["user_id"], num_files=16
+    )
+
+    def file_spans(root, col):
+        spans = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                s = c.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            spans.append(hi - lo)
+        return spans
+
+    def avg(xs):
+        return sum(xs) / len(xs)
+
+    z_u, z_v = file_spans(str(tmp_path / "z"), "user_id"), file_spans(
+        str(tmp_path / "z"), "vq"
+    )
+    u_u, u_v = file_spans(str(tmp_path / "u"), "user_id"), file_spans(
+        str(tmp_path / "u"), "vq"
+    )
+    assert len(z_u) >= 8  # range partitioner may merge empty ranges
+    u_domain = 149  # sf0.01: user_id in [0, 149]
+    v_domain = ev.agg(F.max("vq") - F.min("vq")).first()[0]
+    # single-key layout: its own key is tight, the other column spans
+    # ~the whole domain in every file
+    assert avg(u_u) < 0.1 * u_domain, (u_u, u_domain)
+    assert avg(u_v) > 0.6 * v_domain, (u_v, v_domain)
+    # z-order: BOTH dimensions narrow in every file
+    assert avg(z_u) < 0.5 * u_domain, (z_u, u_domain)
+    assert avg(z_v) < 0.35 * v_domain, (z_v, v_domain)
