@@ -98,6 +98,7 @@ PROPERTY_QUERIES = [
     "events_mad_outliers_approx",
     "kmeans_clusters",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "corpus_merge_state",
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",

@@ -1,0 +1,148 @@
+"""Product quantization (PQ) over an embedding column — the memory-side
+half of large-scale ANN (Jégou et al. 2011, "Product Quantization for
+Nearest Neighbor Search").
+
+Why it matters at 100 TB: brute-force and IVF both keep full vectors in
+the scan; PQ replaces each d-float vector with m single-byte codes (one
+per contiguous subspace, each quantized against its own k-centroid
+codebook) — 64 floats become 4 bytes here (64x) — and answers queries
+with *asymmetric distance computation* (ADC): per query, precompute the
+m x k table of exact squared distances from the query's subvectors to
+every codebook centroid, then score a candidate as the SUM OF m TABLE
+LOOKUPS, never touching the original vector. The codes table scans at
+1/64th the bytes and the per-row cost is m array lookups, all inside
+whole-stage codegen.
+
+Composition with the rest of the ANN stack: IVF (operators/similarity.py)
+prunes WHICH rows are scanned; PQ shrinks WHAT is scanned per row —
+production systems (FAISS IVF-PQ) stack both, and both halves here are
+plain DataFrame ops, so the composition is a filter + the ADC projection.
+
+Training reuses the Lloyd machinery from operators/kmeans.py per
+subspace (deterministic lowest-id seeding, SSE measured inside the
+centroid aggregate). At 100 TB codebooks are trained on a deterministic
+hash-sample of the corpus — the codebook is m*k*sub_dim floats of
+driver-side state regardless of corpus size — then encoding is one
+map-only pass over the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_weather_data_pipeline_spark.operators.kmeans import (
+    _centroids_of,
+    _sq_dist_to,
+    assign_clusters,
+)
+
+
+def _argmin_code(sub: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), ties to the lower
+    index — the same codegen'd when-chain argmin as assign_clusters."""
+    dists = [_sq_dist_to(sub, c) for c in centroids]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    code = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):
+        code = F.when(dists[i] == best, F.lit(i)).otherwise(code)
+    return code
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[list[float]]], list[list[float]]]:
+    """Train one k-centroid codebook per contiguous subspace.
+
+    Returns ``(codebooks, sse_histories)`` where ``codebooks[s][j]`` is
+    centroid j of subspace s and ``sse_histories[s]`` is that
+    subspace's within-cluster SSE per Lloyd round (non-increasing —
+    the ann_pq_topk property oracle asserts it).
+
+    Deterministic: seeds are the k lowest-id vectors' subvectors; the
+    only driver-side state is the m*k*sub_dim codebook matrix. Each
+    round per subspace is one exploded aggregate, same scale shape as
+    operators/kmeans.py.
+    """
+    seed_rows = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    dim = len(seed_rows[0][vec_col])
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    sd = dim // m
+    codebooks: list[list[list[float]]] = []
+    histories: list[list[float]] = []
+    for s in range(m):
+        sub = df.select(
+            id_col, F.slice(F.col(vec_col), s * sd + 1, sd).alias("__sub")
+        )
+        cents = [
+            [float(x) for x in r[vec_col][s * sd : (s + 1) * sd]]
+            for r in seed_rows
+        ]
+        assigned = assign_clusters(sub, cents, "__sub")
+        hist: list[float] = []
+        for _ in range(iterations):
+            by_c, sse = _centroids_of(assigned, "__sub", sd, cents)
+            hist.append(sse)
+            cents = [by_c.get(i, cents[i]) for i in range(k)]
+            assigned = assign_clusters(sub, cents, "__sub")
+        codebooks.append(cents)
+        histories.append(hist)
+    return codebooks, histories
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only encoding: (id, codes array<int>) with codes[s] = index
+    of subspace s's nearest codebook centroid. One pass, no shuffle."""
+    sd = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _argmin_code(F.slice(F.col(vec_col), s * sd + 1, sd), cb)
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over the codes table: the m x k table
+    of exact (query subvector -> centroid) squared distances is computed
+    driver-side (m*k floats) and shipped as plan literals; each row's
+    approximate distance is the sum of m array lookups. TakeOrdered
+    top-k — no full sort shuffle, the full vectors are never read."""
+    sd = len(codebooks[0][0])
+    dist = F.lit(0.0)
+    for s, cb in enumerate(codebooks):
+        qs = query_vec[s * sd : (s + 1) * sd]
+        table = [
+            float(sum((a - b) ** 2 for a, b in zip(qs, c))) for c in cb
+        ]
+        lut = F.array(*[F.lit(x) for x in table])
+        dist = dist + F.element_at(
+            lut, F.element_at(F.col(codes_col), s + 1) + 1
+        )
+    scored = encoded.select(
+        F.col(id_col),
+        F.round(dist.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("adc_dist"),
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)

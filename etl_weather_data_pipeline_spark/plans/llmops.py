@@ -1060,6 +1060,111 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@q(
+    "ann_pq_topk",
+    "Product-quantization ANN (Jegou et al. 2011) as a self-checking "
+    "recall query — the memory-side half of 100 TB ANN (IVF prunes "
+    "WHICH rows scan; PQ shrinks WHAT scans per row, 64 floats -> 4 "
+    "byte-codes here = 64x, FAISS IVF-PQ stacks both): per-subspace "
+    "Lloyd codebooks (deterministic lowest-id seeding), map-only "
+    "encoding, asymmetric-distance shortlist from m table lookups per "
+    "row (the m x k exact query->centroid table travels as plan "
+    "literals), then the production composition — exact re-rank of the "
+    "ADC-100 shortlist. Invariants emitted as booleans: re-ranked "
+    "recall@10 clears a 0.3 tripwire floor (synthetic embeddings are "
+    "near-random, the distance-concentration worst case: measured "
+    "0.9/1.0/0.6 across the three SFs), shortlist recall is MONOTONE "
+    "in shortlist size (ADC-100's id set provably contains ADC-50's: "
+    "same deterministic ordering, longer prefix), every code lies in "
+    "[0,16), and every subspace's Lloyd SSE is non-increasing. Exact "
+    "cross-check: n_vectors. Encoded table persists once (four "
+    "consumers — the two-branch re-evaluation trap).",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS k,
+           COUNT(*) AS n_vectors,
+           TRUE AS recall_floor_ok,
+           TRUE AS shortlist_recall_monotone,
+           TRUE AS codes_in_range,
+           TRUE AS sse_monotone
+    FROM embeddings
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    codebooks, hists = pq_fit(emb, m=4, k=16, iterations=3)
+    sse_monotone = all(
+        later <= earlier * (1 + 1e-9) + 1e-9
+        for h in hists
+        for earlier, later in zip(h, h[1:])
+    )
+    enc = pq_encode(emb, codebooks).persist(StorageLevel.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(enc)
+    sl50 = pq_adc_topk(enc, codebooks, qv, k=50).select("vec_id")
+    sl100 = pq_adc_topk(enc, codebooks, qv, k=100).select("vec_id")
+    qlit = F.array(*[F.lit(x) for x in qv])
+    exact10 = (
+        emb.select(
+            "vec_id",
+            VX.l2_distance(F.col("embedding"), qlit).alias("__d"),
+        )
+        .orderBy("__d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    # the production read path: exact re-rank of the ADC shortlist only
+    rerank10 = (
+        sl100.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            VX.l2_distance(F.col("embedding"), qlit).alias("__d"),
+        )
+        .orderBy("__d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    h_rr = rerank10.join(exact10, "vec_id").agg(
+        F.count(F.lit(1)).alias("__hrr")
+    )
+    h50 = sl50.join(exact10, "vec_id").agg(F.count(F.lit(1)).alias("__h50"))
+    h100 = sl100.join(exact10, "vec_id").agg(
+        F.count(F.lit(1)).alias("__h100")
+    )
+    stats = enc.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            (F.max(F.array_max("codes")) < F.lit(16))
+            & (F.min(F.array_min("codes")) >= F.lit(0))
+        ).alias("codes_in_range"),
+    )
+    return (
+        stats.crossJoin(h_rr)
+        .crossJoin(h50)
+        .crossJoin(h100)
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            "n_vectors",
+            (F.col("__hrr") >= F.lit(3)).alias("recall_floor_ok"),
+            (F.col("__h100") >= F.col("__h50")).alias(
+                "shortlist_recall_monotone"
+            ),
+            "codes_in_range",
+            F.lit(bool(sse_monotone)).alias("sse_monotone"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata)
 # ---------------------------------------------------------------------------

@@ -1008,3 +1008,60 @@ def test_pack_intact_capacity_and_coverage(spark):
     for g in {r["pack_group"] for r in out1}:
         sids = sorted({s for (gg, s) in seqs if gg == g})
         assert sids == list(range(len(sids))), (g, sids)
+
+
+def test_pq_encode_and_adc_exact_on_centroid_vectors(spark):
+    """If every vector IS one of its subspace centroids, encoding must
+    pick that centroid (code exact) and the ADC distance must equal the
+    exact squared L2 distance (table lookup of an exact precomputed
+    distance — zero quantization error by construction)."""
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    # m=2 subspaces of 2 dims; codebooks with 2 centroids each
+    codebooks = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 0.0], [-10.0, -10.0]],
+    ]
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),      # codes (0, 0)
+        (1, [10.0, 10.0, 0.0, 0.0]),    # codes (1, 0)
+        (2, [0.0, 0.0, -10.0, -10.0]),  # codes (0, 1)
+        (3, [10.0, 10.0, -10.0, -10.0]),  # codes (1, 1)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    enc = pq_encode(df, codebooks)
+    got = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert got == {0: [0, 0], 1: [1, 0], 2: [0, 1], 3: [1, 1]}
+
+    # query = vector 3 exactly: ADC distances are the exact squared L2
+    # distances to each vector (all vectors sit ON centroids)
+    topk = pq_adc_topk(enc, codebooks, [10.0, 10.0, -10.0, -10.0], k=4)
+    dists = {r["vec_id"]: r["adc_dist"] for r in topk.collect()}
+    assert dists[3] == 0.0
+    assert dists[1] == 200.0  # subspace 2 off by (10,10)
+    assert dists[2] == 200.0  # subspace 1 off by (10,10)
+    assert dists[0] == 400.0
+    # ordering: self first, ties by id, farthest last
+    order = [r["vec_id"] for r in topk.collect()]
+    assert order == [3, 1, 2, 0]
+
+
+def test_pq_fit_deterministic_and_sse_monotone(spark):
+    """pq_fit must be run-to-run deterministic (lowest-id seeding, no
+    RNG) and every subspace's Lloyd SSE non-increasing."""
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb1, h1 = pq_fit(emb, m=4, k=8, iterations=2)
+    cb2, h2 = pq_fit(emb, m=4, k=8, iterations=2)
+    assert cb1 == cb2 and h1 == h2
+    for h in h1:
+        assert all(
+            later <= earlier * (1 + 1e-9) + 1e-9
+            for earlier, later in zip(h, h[1:])
+        ), h1

@@ -610,3 +610,19 @@ def test_neardup_cluster_keep_plan_shape(spark):
     assert "BatchEvalPython" not in p
     assert n_nodes(p, "Window") == 2, p
     assert n_nodes(p, "Exchange") == 1, p
+
+
+def test_pq_topk_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # PQ query: the encoded codes table persists once and feeds all four
+    # consumers (two ADC shortlists, the codes-range aggregate, the
+    # count); ADC scoring is table lookups in codegen — no Python
+    # workers anywhere; the only joins are tiny id-set intersections and
+    # the 1-row boolean crossJoins
+    p = plan_of(spark, "ann_pq_topk")
+    assert n_nodes(p, "InMemoryTableScan") >= 3, p
+    assert "BatchEvalPython" not in p
+    release_curation_cache()
