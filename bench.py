@@ -99,6 +99,7 @@ PROPERTY_QUERIES = [
     "kmeans_clusters",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "corpus_merge_state",
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",

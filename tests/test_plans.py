@@ -626,3 +626,18 @@ def test_pq_topk_plan_shape(spark):
     assert n_nodes(p, "InMemoryTableScan") >= 3, p
     assert "BatchEvalPython" not in p
     release_curation_cache()
+
+
+def test_ivfpq_topk_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # IVF-PQ composition: the pruned cell scan and its encoded codes
+    # table each persist once (pruned feeds encode + in-cell exact +
+    # count; codes feed both shortlists); no Python workers — ADC is
+    # codegen'd lookups, probe choice is a tiny driver-side collect
+    p = plan_of(spark, "ann_ivfpq_topk")
+    assert n_nodes(p, "InMemoryTableScan") >= 4, p
+    assert "BatchEvalPython" not in p
+    release_curation_cache()

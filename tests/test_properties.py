@@ -473,3 +473,45 @@ def test_neardup_sink_matches_funnel_across_batch_orders(spark, texts):
         assert sink_ids == funnel_ids, (
             sorted(sink_ids ^ funnel_ids), order
         )
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2047), st.integers(0, 2047)),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_zorder_key_matches_reference_and_inverts(spark, pairs):
+    """The codegen'd Morton key must equal an independent pure-Python
+    bit-interleave for arbitrary in-range inputs, and be INVERTIBLE
+    (deinterleaving the key recovers both inputs exactly) — the
+    property that makes per-file z-key ranges meaningful for pruning.
+    One Spark job per example batch, not per pair."""
+    from etl_weather_data_pipeline_spark.operators.layout import zorder_key
+
+    def py_z(a, b, bits=11):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def py_unz(z, bits=11):
+        a = b = 0
+        for i in range(bits):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b"), bits=11).alias("z")
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == py_z(a, b), (a, b, z)
+        assert py_unz(z) == (a, b), (a, b, z)
