@@ -41,14 +41,34 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     Unrolled at plan-build time into pure shift/mask/or expressions —
     one codegen'd projection, no UDF, no shuffle.
     """
-    a = a.cast("long")
-    b = b.cast("long")
+    return zorder_key_multi([a, b], bits)
+
+
+def zorder_key_multi(cols: list[Column], bits: int = 16) -> Column:
+    """Morton-interleave m NON-NEGATIVE integer columns round-robin:
+    bit i of column j lands at position i*m + j. Total key width is
+    m*bits — callers keep it <= 62 so the key stays a positive long.
+    The 2-column :func:`zorder_key` is the (a@even, b@odd) special case
+    of the same layout."""
+    m = len(cols)
+    assert m >= 2, "interleaving needs at least two columns"
+    assert m * bits <= 62, f"{m}x{bits}-bit key overflows a long"
+    longs = [c.cast("long") for c in cols]
     key: Column | None = None
     for i in range(bits):
-        for src, pos in ((a, 2 * i), (b, 2 * i + 1)):
-            term = F.shiftleft(F.shiftright(src, i).bitwiseAND(F.lit(1)), pos)
+        for j, src in enumerate(longs):
+            term = F.shiftleft(
+                F.shiftright(src, i).bitwiseAND(F.lit(1)), i * m + j
+            )
             key = term if key is None else key.bitwiseOR(term)
     return key
+
+
+def quantize_nonneg(c: Column) -> Column:
+    """Standard z-key quantization for arbitrary numeric columns: floor
+    to an integer grid and clamp at 0 (negative inputs would put sign
+    bits mid-key and destroy locality)."""
+    return F.greatest(F.floor(c), F.lit(0)).cast("long")
 
 
 def o_zorder(a: str, b: str, bits: int = 16) -> str:

@@ -111,6 +111,8 @@ def compact_parquet(
     path: str,
     partition_by: Sequence[str] = (),
     target_file_mb: int = 128,
+    zorder_by: Sequence[str] = (),
+    zorder_bits: int = 16,
 ) -> dict[str, int]:
     """Small-file compaction — the maintenance op every streaming/upsert
     sink needs: micro-batches and per-partition overwrites accumulate
@@ -131,7 +133,22 @@ def compact_parquet(
     write reads the live files directly (no localCheckpoint copy of the
     whole table through executor memory). Returns
     {"files_before": n, "files_after": m}.
+
+    ``zorder_by``: for FLAT tables, rewrite clustered on the Morton
+    interleave of the named columns (quantized via floor-and-clamp) —
+    the OPTIMIZE ZORDER maintenance op: compaction is the natural time
+    to fix layout, since the rewrite is already paying the full
+    read+write. Output files are range-partitioned on the z-key (no
+    global sort) and sorted within, so parquet footers are narrow in
+    EVERY interleaved dimension. Not combinable with ``partition_by``
+    (partition pruning already covers those columns; z-cluster a hive
+    partition by compacting its directory as a flat table).
     """
+    if zorder_by and partition_by:
+        raise ValueError(
+            "zorder_by applies to flat tables; compact a hive "
+            "partition's directory directly to z-cluster inside it"
+        )
     import glob
     import os
     import uuid
@@ -180,7 +197,23 @@ def compact_parquet(
         ).drop("__bucket")
     else:
         n_out = max(1, sum(os.path.getsize(f) for f in before) // target_bytes)
-        out = df.repartition(int(n_out))
+        if zorder_by:
+            from etl_weather_data_pipeline_spark.operators.layout import (
+                quantize_nonneg,
+                zorder_key_multi,
+            )
+
+            zkey = zorder_key_multi(
+                [quantize_nonneg(df[c]) for c in zorder_by], zorder_bits
+            )
+            out = (
+                df.withColumn("__zkey", zkey)
+                .repartitionByRange(int(n_out), F.col("__zkey"))
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        else:
+            out = df.repartition(int(n_out))
     staged = path.rstrip("/") + f".compact-tmp-{uuid.uuid4().hex[:8]}"
     write_parquet(out, staged, "overwrite", partition_by)
     _swap_dirs(path, staged)

@@ -563,3 +563,81 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     # z-order: BOTH dimensions narrow in every file
     assert avg(z_u) < 0.5 * u_domain, (z_u, u_domain)
     assert avg(z_v) < 0.35 * v_domain, (z_v, v_domain)
+
+
+def test_compact_parquet_zorder_rejects_partitioned(spark, tmp_path):
+    from etl_weather_data_pipeline_spark.sinks.writers import compact_parquet
+
+    p = str(tmp_path / "t")
+    spark.range(10).withColumn("d", F.lit("x")).write.partitionBy(
+        "d"
+    ).parquet(p)
+    with pytest.raises(ValueError, match="flat tables"):
+        compact_parquet(
+            spark, p, partition_by=["d"], zorder_by=["id"], target_file_mb=1
+        )
+
+
+def test_compact_parquet_zorder_clusters_files(spark, tmp_path):
+    """Compaction with zorder_by must fix BOTH the small-file problem and
+    the layout: output footers narrow in every interleaved dimension,
+    where plain compaction leaves each file spanning ~the whole domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_weather_data_pipeline_spark.sinks.writers import compact_parquet
+
+    # ~300k rows with an incompressible payload sized for ~30 one-MB
+    # output files — per-dim span scales ~domain/sqrt(n_files), so the
+    # clustering effect needs enough files to be unambiguous; (a, b)
+    # independent so neither orders the other
+    base = (
+        spark.range(300_000)
+        .withColumn("a", F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .withColumn("b", F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)))
+        .withColumn(
+            "payload",
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("x"))),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("y"))),
+            ),
+        )
+    )
+    zpath, npath = str(tmp_path / "z"), str(tmp_path / "n")
+    for p in (zpath, npath):
+        base.repartition(32).write.parquet(p)
+
+    rz = compact_parquet(
+        spark, zpath, target_file_mb=1, zorder_by=["a", "b"], zorder_bits=10
+    )
+    rn = compact_parquet(spark, npath, target_file_mb=1)
+    assert rz["files_after"] < rz["files_before"]
+
+    def spans(root, col):
+        out = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                s = c.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            out.append(hi - lo)
+        return out
+
+    def avg(xs):
+        return sum(xs) / len(xs)
+
+    assert len(spans(zpath, "a")) >= 4, rz
+    for col in ("a", "b"):
+        z, n = spans(zpath, col), spans(npath, col)
+        assert avg(z) < 0.5 * avg(n), (col, z, n)
+    # nothing lost or duplicated by the clustered rewrite
+    assert spark.read.parquet(zpath).count() == 300_000
