@@ -1166,6 +1166,63 @@ def ann_pq_topk(spark, sf_dir):
 
 
 @q(
+    "corpus_curriculum_stages",
+    "Curriculum-ordered training stages: rank the corpus by an "
+    "easy-to-hard proxy (distinct-token ratio — repetitive/boilerplate "
+    "docs first, information-dense last), cut into 4 equal stages, and "
+    "report each stage's doc count, token budget, and score range — "
+    "the stage manifest a curriculum-learning run consumes (feed "
+    "stages in order; the companion export_training_shards writes the "
+    "files). The ordering key is an exact int/int ratio (ties to "
+    "doc_id) so both engines rank identically. The exact ntile needs a "
+    "full ordering — fine for this manifest; at 100 TB the SAME stage "
+    "assignment comes from approx-percentile score cutoffs + a "
+    "map-side bucket join (the events_mad_outliers exact/approx "
+    "pattern applies).",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct({O_TOKS})) AS DOUBLE)
+               / len({O_TOKS}) AS score,
+             len({O_TOKS}) AS n_toks
+      FROM documents),
+    staged AS (
+      SELECT ntile(4) OVER (ORDER BY score, doc_id) AS stage,
+             score, n_toks
+      FROM scored)
+    SELECT CAST(stage AS INT) AS stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS stage_tokens,
+           {o_dround('MIN(score)', 6)} AS score_min,
+           {o_dround('MAX(score)', 6)} AS score_max
+    FROM staged GROUP BY stage
+    """,
+)
+def corpus_curriculum_stages(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.distinct_token_ratio(F.col("text")).alias("__score"),
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("__n_toks"),
+    )
+    staged = scored.select(
+        F.ntile(4)
+        .over(Window.orderBy("__score", "doc_id"))
+        .alias("stage"),
+        "__score",
+        "__n_toks",
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_toks").alias("stage_tokens"),
+        dround(F.min("__score"), 6).alias("score_min"),
+        dround(F.max("__score"), 6).alias("score_max"),
+    )
+
+
+@q(
     "ann_ivfpq_topk",
     "The full IVF-PQ stack (the FAISS production composition, both "
     "halves from this repo's operators): IVF probes the 3 label cells "

@@ -641,3 +641,14 @@ def test_ivfpq_topk_plan_shape(spark):
     assert n_nodes(p, "InMemoryTableScan") >= 4, p
     assert "BatchEvalPython" not in p
     release_curation_cache()
+
+
+def test_curriculum_stages_plan_shape(spark):
+    # curriculum manifest: one scan, the exact global ntile's single
+    # window (the documented approx-percentile swap applies at 100 TB),
+    # partial+final aggregate, no join, no Python
+    p = plan_of(spark, "corpus_curriculum_stages")
+    assert n_nodes(p, "Scan parquet") == 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p
+    assert n_nodes(p, "Window") == 1, p
