@@ -1065,3 +1065,40 @@ def test_pq_fit_deterministic_and_sse_monotone(spark):
             later <= earlier * (1 + 1e-9) + 1e-9
             for earlier, later in zip(h, h[1:])
         ), h1
+
+
+def test_cluster_keep_policy_is_not_min_id(spark):
+    """The quality-retention query must actually change outcomes vs the
+    min-id convention (if they always agreed, the policy would be dead
+    code), and every kept doc must carry its cluster's maximum
+    distinct-token count (the policy's definition), drawn from the same
+    membership doc_neardup_clusters reports."""
+    from etl_weather_data_pipeline_spark.functions import text as TX
+    from etl_weather_data_pipeline_spark.plans.catalog import build_registry
+
+    reg = build_registry()
+    keep = {
+        r["cluster_id"]: (r["keep_doc_id"], r["keep_n_uniq_toks"], r["n_members"])
+        for r in reg["neardup_cluster_keep"].spark(spark, SF_ORACLE).collect()
+    }
+    assert any(kd != cl for cl, (kd, _, _) in keep.items()), keep
+
+    members = {}
+    for r in reg["doc_neardup_clusters"].spark(spark, SF_ORACLE).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    docs = load(spark, SF_ORACLE, "documents")
+    nu = {
+        r["doc_id"]: r["nu"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.array_distinct(TX.tokens(F.col("text")))).alias("nu"),
+        ).collect()
+    }
+    assert set(keep) == set(members)
+    for cl, (kd, knu, n) in keep.items():
+        assert n == len(members[cl])
+        assert kd in members[cl]
+        assert knu == max(nu[d] for d in members[cl])
+        # tie-break: lowest id among the max-score members
+        best = min(d for d in members[cl] if nu[d] == knu)
+        assert kd == best
