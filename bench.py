@@ -100,6 +100,7 @@ PROPERTY_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "corpus_bpe_merges",
     "corpus_merge_state",
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",

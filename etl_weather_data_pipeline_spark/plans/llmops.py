@@ -1166,6 +1166,78 @@ def ann_pq_topk(spark, sf_dir):
 
 
 @q(
+    "corpus_bpe_merges",
+    "BPE tokenizer training (Sennrich et al. 2016 — the GPT/LLaMA "
+    "tokenizer algorithm) as an iterative DataFrame loop: collapse the "
+    "corpus to (word-type, count) ONCE (the only full-corpus pass — a "
+    "100 TB corpus has a bounded word-type set, so every merge round "
+    "is a small explode + hash aggregate on that table), then 8 rounds "
+    "of most-frequent-adjacent-pair selection (count DESC, "
+    "lexicographic tie-break: deterministic) and greedy left-to-right "
+    "merge application via a codegen'd fold; one job per round "
+    "(operators/components.py checkpoint pattern). Merge CONTENT "
+    "(pair strings/counts) can't be mirrored without replicating the "
+    "loop, so the oracled surface is the invariants: per-round "
+    "booleans pin positive pair counts and a STRICTLY decreasing "
+    "weighted symbol total (greedy always applies the selected pair "
+    "at least once — a broken fold flips it), and the exact "
+    "cross-check is the word-type count both engines compute "
+    "independently. Merge sequence itself is pinned on a classic toy "
+    "corpus in tests/test_llmops.py.",
+    oracle=f"""
+    WITH wt AS (
+      SELECT COUNT(DISTINCT t) AS n_word_types
+      FROM (SELECT unnest({O_TOKS}) AS t FROM documents))
+    SELECT CAST(u.m AS INT) AS merge_idx,
+           wt.n_word_types,
+           TRUE AS pair_count_positive,
+           TRUE AS symbols_decreasing
+    FROM wt, unnest(range(8)) AS u(m)
+    """,
+)
+def corpus_bpe_merges(spark, sf_dir):
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from etl_weather_data_pipeline_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges, vocab, base_total = bpe_train(docs, n_merges=8)
+    prev = [base_total] + [m.total_symbols_after for m in merges[:-1]]
+    rows = [
+        (
+            m.merge_idx,
+            m.pair_count > 0,
+            m.total_symbols_after < p,
+        )
+        for m, p in zip(merges, prev)
+    ]
+    schema = StructType(
+        [
+            StructField("merge_idx", IntegerType()),
+            StructField("pair_count_positive", BooleanType()),
+            StructField("symbols_decreasing", BooleanType()),
+        ]
+    )
+    return (
+        spark.createDataFrame(rows, schema)
+        .crossJoin(
+            vocab.agg(F.count(F.lit(1)).alias("n_word_types"))
+        )
+        .select(
+            "merge_idx",
+            "n_word_types",
+            "pair_count_positive",
+            "symbols_decreasing",
+        )
+    )
+
+
+@q(
     "corpus_curriculum_stages",
     "Curriculum-ordered training stages: rank the corpus by an "
     "easy-to-hard proxy (distinct-token ratio — repetitive/boilerplate "

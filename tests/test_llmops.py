@@ -1102,3 +1102,72 @@ def test_cluster_keep_policy_is_not_min_id(spark):
         # tie-break: lowest id among the max-score members
         best = min(d for d in members[cl] if nu[d] == knu)
         assert kd == best
+
+
+def test_bpe_train_classic_corpus_merge_sequence(spark):
+    """Pin the merge CONTENT (which the property oracle can't mirror)
+    on the classic Sennrich toy corpus, including the overlap-greedy
+    and word-end-marker semantics."""
+    from etl_weather_data_pipeline_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lower newest newest newest newest widest")],
+        ["id", "text"],
+    )
+    merges, vocab, base_total = bpe_train(df, n_merges=6)
+    seq = [(m.left, m.right, m.pair_count) for m in merges]
+    # w+e appears in lower x2 and newest x4 = 6 (most frequent); ties
+    # thereafter break lexicographically (l+o over s+t at count 5)
+    assert seq == [
+        ("w", "e", 6),
+        ("l", "o", 5),
+        ("s", "t", 5),
+        ("st", "</w>", 5),
+        ("e", "we", 4),
+        ("ewe", "st</w>", 4),
+    ]
+    totals = [m.total_symbols_after for m in merges]
+    assert base_total == 59 and totals == [53, 48, 43, 38, 34, 30]
+    got = {
+        r["word"]: list(r["sym"]) for r in vocab.collect()
+    }
+    assert got["newest"] == ["n", "ewest</w>"]
+    assert got["low"] == ["lo", "w", "</w>"]
+
+
+def test_bpe_greedy_overlap_application(spark):
+    """'aaaa' under merge (a,a): overlapping pairs count 3, but greedy
+    left-to-right application yields [aa, aa] — the reference
+    implementation's semantics, and the reason the symbol-total
+    decrement is measured, not derived from the pair count."""
+    from etl_weather_data_pipeline_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "aaaa aaaa")], ["id", "text"])
+    merges, vocab, base_total = bpe_train(df, n_merges=1)
+    assert (merges[0].left, merges[0].right) == ("a", "a")
+    assert merges[0].pair_count == 6  # 3 overlapping pairs x 2 words
+    sym = list(vocab.first()["sym"])
+    assert sym == ["aa", "aa", "</w>"]
+
+
+def test_bpe_token_counts_with_oov_fallback(spark):
+    from etl_weather_data_pipeline_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "low low low lower lower newest newest newest newest widest")],
+        ["doc_id", "text"],
+    )
+    _, vocab, _ = bpe_train(train, n_merges=6)
+    # newest -> [n, ewest</w>] = 2; low -> [lo, w, </w>] = 3;
+    # 'zzz' is OOV -> 3 chars + 1 = 4
+    apply_df = spark.createDataFrame(
+        [(1, "newest low"), (2, "zzz newest")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(apply_df, vocab).collect()
+    }
+    assert got == {1: (2, 5), 2: (2, 6)}
