@@ -101,6 +101,7 @@ PROPERTY_QUERIES = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "corpus_bpe_merges",
+    "doc_quality_classifier",
     "corpus_merge_state",
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",

@@ -1166,6 +1166,61 @@ def ann_pq_topk(spark, sf_dir):
 
 
 @q(
+    "doc_quality_classifier",
+    "Classifier-based quality scoring (the CCNet / LLaMA recipe: train "
+    "a linear classifier on cheap text features and filter the crawl "
+    "by its score) via full-batch gradient descent as DataFrame "
+    "aggregates — weights travel as plan literals, each GD iteration "
+    "is ONE map-side pass + one aggregate carrying every partial "
+    "gradient AND the loss, driver state is d+1 floats "
+    "(operators/logreg.py). The synthetic corpus carries no real "
+    "curated-vs-crawl signal, so the label is a PLANTED separable "
+    "concept (distinct-token ratio above 0.46) the optimizer must "
+    "recover — the self-check that fails if any gradient component is "
+    "wrong. Invariant booleans: loss non-increasing EVERY iteration "
+    "(convex loss, step below 2/L), final loss well under ln 2 "
+    "(measured 0.54 at all three SFs from 0.693), training accuracy "
+    "clears 0.85 (measured 0.94/0.99/0.98), finite weights. Exact "
+    "cross-check: n_docs.",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           TRUE AS loss_monotone,
+           TRUE AS loss_dropped,
+           TRUE AS accuracy_floor_ok,
+           TRUE AS weights_finite
+    FROM documents
+    """,
+)
+def doc_quality_classifier(spark, sf_dir):
+    import math
+
+    from etl_weather_data_pipeline_spark.operators.logreg import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    fcols = ["f_sw", "f_dr", "f_len"]
+    feats = docs.select(
+        TX.stopword_ratio(F.col("text")).alias("f_sw"),
+        TX.distinct_token_ratio(F.col("text")).alias("f_dr"),
+        (F.length("text") / F.lit(2000.0)).alias("f_len"),
+    ).withColumn("y", (F.col("f_dr") > F.lit(0.46)).cast("int"))
+    w, losses = logreg_fit(feats, fcols, "y", lr=4.0, iterations=10)
+    monotone = all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
+    correct = (
+        (logreg_score(fcols, w) > 0.5).cast("int") == F.col("y")
+    ).cast("int")
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(bool(monotone)).alias("loss_monotone"),
+        F.lit(bool(losses[-1] < 0.65)).alias("loss_dropped"),
+        (F.avg(correct) >= F.lit(0.85)).alias("accuracy_floor_ok"),
+        F.lit(all(math.isfinite(x) for x in w)).alias("weights_finite"),
+    )
+
+
+@q(
     "corpus_bpe_merges",
     "BPE tokenizer training (Sennrich et al. 2016 — the GPT/LLaMA "
     "tokenizer algorithm) as an iterative DataFrame loop: collapse the "

@@ -1171,3 +1171,34 @@ def test_bpe_token_counts_with_oov_fallback(spark):
         for r in bpe_token_counts(apply_df, vocab).collect()
     }
     assert got == {1: (2, 5), 2: (2, 6)}
+
+
+def test_logreg_learns_separable_concept(spark):
+    """On cleanly separable data GD must drive the loss far below ln 2,
+    classify essentially perfectly, and point the weight vector at the
+    separating feature — wrong sign or a swapped gradient component
+    fails here loudly."""
+    from etl_weather_data_pipeline_spark.operators.logreg import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    rows = [(i, (i % 100) / 100.0, ((i * 37) % 100) / 100.0) for i in range(2000)]
+    df = (
+        spark.createDataFrame(rows, ["i", "x1", "x2"])
+        .withColumn("y", (F.col("x1") > 0.5).cast("int"))
+    )
+    w, losses = logreg_fit(df, ["x1", "x2"], "y", lr=4.0, iterations=40)
+    assert losses[0] > 0.69 and losses[-1] < 0.3, losses
+    assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
+    assert w[1] > 1.0 and abs(w[2]) < abs(w[1]) / 3, w  # x1 drives, x2 noise
+    acc = (
+        df.select(
+            ((logreg_score(["x1", "x2"], w) > 0.5).cast("int") == F.col("y"))
+            .cast("int")
+            .alias("c")
+        )
+        .agg(F.avg("c"))
+        .first()[0]
+    )
+    assert acc > 0.97, acc

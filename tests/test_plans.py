@@ -652,3 +652,14 @@ def test_curriculum_stages_plan_shape(spark):
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p
     assert n_nodes(p, "Window") == 1, p
+
+
+def test_quality_classifier_plan_shape(spark):
+    # classifier query: the final scoring/accuracy aggregate is one
+    # map-side pass over the feature projection — 1 scan, no join, no
+    # Python (GD iterations ran as separate one-pass aggregates during
+    # fit, weights travel as plan literals)
+    p = plan_of(spark, "doc_quality_classifier")
+    assert n_nodes(p, "Scan parquet") == 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p
