@@ -3005,6 +3005,111 @@ def doc_unigram_logprob(spark, sf_dir):
     )
 
 
+@q(
+    "doc_bigram_logprob",
+    "Corpus-trained CONDITIONAL bigram log-probability per document — "
+    "the next step up from doc_unigram_logprob toward a KenLM-style "
+    "perplexity gate: score = mean ln p(b|a) over the doc's adjacent "
+    "token pairs with add-0.5 smoothing, p(b|a) = (c(ab)+0.5) / "
+    "(c(a)+0.5V). Catches garbled WORD ORDER that unigram scoring is "
+    "blind to (same bag of tokens, scrambled transitions -> low "
+    "score). Factored as ln(c(ab)+.5) - ln(c(a)+.5V) so each side "
+    "rounds deterministically before the exact-decimal per-doc mean; "
+    "the unigram vocab (bounded word-type table) persists once and "
+    "serves the conditional join AND the V count. Docs with < 2 "
+    "tokens have no transitions and drop out, mirrored by the join "
+    "semantics on both engines.",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({O_TOKS}) AS token FROM documents),
+    big AS (
+      SELECT doc_id, t.first AS first, t.bigram AS bigram FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len({O_TOKS}) >= 2 THEN
+            list_transform(range(1, len({O_TOKS})),
+              i -> struct_pack(first := {O_TOKS}[i],
+                               bigram := {O_TOKS}[i] || ' ' || {O_TOKS}[i+1]))
+          ELSE CAST([] AS STRUCT(first VARCHAR, bigram VARCHAR)[]) END
+        ) AS t
+        FROM documents)),
+    uvocab AS (SELECT token, COUNT(*) AS ucnt FROM tok GROUP BY token),
+    v AS (SELECT COUNT(*) AS vsize FROM uvocab),
+    bvocab AS (SELECT bigram, COUNT(*) AS bcnt FROM big GROUP BY bigram),
+    scored AS (
+      SELECT b.doc_id,
+             {o_dround("ln(bv.bcnt + 0.5)", 8)}
+               - {o_dround(
+                   "ln(uv.ucnt + 0.5 * (SELECT vsize FROM v))", 8)} AS lp
+      FROM big b JOIN bvocab bv USING (bigram)
+                 JOIN uvocab uv ON uv.token = b.first)
+    SELECT doc_id,
+           {o_dround(
+               "CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)",
+               6)} AS avg_bigram_logprob,
+           COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    tok = toked.select("doc_id", F.explode("__t").alias("token"))
+    uvocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(uvocab)
+    v = uvocab.agg(F.count(F.lit(1)).alias("vsize"))
+    # bigram structs from the BOUND __t column (HOF layering rule);
+    # explode_outer + isNotNull per the inferred-filter trap.
+    big = (
+        toked.select(
+            "doc_id",
+            F.explode_outer(
+                F.when(
+                    F.size("__t") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(__t) - 2), "
+                        "i -> struct(__t[i] AS first, "
+                        "concat(__t[i], ' ', __t[i + 1]) AS bigram))"
+                    ),
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", F.col("b.first").alias("first"), "b.bigram")
+    )
+    bvocab = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("bcnt"))
+    scored = (
+        big.join(bvocab, "bigram")
+        .join(uvocab, big["first"] == uvocab["token"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                dround(F.log(F.col("bcnt") + F.lit(0.5)), 8)
+                - dround(
+                    F.log(
+                        F.col("ucnt") + F.lit(0.5) * F.col("vsize")
+                    ),
+                    8,
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        dround(
+            F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_bigram_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: winnow overlap pairs, source KL divergence, embedding
 # dimension stats, n-gram novelty

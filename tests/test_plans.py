@@ -663,3 +663,19 @@ def test_quality_classifier_plan_shape(spark):
     assert n_nodes(p, "Scan parquet") == 1, p
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p
+
+
+def test_bigram_logprob_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # bigram LM: the unigram vocab persists once (serves the
+    # conditional join AND the V count); bigram structs explode from
+    # the BOUND token-array column (explode_outer + isNotNull — the
+    # inferred-filter trap); no cartesian, no Python
+    p = plan_of(spark, "doc_bigram_logprob")
+    assert n_nodes(p, "InMemoryTableScan") == 2, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    release_curation_cache()
