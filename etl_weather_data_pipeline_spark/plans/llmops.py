@@ -5191,3 +5191,143 @@ def corpus_mixture_plan(spark, sf_dir):
         F.ceil(F.col("sampling_rate")).cast("long").alias("n_epochs"),
         (F.col("sampling_rate") > F.lit(1.0)).alias("oversampled"),
     )
+
+
+@q(
+    "corpus_epoch_expand",
+    "Materialize the planned mixture (corpus_mixture_plan's companion): "
+    "each doc repeats floor(rate) times plus one more when its md5 "
+    "bucket falls under the fractional remainder — deterministic "
+    "oversampling/subsampling per source (a doc's copy count never "
+    "changes across runs, engines, or partitionings; rate > 1 sources "
+    "repeat whole epochs, rate < 1 sources thin). Per-source report: "
+    "docs in, docs out, tokens out, the rate applied. Copy "
+    "materialization is a map-side sequence explode of an integer "
+    "array (no join builds the copies); the 20-row rate table "
+    "broadcasts onto the fact scan — one shuffle total (the final "
+    "aggregate). Fully EXACT-oracled end to end.",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len({O_TOKS}) AS BIGINT)) AS BIGINT) AS mass
+      FROM documents GROUP BY source),
+    s AS (SELECT source, n_docs, mass,
+                 {o_dround("sqrt(mass)", 6)} AS sq
+          FROM m),
+    d AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS denom,
+                 CAST(SUM(mass) AS BIGINT) AS total_mass
+          FROM s),
+    w AS (SELECT source, n_docs, mass,
+                 {o_dround("sq / denom", 6)} AS mix_weight, total_mass
+          FROM s, d),
+    t AS (SELECT source, n_docs, mass,
+                 CAST(FLOOR(mix_weight * total_mass) AS BIGINT)
+                   AS target_tokens
+          FROM w),
+    r AS (SELECT source, n_docs,
+                 {o_dround("CAST(target_tokens AS DOUBLE) / mass", 6)}
+                   AS rate
+          FROM t),
+    rated AS (
+      SELECT doc.source, len({O_TOKS}) AS nt, r.n_docs, r.rate,
+             CAST(FLOOR(r.rate) AS BIGINT)
+               + CASE WHEN {_O_BUCKET} / 1000.0 < r.rate - FLOOR(r.rate)
+                      THEN 1 ELSE 0 END AS k
+      FROM documents doc JOIN r ON doc.source = r.source),
+    expanded AS (
+      SELECT source, nt, n_docs, rate
+      FROM rated, unnest(range(rated.k)) AS u(i))
+    SELECT source,
+           CAST(MIN(n_docs) AS BIGINT) AS docs_in,
+           COUNT(*) AS docs_out,
+           CAST(SUM(nt) AS BIGINT) AS tokens_out,
+           MIN(rate) AS rate
+    FROM expanded GROUP BY source
+    """,
+)
+def corpus_epoch_expand(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    m = (
+        docs.select(
+            "source",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("__n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.sum("__n").alias("__mass"),
+        )
+    )
+    from pyspark.sql import Window
+
+    g = Window.partitionBy()
+    s = m.select(
+        "source",
+        "__n_docs",
+        "__mass",
+        dround(F.sqrt(F.col("__mass")), 6).alias("__sq"),
+    )
+    w = s.select(
+        "source",
+        "__n_docs",
+        "__mass",
+        dround(
+            F.col("__sq")
+            / F.sum(F.col("__sq").cast("decimal(18,6)"))
+            .over(g)
+            .cast("double"),
+            6,
+        ).alias("__mw"),
+        F.sum("__mass").over(g).alias("__tm"),
+    )
+    rates = w.select(
+        "source",
+        "__n_docs",
+        dround(
+            F.floor(F.col("__mw") * F.col("__tm")).cast("double")
+            / F.col("__mass"),
+            6,
+        ).alias("__rate"),
+    )
+    rated = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("__nt"),
+        )
+        .join(F.broadcast(rates), "source")
+        .withColumn(
+            "__k",
+            F.floor(F.col("__rate")).cast("long")
+            + F.when(
+                hash_bucket(F.col("doc_id")) / F.lit(1000.0)
+                < F.col("__rate") - F.floor(F.col("__rate")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+    )
+    # copies: cheap integer sequence — inner explode is fine here (the
+    # inferred size>0 filter re-evaluates only the sequence expr)
+    expanded = rated.select(
+        "source",
+        "__nt",
+        "__n_docs",
+        "__rate",
+        F.explode(
+            F.when(
+                F.col("__k") >= 1, F.sequence(F.lit(1), F.col("__k"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__copy"),
+    )
+    return expanded.groupBy("source").agg(
+        F.min("__n_docs").cast("long").alias("docs_in"),
+        F.count(F.lit(1)).alias("docs_out"),
+        F.sum("__nt").cast("long").alias("tokens_out"),
+        F.min("__rate").alias("rate"),
+    )

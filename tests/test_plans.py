@@ -679,3 +679,14 @@ def test_bigram_logprob_plan_shape(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     release_curation_cache()
+
+
+def test_epoch_expand_plan_shape(spark):
+    # mixture materialization: the 20-row rate table broadcasts onto
+    # the fact scan; copies come from a map-side sequence explode (no
+    # join builds them); one aggregate shuffle; no cartesian, no Python
+    p = plan_of(spark, "corpus_epoch_expand")
+    assert n_nodes(p, "BroadcastHashJoin") == 1, p
+    assert n_nodes(p, "Generate") == 1, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
