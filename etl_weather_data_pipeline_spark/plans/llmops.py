@@ -5081,25 +5081,11 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
-@q(
-    "corpus_mixture_plan",
-    "Training-mixture planning table (the 'epochs over each dataset' "
-    "view from the LLaMA / Gopher data recipes): per-source token mass, "
-    "alpha=0.5-smoothed mixture weight w_s = sqrt(mass_s)/SUM(sqrt(mass))"
-    " (the same smoothing corpus_temperature_sample applies when it "
-    "actually draws docs), the token allocation w_s * total_mass at a "
-    "budget of one corpus-mass equivalent, the per-source sampling rate "
-    "that allocation implies, and the epoch count (rate > 1 means the "
-    "source repeats — head domains shed mass to the tail, so tail "
-    "sources oversample). Scale shape: ONE hash aggregate over the fact "
-    "table down to #sources rows; every subsequent step is arithmetic "
-    "on that tiny side (broadcast of a 1-row global), so the plan costs "
-    "a single fact-table pass at any corpus size. Determinism: sqrt is "
-    "correctly-rounded IEEE, the cross-source sum of sqrts goes through "
-    "exact decimals, and every derived double is decimal-routed before "
-    "comparison or floor/ceil.",
-    oracle=f"""
-    WITH m AS (
+# Shared mixture-rate derivation: ONE source of truth for the planning
+# view (corpus_mixture_plan) and the materializer (corpus_epoch_expand),
+# on both engines — the SQL CTE chain below and _mixture_rates are
+# generated/written together so plan and materialization cannot drift.
+_O_MIXTURE_CTES = f"""m AS (
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(CAST(len({O_TOKS}) AS BIGINT)) AS BIGINT) AS mass
       FROM documents GROUP BY source),
@@ -5120,18 +5106,17 @@ def corpus_shard_manifest(spark, sf_dir):
     r AS (SELECT source, n_docs, mass, mix_weight, target_tokens,
                  {o_dround("CAST(target_tokens AS DOUBLE) / mass", 6)}
                    AS sampling_rate
-          FROM t)
-    SELECT source, n_docs, mass AS mass_tokens, mix_weight,
-           target_tokens, sampling_rate,
-           CAST(CEIL(sampling_rate) AS BIGINT) AS n_epochs,
-           sampling_rate > 1.0 AS oversampled
-    FROM r
-    """,
-)
-def corpus_mixture_plan(spark, sf_dir):
+          FROM t)"""
+
+
+def _mixture_rates(docs):
+    """Per-source mixture table (Spark mirror of _O_MIXTURE_CTES' `r`):
+    (source, n_docs, mass_tokens, mix_weight, target_tokens,
+    sampling_rate). One fact pass; cross-source totals are window sums
+    over the #sources-row aggregate (a second .agg() branch would
+    re-scan — the two-branch trap)."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
     m = (
         docs.select(
             "source",
@@ -5140,25 +5125,20 @@ def corpus_mixture_plan(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__n").alias("__mass"),
+            F.sum("__n").alias("mass_tokens"),
         )
     )
     s = m.select(
         "source",
         "n_docs",
-        "__mass",
-        dround(F.sqrt(F.col("__mass")), 6).alias("__sq"),
+        "mass_tokens",
+        dround(F.sqrt(F.col("mass_tokens")), 6).alias("__sq"),
     )
-    # Cross-source totals as WINDOW sums over the #sources-row aggregate
-    # output (not a separate .agg() branch: a second consumer of `s`
-    # re-evaluates its whole subtree — two fact scans — per the
-    # two-branch re-evaluation trap). Single-partition window is fine
-    # HERE because it runs after the aggregate, on #sources rows.
     g = Window.partitionBy()
     w = s.select(
         "source",
         "n_docs",
-        "__mass",
+        "mass_tokens",
         dround(
             F.col("__sq")
             / F.sum(F.col("__sq").cast("decimal(18,6)"))
@@ -5166,25 +5146,59 @@ def corpus_mixture_plan(spark, sf_dir):
             .cast("double"),
             6,
         ).alias("mix_weight"),
-        F.sum("__mass").over(g).alias("__total_mass"),
+        F.sum("mass_tokens").over(g).alias("__tm"),
     )
     t = w.select(
         "source",
         "n_docs",
-        "__mass",
+        "mass_tokens",
         "mix_weight",
-        F.floor(F.col("mix_weight") * F.col("__total_mass"))
+        F.floor(F.col("mix_weight") * F.col("__tm"))
         .cast("long")
         .alias("target_tokens"),
     )
-    r = t.withColumn(
+    return t.withColumn(
         "sampling_rate",
-        dround(F.col("target_tokens").cast("double") / F.col("__mass"), 6),
+        dround(
+            F.col("target_tokens").cast("double") / F.col("mass_tokens"), 6
+        ),
     )
-    return r.select(
+
+
+@q(
+    "corpus_mixture_plan",
+    "Training-mixture planning table (the 'epochs over each dataset' "
+    "view from the LLaMA / Gopher data recipes): per-source token mass, "
+    "alpha=0.5-smoothed mixture weight w_s = sqrt(mass_s)/SUM(sqrt(mass))"
+    " (the same smoothing corpus_temperature_sample applies when it "
+    "actually draws docs), the token allocation w_s * total_mass at a "
+    "budget of one corpus-mass equivalent, the per-source sampling rate "
+    "that allocation implies, and the epoch count (rate > 1 means the "
+    "source repeats — head domains shed mass to the tail, so tail "
+    "sources oversample). Scale shape: ONE hash aggregate over the fact "
+    "table down to #sources rows; every subsequent step is arithmetic "
+    "on that tiny side (broadcast of a 1-row global), so the plan costs "
+    "a single fact-table pass at any corpus size. Determinism: sqrt is "
+    "correctly-rounded IEEE, the cross-source sum of sqrts goes through "
+    "exact decimals, and every derived double is decimal-routed before "
+    "comparison or floor/ceil. Rate derivation is SHARED with "
+    "corpus_epoch_expand (_mixture_rates / _O_MIXTURE_CTES) so the "
+    "plan and its materializer cannot drift.",
+    oracle=f"""
+    WITH {_O_MIXTURE_CTES}
+    SELECT source, n_docs, mass AS mass_tokens, mix_weight,
+           target_tokens, sampling_rate,
+           CAST(CEIL(sampling_rate) AS BIGINT) AS n_epochs,
+           sampling_rate > 1.0 AS oversampled
+    FROM r
+    """,
+)
+def corpus_mixture_plan(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return _mixture_rates(docs).select(
         "source",
         "n_docs",
-        F.col("__mass").alias("mass_tokens"),
+        "mass_tokens",
         "mix_weight",
         "target_tokens",
         "sampling_rate",
@@ -5207,31 +5221,13 @@ def corpus_mixture_plan(spark, sf_dir):
     "broadcasts onto the fact scan — one shuffle total (the final "
     "aggregate). Fully EXACT-oracled end to end.",
     oracle=f"""
-    WITH m AS (
-      SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(CAST(len({O_TOKS}) AS BIGINT)) AS BIGINT) AS mass
-      FROM documents GROUP BY source),
-    s AS (SELECT source, n_docs, mass,
-                 {o_dround("sqrt(mass)", 6)} AS sq
-          FROM m),
-    d AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS denom,
-                 CAST(SUM(mass) AS BIGINT) AS total_mass
-          FROM s),
-    w AS (SELECT source, n_docs, mass,
-                 {o_dround("sq / denom", 6)} AS mix_weight, total_mass
-          FROM s, d),
-    t AS (SELECT source, n_docs, mass,
-                 CAST(FLOOR(mix_weight * total_mass) AS BIGINT)
-                   AS target_tokens
-          FROM w),
-    r AS (SELECT source, n_docs,
-                 {o_dround("CAST(target_tokens AS DOUBLE) / mass", 6)}
-                   AS rate
-          FROM t),
+    WITH {_O_MIXTURE_CTES},
     rated AS (
-      SELECT doc.source, len({O_TOKS}) AS nt, r.n_docs, r.rate,
-             CAST(FLOOR(r.rate) AS BIGINT)
-               + CASE WHEN {_O_BUCKET} / 1000.0 < r.rate - FLOOR(r.rate)
+      SELECT doc.source, len({O_TOKS}) AS nt, r.n_docs,
+             r.sampling_rate AS rate,
+             CAST(FLOOR(r.sampling_rate) AS BIGINT)
+               + CASE WHEN {_O_BUCKET} / 1000.0
+                        < r.sampling_rate - FLOOR(r.sampling_rate)
                       THEN 1 ELSE 0 END AS k
       FROM documents doc JOIN r ON doc.source = r.source),
     expanded AS (
@@ -5251,47 +5247,10 @@ def corpus_epoch_expand(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    m = (
-        docs.select(
-            "source",
-            F.size(TX.tokens(F.col("text"))).cast("long").alias("__n"),
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("__n_docs"),
-            F.sum("__n").alias("__mass"),
-        )
-    )
-    from pyspark.sql import Window
-
-    g = Window.partitionBy()
-    s = m.select(
+    rates = _mixture_rates(docs).select(
         "source",
-        "__n_docs",
-        "__mass",
-        dround(F.sqrt(F.col("__mass")), 6).alias("__sq"),
-    )
-    w = s.select(
-        "source",
-        "__n_docs",
-        "__mass",
-        dround(
-            F.col("__sq")
-            / F.sum(F.col("__sq").cast("decimal(18,6)"))
-            .over(g)
-            .cast("double"),
-            6,
-        ).alias("__mw"),
-        F.sum("__mass").over(g).alias("__tm"),
-    )
-    rates = w.select(
-        "source",
-        "__n_docs",
-        dround(
-            F.floor(F.col("__mw") * F.col("__tm")).cast("double")
-            / F.col("__mass"),
-            6,
-        ).alias("__rate"),
+        F.col("n_docs").alias("__n_docs"),
+        F.col("sampling_rate").alias("__rate"),
     )
     rated = (
         docs.select(
