@@ -14,9 +14,10 @@ merge list itself (n_merges rows).
 Pair counting matches the reference implementation: adjacent pairs via a
 sliding window (overlaps counted), merges applied greedily
 left-to-right, ties broken lexicographically for cross-run determinism.
-Per round: one job (the vocab localCheckpoint is materialized by the
-round's total-symbols action — the one-job-per-round pattern from
-operators/components.py).
+Per round: two driver actions — the pair-selection aggregate's collect,
+then the total-symbols count that doubles as the materializer of the
+merged vocab's lazy localCheckpoint (the lineage-cut-by-the-measurement
+idea from operators/components.py, which gets by with one).
 """
 
 from __future__ import annotations

@@ -23,18 +23,27 @@ def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
 
 
+def argmin_index(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), ties to the lower
+    index — the shared codegen'd when-chain argmin (also used by
+    operators/quantization.py for per-subspace code assignment)."""
+    dists = [_sq_dist_to(vec, c) for c in centroids]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    idx = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):
+        idx = F.when(dists[i] == best, F.lit(i)).otherwise(idx)
+    return idx
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add a ``cluster`` column: index of the nearest centroid (L2)."""
-    dists = [_sq_dist_to(F.col(vec_col), c) for c in centroids]
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
-    cluster = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
-        cluster = F.when(dists[i] == best, F.lit(i)).otherwise(cluster)
-    return df.withColumn("cluster", cluster)
+    return df.withColumn(
+        "cluster", argmin_index(F.col(vec_col), centroids)
+    )
 
 
 def _centroids_of(

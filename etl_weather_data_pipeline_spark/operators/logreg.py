@@ -31,6 +31,19 @@ def _margin(feature_cols: list[str], weights: list[float]) -> Column:
     return z
 
 
+def _log_loss(p: Column, y: Column) -> Column:
+    """Mean binary cross-entropy (clipped) — ONE definition shared by
+    the per-iteration measurement and the final-weights pass, so the
+    loss_monotone gate boolean can't be broken by a one-sided edit."""
+    eps = F.lit(1e-12)
+    return F.avg(
+        -(
+            y * F.log(p + eps)
+            + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p + eps)
+        )
+    )
+
+
 def logreg_score(feature_cols: list[str], weights: list[float]) -> Column:
     """Sigmoid score column for a fitted model — map-side, broadcastable
     to any corpus size."""
@@ -62,12 +75,8 @@ def logreg_fit(
     y = F.col(label_col).cast("double")
     for _ in range(iterations):
         p = logreg_score(feature_cols, w)
-        eps = F.lit(1e-12)
-        loss = F.avg(
-            -(y * F.log(p + eps) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p + eps))
-        ).alias("loss")
         err = p - y
-        aggs = [loss, F.avg(err).alias("g0")] + [
+        aggs = [_log_loss(p, y).alias("loss"), F.avg(err).alias("g0")] + [
             F.avg(err * F.col(c)).alias(f"g{j + 1}")
             for j, c in enumerate(feature_cols)
         ]
@@ -78,12 +87,7 @@ def logreg_fit(
         ]
     # loss under the final weights
     p = logreg_score(feature_cols, w)
-    eps = F.lit(1e-12)
-    final = df.agg(
-        F.avg(
-            -(y * F.log(p + eps) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p + eps))
-        ).alias("loss")
-    ).first()["loss"]
+    final = df.agg(_log_loss(p, y).alias("loss")).first()["loss"]
     losses.append(float(final))
     assert all(math.isfinite(x) for x in w), w
     return w, losses

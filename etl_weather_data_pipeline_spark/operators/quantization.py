@@ -33,20 +33,9 @@ from pyspark.sql import functions as F
 
 from etl_weather_data_pipeline_spark.operators.kmeans import (
     _centroids_of,
-    _sq_dist_to,
+    argmin_index,
     assign_clusters,
 )
-
-
-def _argmin_code(sub: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid (squared L2), ties to the lower
-    index — the same codegen'd when-chain argmin as assign_clusters."""
-    dists = [_sq_dist_to(sub, c) for c in centroids]
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
-    code = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
-        code = F.when(dists[i] == best, F.lit(i)).otherwise(code)
-    return code
 
 
 def pq_fit(
@@ -72,6 +61,11 @@ def pq_fit(
     seed_rows = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"pq_fit needs at least k={k} vectors to seed codebooks; "
+            f"table has {len(seed_rows)}"
+        )
     dim = len(seed_rows[0][vec_col])
     assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
     sd = dim // m
@@ -108,7 +102,7 @@ def pq_encode(
     sd = len(codebooks[0][0])
     codes = F.array(
         *[
-            _argmin_code(F.slice(F.col(vec_col), s * sd + 1, sd), cb)
+            argmin_index(F.slice(F.col(vec_col), s * sd + 1, sd), cb)
             for s, cb in enumerate(codebooks)
         ]
     )

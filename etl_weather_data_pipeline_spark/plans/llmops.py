@@ -1194,6 +1194,8 @@ def ann_pq_topk(spark, sf_dir):
 def doc_quality_classifier(spark, sf_dir):
     import math
 
+    from pyspark import StorageLevel
+
     from etl_weather_data_pipeline_spark.operators.logreg import (
         logreg_fit,
         logreg_score,
@@ -1201,11 +1203,19 @@ def doc_quality_classifier(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     fcols = ["f_sw", "f_dr", "f_len"]
-    feats = docs.select(
-        TX.stopword_ratio(F.col("text")).alias("f_sw"),
-        TX.distinct_token_ratio(F.col("text")).alias("f_dr"),
-        (F.length("text") / F.lit(2000.0)).alias("f_len"),
-    ).withColumn("y", (F.col("f_dr") > F.lit(0.46)).cast("int"))
+    # The regex-heavy feature projection feeds 11 GD aggregates plus
+    # the final accuracy pass — persist the narrow 4-column frame once
+    # (bounded registry) instead of re-tokenizing the corpus per pass.
+    feats = (
+        docs.select(
+            TX.stopword_ratio(F.col("text")).alias("f_sw"),
+            TX.distinct_token_ratio(F.col("text")).alias("f_dr"),
+            (F.length("text") / F.lit(2000.0)).alias("f_len"),
+        )
+        .withColumn("y", (F.col("f_dr") > F.lit(0.46)).cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(feats)
     w, losses = logreg_fit(feats, fcols, "y", lr=4.0, iterations=10)
     monotone = all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
     correct = (
@@ -1262,6 +1272,16 @@ def corpus_bpe_merges(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     merges, vocab, base_total = bpe_train(docs, n_merges=8)
+    # The oracle emits exactly 8 rows (unnest(range(8))); bpe_train can
+    # early-stop if the pair table empties (vocab of single-symbol
+    # words). That cannot happen on a real corpus — fail LOUDLY here so
+    # a testdata drift surfaces as this message, not as a confusing
+    # row-count mismatch at the driver gate (ASCII-guard precedent).
+    if len(merges) != 8:
+        raise AssertionError(
+            f"bpe_train early-stopped at {len(merges)}/8 merges — "
+            "corpus vocab too small for the oracle's fixed row count"
+        )
     prev = [base_total] + [m.total_symbols_after for m in merges[:-1]]
     rows = [
         (

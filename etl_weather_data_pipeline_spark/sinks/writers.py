@@ -203,8 +203,16 @@ def compact_parquet(
                 zorder_key_multi,
             )
 
-            zkey = zorder_key_multi(
-                [quantize_nonneg(df[c]) for c in zorder_by], zorder_bits
+            # A single column has nothing to interleave — degenerate to
+            # a plain clustered sort on the quantized key (what Delta's
+            # one-column OPTIMIZE ZORDER effectively is).
+            zkey = (
+                quantize_nonneg(df[zorder_by[0]])
+                if len(zorder_by) == 1
+                else zorder_key_multi(
+                    [quantize_nonneg(df[c]) for c in zorder_by],
+                    zorder_bits,
+                )
             )
             out = (
                 df.withColumn("__zkey", zkey)

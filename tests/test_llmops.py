@@ -1202,3 +1202,17 @@ def test_logreg_learns_separable_concept(spark):
         .first()[0]
     )
     assert acc > 0.97, acc
+
+
+def test_pq_fit_rejects_tiny_table(spark):
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_fit,
+    )
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(5)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="at least k=16"):
+        pq_fit(df, m=2, k=16)

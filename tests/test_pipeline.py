@@ -495,16 +495,40 @@ def test_export_training_shards(spark, tmp_path):
     } == counts
 
 
+def _footer_col_spans(root, col):
+    """Per-FILE (max - min) footer-statistics span of ``col`` across all
+    row groups — what a reader's file/row-group skipping sees."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(f"{root}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            st = c.statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        spans.append(hi - lo)
+    return spans
+
+
+def _avg(xs):
+    return sum(xs) / len(xs)
+
+
 def test_write_zordered_clusters_both_dims(spark, tmp_path):
     """write_zordered must produce files whose footer min/max ranges are
     narrow in BOTH interleaved dimensions — a single-key sorted layout
     is narrow only in its own key (its files span ~the whole domain of
     every other column). Verified against actual parquet footers, at
     the gate SF so the effect is unambiguous."""
-    import glob
-
-    import pyarrow.parquet as pq
-
     from etl_weather_data_pipeline_spark.operators.layout import (
         write_zordered,
         zorder_key,
@@ -527,42 +551,20 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
         ev.repartition(16), str(tmp_path / "u"), ["user_id"], num_files=16
     )
 
-    def file_spans(root, col):
-        spans = []
-        for f in glob.glob(f"{root}/*.parquet"):
-            md = pq.ParquetFile(f).metadata
-            lo, hi = None, None
-            for rg in range(md.num_row_groups):
-                c = next(
-                    md.row_group(rg).column(i)
-                    for i in range(md.row_group(rg).num_columns)
-                    if md.row_group(rg).column(i).path_in_schema == col
-                )
-                s = c.statistics
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-            spans.append(hi - lo)
-        return spans
-
-    def avg(xs):
-        return sum(xs) / len(xs)
-
-    z_u, z_v = file_spans(str(tmp_path / "z"), "user_id"), file_spans(
-        str(tmp_path / "z"), "vq"
-    )
-    u_u, u_v = file_spans(str(tmp_path / "u"), "user_id"), file_spans(
-        str(tmp_path / "u"), "vq"
-    )
+    z_u = _footer_col_spans(str(tmp_path / "z"), "user_id")
+    z_v = _footer_col_spans(str(tmp_path / "z"), "vq")
+    u_u = _footer_col_spans(str(tmp_path / "u"), "user_id")
+    u_v = _footer_col_spans(str(tmp_path / "u"), "vq")
     assert len(z_u) >= 8  # range partitioner may merge empty ranges
     u_domain = 149  # sf0.01: user_id in [0, 149]
     v_domain = ev.agg(F.max("vq") - F.min("vq")).first()[0]
     # single-key layout: its own key is tight, the other column spans
     # ~the whole domain in every file
-    assert avg(u_u) < 0.1 * u_domain, (u_u, u_domain)
-    assert avg(u_v) > 0.6 * v_domain, (u_v, v_domain)
+    assert _avg(u_u) < 0.1 * u_domain, (u_u, u_domain)
+    assert _avg(u_v) > 0.6 * v_domain, (u_v, v_domain)
     # z-order: BOTH dimensions narrow in every file
-    assert avg(z_u) < 0.5 * u_domain, (z_u, u_domain)
-    assert avg(z_v) < 0.35 * v_domain, (z_v, v_domain)
+    assert _avg(z_u) < 0.5 * u_domain, (z_u, u_domain)
+    assert _avg(z_v) < 0.35 * v_domain, (z_v, v_domain)
 
 
 def test_compact_parquet_zorder_rejects_partitioned(spark, tmp_path):
@@ -582,10 +584,6 @@ def test_compact_parquet_zorder_clusters_files(spark, tmp_path):
     """Compaction with zorder_by must fix BOTH the small-file problem and
     the layout: output footers narrow in every interleaved dimension,
     where plain compaction leaves each file spanning ~the whole domain."""
-    import glob
-
-    import pyarrow.parquet as pq
-
     from etl_weather_data_pipeline_spark.sinks.writers import compact_parquet
 
     # ~300k rows with an incompressible payload sized for ~30 one-MB
@@ -615,29 +613,27 @@ def test_compact_parquet_zorder_clusters_files(spark, tmp_path):
     rn = compact_parquet(spark, npath, target_file_mb=1)
     assert rz["files_after"] < rz["files_before"]
 
-    def spans(root, col):
-        out = []
-        for f in glob.glob(f"{root}/*.parquet"):
-            md = pq.ParquetFile(f).metadata
-            lo, hi = None, None
-            for rg in range(md.num_row_groups):
-                c = next(
-                    md.row_group(rg).column(i)
-                    for i in range(md.row_group(rg).num_columns)
-                    if md.row_group(rg).column(i).path_in_schema == col
-                )
-                s = c.statistics
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-            out.append(hi - lo)
-        return out
-
-    def avg(xs):
-        return sum(xs) / len(xs)
-
-    assert len(spans(zpath, "a")) >= 4, rz
+    assert len(_footer_col_spans(zpath, "a")) >= 4, rz
     for col in ("a", "b"):
-        z, n = spans(zpath, col), spans(npath, col)
-        assert avg(z) < 0.5 * avg(n), (col, z, n)
+        z, n = _footer_col_spans(zpath, col), _footer_col_spans(npath, col)
+        assert _avg(z) < 0.5 * _avg(n), (col, z, n)
     # nothing lost or duplicated by the clustered rewrite
     assert spark.read.parquet(zpath).count() == 300_000
+
+
+def test_compact_parquet_zorder_single_column(spark, tmp_path):
+    """One-column zorder_by degenerates to a plain clustered sort (what
+    a single-column OPTIMIZE ZORDER effectively is) instead of tripping
+    the >= 2-column interleave assertion."""
+    from etl_weather_data_pipeline_spark.sinks.writers import compact_parquet
+
+    base = spark.range(50_000).withColumn(
+        "a", F.pmod(F.xxhash64("id"), F.lit(1000))
+    ).withColumn("payload", F.md5(F.col("id").cast("string")))
+    p = str(tmp_path / "t")
+    base.repartition(8).write.parquet(p)
+    res = compact_parquet(spark, p, target_file_mb=1, zorder_by=["a"])
+    assert spark.read.parquet(p).count() == 50_000
+    spans = _footer_col_spans(p, "a")
+    if len(spans) >= 2:  # clustered: files tile the key domain
+        assert _avg(spans) < 0.7 * 999, spans

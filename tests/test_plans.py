@@ -655,14 +655,21 @@ def test_curriculum_stages_plan_shape(spark):
 
 
 def test_quality_classifier_plan_shape(spark):
-    # classifier query: the final scoring/accuracy aggregate is one
-    # map-side pass over the feature projection — 1 scan, no join, no
-    # Python (GD iterations ran as separate one-pass aggregates during
-    # fit, weights travel as plan literals)
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # classifier query: the regex-heavy feature frame persists ONCE and
+    # feeds the 11 GD aggregates plus the final accuracy pass — the
+    # final plan reads the cache, not parquet; no join, no Python
+    # (weights travel as plan literals)
     p = plan_of(spark, "doc_quality_classifier")
-    assert n_nodes(p, "Scan parquet") == 1, p
+    assert n_nodes(p, "InMemoryTableScan") == 1, p
+    # the one parquet scan lives INSIDE the cached relation's plan repr
+    assert n_nodes(p, "Scan parquet") <= 1, p
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p
+    release_curation_cache()
 
 
 def test_bigram_logprob_plan_shape(spark):
