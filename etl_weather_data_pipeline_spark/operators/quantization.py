@@ -140,3 +140,52 @@ def pq_adc_topk(
         .alias("adc_dist"),
     )
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
+
+
+def pq_adc_topk_join(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """ADC top-k for MANY queries (the batch-serving shape, PQ twin of
+    similarity.topk_join): broadcast the small query set, build each
+    subspace's 16-entry distance table IN-PLAN from the query-vector
+    column against the literal codebook (so one codegen'd expression
+    serves every query row), score a candidate as m table lookups, and
+    window top-k per query. The codes table is the only big side and it
+    never shuffles before the per-query top-k."""
+    from pyspark.sql.window import Window
+
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        _sq_dist_to,
+    )
+
+    sd = len(codebooks[0][0])
+    dist: Column | None = None
+    for s, cb in enumerate(codebooks):
+        q_sub = F.slice(F.col(q_vec_col), s * sd + 1, sd)
+        lut = F.array(*[_sq_dist_to(q_sub, c) for c in cb])
+        term = F.element_at(
+            lut, F.element_at(F.col(codes_col), s + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    scored = encoded.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(dist.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("adc_dist"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -141,7 +141,7 @@ def o_dround(x: str, n: int) -> str:
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
 # file holds exactly the first 50 registry entries). Round-7 rotation
 # (closes the cumulative evidence gap — after this window every one of
-# the 129 registry queries has had at least one green driver row):
+# the 130 registry queries has had at least one green driver row):
 # (1) queries whose code or oracle changed this round (dedup_recall_probe
 # id-space guard; corpus_neardup_merge_state bucketed band table;
 # doc_passage_pairs_blocked _passage_stack refactor) and the round's NEW
@@ -150,11 +150,12 @@ def o_dround(x: str, n: int) -> str:
 # corpus_funnel_merge_state, corpus_mixture_plan, neardup_cluster_keep,
 # events_zorder_layout, ann_pq_topk, ann_ivfpq_topk,
 # corpus_curriculum_stages, corpus_bpe_merges, doc_quality_classifier,
-# doc_bigram_logprob, corpus_epoch_expand; corpus_pack_stats
+# doc_bigram_logprob, corpus_epoch_expand, ann_pq_multi_topk;
+# corpus_pack_stats
 # runs in the Python tail), then (2) the 3 queries
 # that have NEVER had a driver row (landed after r6's window froze),
 # then (3) the 16 rows deferred from r6 (r4-vintage), then (4) the two
-# standing canaries, then (5) 9 of the 44 r5-vintage rows — weather
+# standing canaries, then (5) 8 of the 44 r5-vintage rows — weather
 # family (reference-parity core), the property oracles, the
 # timestamp-sensitive events family, and the deepest llm chains first.
 # Python-worker queries (grouped/arrow applyInPandas + mapInPandas) sit
@@ -173,7 +174,9 @@ def o_dround(x: str, n: int) -> str:
 # source_quality_stats, corpus_train_split, doc_contamination_flags,
 # corpus_vocab_stats, ann_cosine_topk, orders_monthly_growth,
 # user_retention_cohorts, events_funnel_conversion, pricing_summary,
-# doc_winnow_fingerprints, doc_neardup_clusters.
+# doc_winnow_fingerprints, doc_neardup_clusters, approx_aggregates
+# (property query — its invariants re-assert at bench SF every round
+# via --check-invariants regardless of the window).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed or new this round — must (re-)green first:
     "dedup_recall_probe",
@@ -194,6 +197,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_quality_classifier",
     "doc_bigram_logprob",
     "corpus_epoch_expand",
+    "ann_pq_multi_topk",
     # Never driver-checked (r6 landed after the window froze):
     "events_mad_outliers",
     "neardup_transitivity_stats",
@@ -224,7 +228,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "weather_latest",
     "weather_seasonal_trends",
     "weather_quality_metrics",
-    "approx_aggregates",
     "kmeans_clusters",
     "events_anomaly_zscore",
     "doc_winnow_overlap_pairs",

@@ -697,3 +697,19 @@ def test_epoch_expand_plan_shape(spark):
     assert n_nodes(p, "Generate") == 1, p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_pq_multi_topk_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # batch ADC: the codes table persists once (both shortlists); the
+    # query set broadcasts (BroadcastNestedLoopJoin on the 3-row side is
+    # the intended crossJoin); one window shuffle per shortlist; no
+    # Python workers, no unbroadcast cartesian
+    p = plan_of(spark, "ann_pq_multi_topk")
+    assert n_nodes(p, "InMemoryTableScan") >= 2, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    release_curation_cache()
