@@ -515,3 +515,71 @@ def test_zorder_key_matches_reference_and_inverts(spark, pairs):
     for (a, b), z in got.items():
         assert z == py_z(a, b), (a, b, z)
         assert py_unz(z) == (a, b), (a, b, z)
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab"]), min_size=1, max_size=12),
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("ab", "b")]),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_apply_merge_matches_python_reference(spark, syms, pair):
+    """The codegen'd greedy-merge fold must agree with the obvious
+    pure-Python greedy scan for arbitrary symbol strings — including
+    overlapping-pair runs and merges whose output equals another input
+    symbol (the 'ab' alphabet makes those collisions common)."""
+    from etl_weather_data_pipeline_spark.operators.bpe import _apply_merge
+
+    a, b = pair
+
+    def py_merge(xs):
+        out = []
+        for x in xs:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    df = spark.createDataFrame([(0, syms)], ["i", "sym"])
+    got = list(
+        df.select(_apply_merge(F.col("sym"), a, b).alias("m")).first()["m"]
+    )
+    assert got == py_merge(syms), (syms, pair, got)
+
+
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.integers(0, 1023), st.integers(0, 1023), st.integers(0, 1023)
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_zorder_key_multi_three_columns_inverts(spark, triples):
+    """The m-column round-robin interleave must be invertible for m=3
+    (bit i of column j at position i*m+j) — the generalization the
+    z-order compactor uses for multi-column clustering."""
+    from etl_weather_data_pipeline_spark.operators.layout import (
+        zorder_key_multi,
+    )
+
+    def py_unz(z, m=3, bits=10):
+        vals = [0] * m
+        for i in range(bits):
+            for j in range(m):
+                vals[j] |= ((z >> (i * m + j)) & 1) << i
+        return tuple(vals)
+
+    df = spark.createDataFrame(triples, ["a", "b", "c"])
+    rows = df.select(
+        "a",
+        "b",
+        "c",
+        zorder_key_multi(
+            [F.col("a"), F.col("b"), F.col("c")], bits=10
+        ).alias("z"),
+    ).collect()
+    for r in rows:
+        assert py_unz(r["z"]) == (r["a"], r["b"], r["c"]), tuple(r)
