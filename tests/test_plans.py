@@ -542,16 +542,46 @@ def test_round7_additions_plan_shapes(spark):
 
 def test_cdc_chunk_dedup_plan_shape(spark):
     # chunking is entirely map-side (one Generate over the per-doc chunk
-    # arrays, layered projections — no join builds the chunks); the only
-    # shuffles are the chunk-fingerprint window and the doc aggregate;
-    # no cartesian, no Python workers
+    # arrays, layered projections — no join builds the chunks); the
+    # (doc, fingerprint) pre-aggregate is persisted once and feeds both
+    # the global occurrence count and the per-doc rollup; no cartesian,
+    # no Python workers, no window (the occurrence count is a
+    # partial-aggregating groupBy — skew-absorbing, unlike a window on
+    # the same key)
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
     p = plan_of(spark, "doc_cdc_chunk_dedup")
-    assert n_nodes(p, "Generate") == 1, p
-    assert n_nodes(p, "Scan parquet") == 1, p
+    assert n_nodes(p, "Generate") <= 1, p
+    assert n_nodes(p, "InMemoryTableScan") == 2, p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "Join" not in p, p  # fully map-side until the window/agg
+    assert n_nodes(p, "Window") == 0, p
     assert "BatchEvalPython" not in p
+
+    # THE r7 scale fix: no raw text column (chunk, the normalized text,
+    # or the source text) may cross ANY exchange — every shuffle payload
+    # is fingerprints + counts only. Checked on the cached-plan
+    # exchanges AND on the cache-BUILD plan (the pre-aggregate's own
+    # shuffle — the formatted explain of the cached query hides it
+    # behind InMemoryTableScan, so explain the shared builder directly).
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        _cdc_per_doc_fp,
+    )
+
+    per = _cdc_per_doc_fp(load(spark, SF_SMOKE, "documents"))
+    build = spark._jvm.PythonSQLUtils.explainString(
+        per._jdf.queryExecution(), "formatted"
+    )
+    assert n_nodes(build, "Exchange") >= 1, build
+    for plan_text in (p, build):
+        for block in re.split(r"\n\n", plan_text):
+            if re.match(r"^\(\d+\) (Exchange|AQEShuffleRead)", block):
+                for heavy in ("chunk#", "__norm#", "text#"):
+                    assert heavy not in block, block
+    release_curation_cache()
 
 
 def test_mixture_plan_single_fact_pass(spark):
