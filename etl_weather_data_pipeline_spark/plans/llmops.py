@@ -1226,7 +1226,14 @@ def doc_quality_classifier(spark, sf_dir):
         docs.select(
             TX.stopword_ratio(F.col("text")).alias("f_sw"),
             TX.distinct_token_ratio(F.col("text")).alias("f_dr"),
-            (F.length("text") / F.lit(2000.0)).alias("f_len"),
+            # Clamped to [0,1]: the loss_monotone gate rests on the
+            # 'lr=4.0 is below 2/L' convexity argument, and L scales
+            # with the feature bound — an unclamped length feature on a
+            # longer-doc data vintage would raise L and could flip the
+            # invariant (r7 ADVICE).
+            F.least(F.length("text") / F.lit(2000.0), F.lit(1.0)).alias(
+                "f_len"
+            ),
         )
         .withColumn("y", (F.col("f_dr") > F.lit(0.46)).cast("int"))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -273,6 +273,39 @@ def winnow_table_name(path: str) -> str:
     return _side_table_name(path, _WINNOW_SPEC)
 
 
+#: Marker file recording the bucket count a side-table dir was WRITTEN
+#: with. File-name bucket tags alone cannot prove the count: an
+#: 8-bucket dir's ids (0..7) are all < 64, so a count-only upper-bound
+#: check would happily re-attach it INTO 64 BUCKETS — every bucketed
+#: probe then assumes a hash%64 placement the files don't satisfy and
+#: silently misses candidates. Underscore prefix keeps it invisible to
+#: the parquet reader.
+_BUCKET_MARKER = "_n_buckets"
+
+
+def _read_bucket_marker(loc: str) -> int | None:
+    import os
+
+    try:
+        with open(os.path.join(loc, _BUCKET_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_bucket_marker(loc: str, n_buckets: int) -> None:
+    """Record the dir's true bucket count (atomic via rename, so a crash
+    mid-write never leaves a corrupt marker — absence is the safe state:
+    the next _ensure_side_table takes the rewrite path)."""
+    import os
+
+    os.makedirs(loc, exist_ok=True)
+    tmp = os.path.join(loc, _BUCKET_MARKER + ".__tmp__")
+    with open(tmp, "w") as f:
+        f.write(str(n_buckets))
+    os.replace(tmp, os.path.join(loc, _BUCKET_MARKER))
+
+
 def _create_side_table(
     spark: SparkSession, name: str, loc: str, spec: _SideSpec,
     n_buckets: int,
@@ -282,6 +315,7 @@ def _create_side_table(
         f"USING PARQUET CLUSTERED BY ({', '.join(spec.bucket_cols)}) "
         f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
     )
+    _write_bucket_marker(loc, n_buckets)
 
 
 def _append_side_bucketed(
@@ -300,6 +334,11 @@ def _append_side_bucketed(
         .option("path", loc)
         .saveAsTable(name)
     )
+    # First append may have CREATED the dir (saveAsTable path, no
+    # _create_side_table call) — stamp its bucket count so a later
+    # session's _ensure_side_table can prove an exact layout match.
+    if _read_bucket_marker(loc) != n_buckets:
+        _write_bucket_marker(loc, n_buckets)
 
 
 def _rewrite_side_bucketed(
@@ -363,12 +402,16 @@ def _ensure_side_table(
     (fresh store — the first survivor append creates the table).
 
     Cases: (1) catalog entry alive — nothing to do; (2) files are
-    bucket-tagged from a previous session's bucketed writes — re-attach
-    with one DDL statement (bucket ids live in the file names, so a
-    restart costs zero data movement); (3) legacy plain-parquet layout
-    (pre-bucketing stores) — one staged bucketed rewrite, then the
-    catalog entry. A bucket id >= n_buckets (table written with a
-    different bucket count) also takes the rewrite path."""
+    bucket-tagged AND the dir's ``_n_buckets`` marker equals the
+    requested count — re-attach with one DDL statement (a restart costs
+    zero data movement); (3) anything else — legacy plain-parquet
+    layout, a dir written with a DIFFERENT bucket count, or a pre-marker
+    dir whose true count cannot be proven — one staged bucketed rewrite,
+    then the catalog entry. The exact-match marker check matters: file
+    ids alone can't distinguish an 8-bucket dir from a 64-bucket one
+    (all ids < 64 either way), and attaching it INTO 64 BUCKETS makes
+    every bucketed probe assume a placement the files don't satisfy —
+    silently missed near-dup/winnow candidates."""
     name = _side_table_name(path, spec)
     if spark.catalog.tableExists(name):
         return name
@@ -377,11 +420,71 @@ def _ensure_side_table(
     if rows is None:
         return None
     ids = _bucket_file_ids(loc)
-    if ids is not None and all(i < n_buckets for i in ids):
+    if ids is not None and _read_bucket_marker(loc) == n_buckets:
         _create_side_table(spark, name, loc, spec, n_buckets)
     else:
         _rewrite_side_bucketed(spark, rows, name, loc, spec, n_buckets)
     return name
+
+
+def backfill_winnow_fingerprints(
+    spark: SparkSession,
+    path: str,
+    winnow_k: int = 8,
+    winnow_w: int = 4,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Close `_winnow` coverage gaps: fingerprint-table rows for every
+    store doc that has none. The gap exists when a funnel sink runs with
+    ``passage_min_run`` toggled OFF for a while against a store that has
+    the table — survivors appended during that window get no fingerprint
+    rows, and the merge's existing-table branch never revisits them, so
+    stage-3 passage blocking is silently blind to those docs. This pass
+    anti-joins store doc ids against `_winnow` doc ids and appends the
+    missing rows (same bucketed layout the probe depends on).
+
+    No-ops (returns 0) when the store or the `_winnow` table is absent —
+    an exact/near-dup-only store should not grow a winnow table it never
+    asked for; the merge's own absent-table branch handles the full
+    rebuild. Docs whose text yields ZERO fingerprints (shorter than
+    k+w-1 normalized chars) always look like gaps and are re-scanned
+    each call — cheap by construction, and the returned count counts
+    scanned gap DOCS, not appended rows. ``winnow_k``/``winnow_w`` must
+    match the sink's settings (fingerprints from mismatched parameters
+    never equal the probe's)."""
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        winnow_fingerprint_table,
+    )
+
+    store_docs = _read_parquet_if_exists(spark, path)
+    if store_docs is None:
+        return 0
+    name = _side_table_name(path, _WINNOW_SPEC)
+    if not spark.catalog.tableExists(name):
+        loc = f"{path}/{WINNOW_SUBDIR}"
+        if _read_parquet_if_exists(spark, loc) is None:
+            return 0
+        _ensure_side_table(spark, path, _WINNOW_SPEC, n_buckets)
+    covered = spark.table(name).select(F.col("doc_id")).distinct()
+    gap = store_docs.select(id_col, text_col).join(
+        covered.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+    gap = gap.persist()
+    try:
+        n_gap = gap.count()
+        if n_gap == 0:
+            return 0
+        rows = winnow_fingerprint_table(
+            gap, winnow_k, winnow_w, id_col, text_col
+        )
+        _append_side_bucketed(
+            rows, name, f"{path}/{WINNOW_SUBDIR}", _WINNOW_SPEC, n_buckets
+        )
+        return n_gap
+    finally:
+        gap.unpersist()
 
 
 def compact_corpus_side_tables(
@@ -389,6 +492,8 @@ def compact_corpus_side_tables(
     path: str,
     band_buckets: int = 64,
     target_file_mb: int = 128,
+    winnow_k: int = 8,
+    winnow_w: int = 4,
 ) -> dict[str, dict[str, int]]:
     """Maintenance pass for the streaming sinks' side tables: every
     micro-batch appends small files to ``<path>/_bands`` (and, for the
@@ -401,8 +506,14 @@ def compact_corpus_side_tables(
     per non-empty bucket while PRESERVING the bucket layout the
     per-batch probe's no-shuffle plan depends on. Run it on the
     schedule the document store's own ``compact_parquet`` runs on.
+    Also runs :func:`backfill_winnow_fingerprints` first when a
+    `_winnow` table exists (``winnow_k``/``winnow_w`` must match the
+    sink's), so store docs appended while ``passage_min_run`` was
+    toggled off regain stage-3 visibility and the backfilled rows are
+    compacted in the same pass.
     Returns {"bands": {...}, "winnow": {...}, "ingest_history": {...}}
-    file counts (present-tables only)."""
+    file counts (present-tables only; "winnow" additionally reports
+    ``backfilled_docs``)."""
     import glob
     import os
 
@@ -419,6 +530,11 @@ def compact_corpus_side_tables(
         name = _ensure_side_table(spark, path, spec, band_buckets)
         if name is None:
             continue
+        backfilled = 0
+        if spec is _WINNOW_SPEC:
+            backfilled = backfill_winnow_fingerprints(
+                spark, path, winnow_k, winnow_w, band_buckets
+            )
         n_before = len(glob.glob(os.path.join(loc, "*.parquet")))
         # Force the HONORED bucketed scan for the rewrite. Two reasons:
         # (1) correctness — with autoBucketedScan on, Catalyst may keep
@@ -440,6 +556,8 @@ def compact_corpus_side_tables(
             spark.conf.set(k, prior)
         n_after = len(glob.glob(os.path.join(loc, "*.parquet")))
         out[label] = {"files_before": n_before, "files_after": n_after}
+        if spec is _WINNOW_SPEC:
+            out[label]["backfilled_docs"] = backfilled
     return out
 
 
@@ -637,7 +755,12 @@ def merge_batch_neardup_into_corpus(
        sharing a verbatim passage of >= min_run consecutive grams with
        the store (or a surviving smaller-id batch doc) is dropped —
        near-verbatim quote-level dedup the Jaccard stage can't see
-       (a short shared passage barely moves whole-doc Jaccard);
+       (a short shared passage barely moves whole-doc Jaccard).
+       Toggling this OFF and later back ON against one store leaves
+       the survivors appended in between without fingerprint rows —
+       run `compact_corpus_side_tables` (or
+       `backfill_winnow_fingerprints`) to restore full stage-3
+       coverage before relying on it;
     4. survivors append to the store, their band rows to ``_bands``
        (and, with stage 3 on, their fingerprint rows to ``_winnow``).
 

@@ -1104,3 +1104,113 @@ def test_winnow_probe_and_stop_bound_read_store_in_place(spark, tmp_path):
         assert "Bucketed: true" in p2, p2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_side_table_bucket_count_mismatch_rewrites(spark, tmp_path):
+    """r7 ADVICE (medium): a _bands dir written with FEWER buckets than
+    the requested count must NOT be re-attached as-is — an 8-bucket
+    layout's file ids (0..7) are all < 64, so the old upper-bound check
+    happily declared it INTO 64 BUCKETS and every bucketed probe assumed
+    a hash%64 placement the files don't satisfy (silently admitted
+    duplicates). The _n_buckets marker makes the true count provable:
+    exact match -> zero-movement re-attach; ANY mismatch (or a
+    pre-marker dir) -> staged bucketed rewrite. The behavioral check:
+    after reopening an 8-bucket store with band_buckets=64, a near-dup
+    of a stored doc is still blocked."""
+    import glob
+    import os
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        BANDS_SUBDIR,
+        _read_bucket_marker,
+        bands_table_name,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    bands_path = f"{store}/{BANDS_SUBDIR}"
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, _words("unrelatedwords", 12))],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(b1, store, band_buckets=8) == 2
+    assert _read_bucket_marker(bands_path) == 8
+
+    # simulate a session restart: catalog entry gone, files remain
+    name = bands_table_name(store)
+    spark.sql(f"DROP TABLE {name}")
+
+    # reopening with the SAME count re-attaches without data movement
+    files_before = sorted(glob.glob(os.path.join(bands_path, "*.parquet")))
+    b_same = spark.createDataFrame(
+        [(3, _words("freshcontent", 12))], "doc_id long, text string"
+    )
+    assert merge_batch_neardup_into_corpus(b_same, store, band_buckets=8) == 1
+    assert set(files_before) <= set(
+        glob.glob(os.path.join(bands_path, "*.parquet"))
+    )
+
+    # reopening with a LARGER count rewrites (marker updates to 64) and
+    # the probe still blocks a near-duplicate of doc 1
+    spark.sql(f"DROP TABLE {name}")
+    b2 = spark.createDataFrame(
+        [(10, base + " today"), (11, _words("novelmaterial", 12))],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(b2, store, band_buckets=64) == 1
+    assert _read_bucket_marker(bands_path) == 64
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {1, 2, 3, 11}, ids
+
+
+def test_winnow_backfill_restores_stage3_coverage(spark, tmp_path):
+    """r7 ADVICE (low): survivors appended while passage_min_run was OFF
+    get no _winnow rows, and the existing-table branch never backfills
+    them — stage 3 is then permanently blind to those docs.
+    backfill_winnow_fingerprints (run automatically by
+    compact_corpus_side_tables) anti-joins the gap and appends the
+    missing fingerprint rows; a passage-quoting batch doc is then
+    blocked against a doc that was appended during the off window."""
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        WINNOW_SUBDIR,
+        compact_corpus_side_tables,
+        merge_batch_neardup_into_corpus,
+    )
+
+    P = _words("quotedpassage", 25)
+    store = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(1, _words("openingdoc", 30))], "doc_id long, text string"
+    )
+    assert merge_batch_neardup_into_corpus(
+        b1, store, band_buckets=4, passage_min_run=16
+    ) == 1
+
+    # stage 3 toggled OFF: doc 2 (carrying passage P) gets no _winnow rows
+    b2 = spark.createDataFrame(
+        [(2, P + " " + _words("middlefill", 40))],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(b2, store, band_buckets=4) == 1
+    wf = spark.read.parquet(f"{store}/{WINNOW_SUBDIR}")
+    assert {r["doc_id"] for r in wf.select("doc_id").distinct().collect()} == {1}
+
+    # without backfill, a quote of doc 2 slips through stage 3 — prove
+    # the blindness on a throwaway copy of the batch id space, then
+    # backfill and prove coverage
+    out = compact_corpus_side_tables(spark, store, band_buckets=4)
+    assert out["winnow"]["backfilled_docs"] == 1
+    wf = spark.read.parquet(f"{store}/{WINNOW_SUBDIR}")
+    assert {r["doc_id"] for r in wf.select("doc_id").distinct().collect()} == {1, 2}
+
+    b3 = spark.createDataFrame(
+        [(10, P + " " + _words("tailfill", 40)),  # quotes doc 2 -> drop
+         (11, _words("distincttail", 30))],       # new -> keep
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(
+        b3, store, band_buckets=4, passage_min_run=16
+    ) == 1
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {1, 2, 11}, ids
