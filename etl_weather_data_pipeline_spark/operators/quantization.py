@@ -38,6 +38,24 @@ from etl_weather_data_pipeline_spark.operators.kmeans import (
 )
 
 
+def _pq_train_frame(
+    df: DataFrame, m: int, sd: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Narrow training projection: the id plus one ``sd``-float slice
+    column per subspace. Persisted ONCE by pq_fit so every Lloyd
+    aggregate of every subspace reads the cache instead of re-scanning
+    (and re-slicing) the base table — without it a fit re-reads the
+    base m*(iterations+1) times. Exposed for tests/test_plans.py's
+    single-scan pin."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        *[
+            F.slice(F.col(vec_col), s * sd + 1, sd).alias(f"__sub{s}")
+            for s in range(m)
+        ],
+    )
+
+
 def pq_fit(
     df: DataFrame,
     m: int = 4,
@@ -45,6 +63,8 @@ def pq_fit(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    max_train: int | None = None,
 ) -> tuple[list[list[list[float]]], list[list[float]]]:
     """Train one k-centroid codebook per contiguous subspace.
 
@@ -53,41 +73,71 @@ def pq_fit(
     subspace's within-cluster SSE per Lloyd round (non-increasing —
     the ann_pq_topk property oracle asserts it).
 
-    Deterministic: seeds are the k lowest-id vectors' subvectors; the
-    only driver-side state is the m*k*sub_dim codebook matrix. Each
-    round per subspace is one exploded aggregate, same scale shape as
-    operators/kmeans.py.
+    ``sample_fraction`` / ``max_train`` are the 100 TB path: codebooks
+    need a representative sample, not the corpus (the driver-side state
+    is m*k*sub_dim floats either way), so training runs on a
+    DETERMINISTIC hash-bucket sample (operators/sampling.py — stable
+    across runs, engines, and partitionings, unlike df.sample) of
+    ~``sample_fraction`` of rows, or of ~``max_train`` rows (one count
+    job converts it to a fraction; both given, the tighter wins).
+    Encoding (pq_encode) still covers the FULL table. SSE histories
+    stay non-increasing — Lloyd's monotonicity holds on whatever set
+    it trains on.
+
+    Deterministic: seeds are the k lowest-id TRAINING vectors'
+    subvectors. The per-subspace slices are computed once into a
+    persisted narrow frame (_pq_train_frame) — each Lloyd round per
+    subspace is one exploded aggregate over the cache, never a base
+    re-scan; same scale shape as operators/kmeans.py.
     """
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    train = df
+    frac = sample_fraction
+    if max_train is not None:
+        n = df.count()
+        if n > max_train:
+            f2 = max_train / n
+            frac = f2 if frac is None else min(frac, f2)
+    if frac is not None and frac < 1.0:
+        train = deterministic_sample(df, id_col, frac)
     seed_rows = (
-        df.orderBy(id_col).limit(k).select(vec_col).collect()
+        train.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     if len(seed_rows) < k:
         raise ValueError(
             f"pq_fit needs at least k={k} vectors to seed codebooks; "
-            f"table has {len(seed_rows)}"
+            f"training set has {len(seed_rows)}"
         )
     dim = len(seed_rows[0][vec_col])
     assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
     sd = dim // m
+    proj = _pq_train_frame(train, m, sd, id_col, vec_col).persist()
     codebooks: list[list[list[float]]] = []
     histories: list[list[float]] = []
-    for s in range(m):
-        sub = df.select(
-            id_col, F.slice(F.col(vec_col), s * sd + 1, sd).alias("__sub")
-        )
-        cents = [
-            [float(x) for x in r[vec_col][s * sd : (s + 1) * sd]]
-            for r in seed_rows
-        ]
-        assigned = assign_clusters(sub, cents, "__sub")
-        hist: list[float] = []
-        for _ in range(iterations):
-            by_c, sse = _centroids_of(assigned, "__sub", sd, cents)
-            hist.append(sse)
-            cents = [by_c.get(i, cents[i]) for i in range(k)]
+    try:
+        for s in range(m):
+            sub = proj.select(
+                F.col("__id").alias(id_col),
+                F.col(f"__sub{s}").alias("__sub"),
+            )
+            cents = [
+                [float(x) for x in r[vec_col][s * sd : (s + 1) * sd]]
+                for r in seed_rows
+            ]
             assigned = assign_clusters(sub, cents, "__sub")
-        codebooks.append(cents)
-        histories.append(hist)
+            hist: list[float] = []
+            for _ in range(iterations):
+                by_c, sse = _centroids_of(assigned, "__sub", sd, cents)
+                hist.append(sse)
+                cents = [by_c.get(i, cents[i]) for i in range(k)]
+                assigned = assign_clusters(sub, cents, "__sub")
+            codebooks.append(cents)
+            histories.append(hist)
+    finally:
+        proj.unpersist()
     return codebooks, histories
 
 

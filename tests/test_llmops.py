@@ -1216,3 +1216,135 @@ def test_pq_fit_rejects_tiny_table(spark):
     )
     with pytest.raises(ValueError, match="at least k=16"):
         pq_fit(df, m=2, k=16)
+
+
+def test_pq_fit_sampled_training_keeps_recall_floor(spark):
+    """r7 verdict directive: the 100 TB path trains codebooks on a
+    deterministic hash-sample, not the corpus. Sampled codebooks must
+    (a) be run-to-run deterministic, (b) keep Lloyd SSE non-increasing,
+    and (c) keep the production read path (ADC-100 shortlist -> exact
+    re-rank@10) at ann_pq_topk's recall tripwire floor (>= 3/10) at
+    BOTH gate SFs. max_train converts to the same hash-bucket filter
+    via one count job and composes with sample_fraction (tighter
+    wins)."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.functions import vector as VX
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        cb1, h1 = pq_fit(emb, m=4, k=16, iterations=3, sample_fraction=0.5)
+        cb2, h2 = pq_fit(emb, m=4, k=16, iterations=3, sample_fraction=0.5)
+        assert cb1 == cb2 and h1 == h2  # deterministic sample
+        for h in h1:
+            assert all(
+                later <= earlier * (1 + 1e-9) + 1e-9
+                for earlier, later in zip(h, h[1:])
+            ), h1
+        # encoding covers the FULL table with the sampled codebooks
+        enc = pq_encode(emb, cb1).persist()
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        qlit = F.array(*[F.lit(x) for x in qv])
+        exact10 = set(
+            r["vec_id"]
+            for r in emb.select(
+                "vec_id",
+                VX.l2_distance(F.col("embedding"), qlit).alias("__d"),
+            )
+            .orderBy("__d", "vec_id")
+            .limit(10)
+            .collect()
+        )
+        sl100 = pq_adc_topk(enc, cb1, qv, k=100).select("vec_id")
+        rerank10 = set(
+            r["vec_id"]
+            for r in sl100.join(emb, "vec_id")
+            .select(
+                "vec_id",
+                VX.l2_distance(F.col("embedding"), qlit).alias("__d"),
+            )
+            .orderBy("__d", "vec_id")
+            .limit(10)
+            .collect()
+        )
+        enc.unpersist()
+        assert len(rerank10 & exact10) >= 3, (sf, rerank10, exact10)
+
+    # max_train: a cap below the table size samples; sampling changed
+    # the training set, so the codebooks differ from the full fit
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cb_cap, _ = pq_fit(emb, m=4, k=16, iterations=1, max_train=300)
+    cb_full, _ = pq_fit(emb, m=4, k=16, iterations=1)
+    assert cb_cap != cb_full
+    # a cap above the table size is a no-op (trains on everything)
+    cb_nocap, _ = pq_fit(emb, m=4, k=16, iterations=1, max_train=10**9)
+    assert cb_nocap == cb_full
+
+
+def test_pq_fit_persists_training_frame_once(spark, monkeypatch):
+    """r7 verdict scale nit: pq_fit used to re-scan (and re-slice) the
+    base table m*(iterations+1) times. Pin the fix structurally: exactly
+    ONE persist call for the whole fit, on the narrow m-slice training
+    frame (its plan reads the base once); and a Lloyd-round aggregate
+    over that persisted frame reads the cache, not parquet."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+    )
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        _pq_train_frame,
+        pq_fit,
+    )
+
+    persisted = []
+    orig = DataFrame.persist
+
+    def spy(self, *a, **kw):
+        persisted.append(self)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "persist", spy)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pq_fit(emb, m=4, k=8, iterations=3)
+    assert len(persisted) == 1
+    assert {f"__sub{s}" for s in range(4)} <= set(persisted[0].columns)
+    monkeypatch.undo()
+
+    # the per-round aggregate's plan: InMemoryTableScan, zero parquet
+    proj = _pq_train_frame(emb, 4, 16, "vec_id", "embedding").persist()
+    try:
+        proj.count()
+        sub = proj.select(
+            F.col("__id").alias("vec_id"), F.col("__sub0").alias("__sub")
+        )
+        seed = [[0.0] * 16, [1.0] * 16]
+        ex = assign_clusters(sub, seed, "__sub").select(
+            "cluster", F.posexplode(F.col("__sub")).alias("pos", "v")
+        )
+        agg = ex.groupBy("cluster", "pos").agg(F.avg("v").alias("c"))
+        p = spark._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted"
+        )
+        # the only parquet scan is the one nested inside the cached
+        # relation's BUILD plan (formatted explain shows it under
+        # InMemoryRelation); the aggregate itself reads the cache
+        assert "InMemoryTableScan" in p, p
+        n_parquet = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+        n_cached = len(re.findall(r"^\(\d+\) InMemoryRelation", p, re.M))
+        assert n_parquet == n_cached == 1, p
+    finally:
+        proj.unpersist()
