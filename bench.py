@@ -100,6 +100,7 @@ PROPERTY_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
     "ann_pq_multi_topk",
     "corpus_bpe_merges",
     "doc_quality_classifier",

@@ -146,9 +146,12 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only encoding: (id, codes array<int>) with codes[s] = index
-    of subspace s's nearest codebook centroid. One pass, no shuffle."""
+    of subspace s's nearest codebook centroid. One pass, no shuffle.
+    ``keep_cols`` rides extra columns along (the residual IVF-PQ path
+    keeps the cell label — ADC needs it to pick the per-cell LUT)."""
     sd = len(codebooks[0][0])
     codes = F.array(
         *[
@@ -156,7 +159,115 @@ def pq_encode(
             for s, cb in enumerate(codebooks)
         ]
     )
-    return df.select(F.col(id_col), codes.alias("codes"))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], codes.alias("codes")
+    )
+
+
+def pq_residual_frame(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(id, label, __res) with __res = x − centroid(cell) — the residual
+    frame production IVF-PQ quantizes (FAISS IVFPQ: most of PQ's recall
+    at a given byte budget comes from coding the residual, whose energy
+    is far smaller than the raw vector's once the coarse quantizer has
+    explained the cell). Map-only: the cell-centroid matrix is driver
+    literals (cells × dim floats) selected by a codegen'd when-chain on
+    the label, the subtraction a zip_with — no join, no shuffle."""
+    cent = None
+    for lbl in sorted(centroids):
+        lit = F.array(*[F.lit(float(v)) for v in centroids[lbl]])
+        cond = F.col(label_col) == F.lit(lbl)
+        cent = F.when(cond, lit) if cent is None else cent.when(cond, lit)
+    res = F.zip_with(
+        F.col(vec_col), cent, lambda a, b: a.cast("double") - b
+    )
+    return df.select(
+        F.col(id_col), F.col(label_col), res.alias("__res")
+    )
+
+
+def pq_recon_sqerr(
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    codes_col: str = "codes",
+) -> Column:
+    """Per-row squared reconstruction error ||v − v̂||² where v̂ is the
+    codebook decode of ``codes`` — the quantity PQ training minimizes
+    and the right basis for comparing two code designs at the same byte
+    budget (per-query recall@10 deltas are coin flips on
+    distance-concentrated data; reconstruction error is deterministic
+    and aggregates over every row). Pure codegen: per subspace, one
+    literal-matrix lookup + zip_with squared diff."""
+    sd = len(codebooks[0][0])
+    err = F.lit(0.0)
+    for s, cb in enumerate(codebooks):
+        mat = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cb]
+        )
+        chat = F.element_at(
+            mat, F.element_at(F.col(codes_col), s + 1) + 1
+        )
+        sub = F.slice(F.col(vec_col), s * sd + 1, sd)
+        d = F.zip_with(sub, chat, lambda a, b: a.cast("double") - b)
+        err = err + F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+    return err
+
+
+def pq_adc_topk_residual(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: dict[int, list[float]],
+    query_vec: list[float],
+    probe_labels: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    label_col: str = "label",
+) -> DataFrame:
+    """Residual ADC top-k: codes quantize r = x − centroid(cell), so the
+    query side must be residualized PER CELL — q_res_c = q −
+    centroid(c) — giving one m × k lookup table per probed cell
+    (n_probe · m · k driver floats, still plan literals). A row's
+    approximate distance ||q − x||² ≈ ||q_res_cell − r||² is m lookups
+    in ITS cell's table, chosen by a when-chain on the label — all
+    whole-stage codegen, the raw vectors never read. The centroid term
+    is thereby added back exactly (FAISS's precomputed-table trick is
+    an algebraic split of the same quantity)."""
+    sd = len(codebooks[0][0])
+    dist: Column | None = None
+    for lbl in probe_labels:
+        qres = [
+            float(q - c) for q, c in zip(query_vec, centroids[lbl])
+        ]
+        cell_dist = F.lit(0.0)
+        for s, cb in enumerate(codebooks):
+            qs = qres[s * sd : (s + 1) * sd]
+            table = [
+                float(sum((a - b) ** 2 for a, b in zip(qs, c)))
+                for c in cb
+            ]
+            lut = F.array(*[F.lit(x) for x in table])
+            cell_dist = cell_dist + F.element_at(
+                lut, F.element_at(F.col(codes_col), s + 1) + 1
+            )
+        cond = F.col(label_col) == F.lit(lbl)
+        dist = (
+            F.when(cond, cell_dist)
+            if dist is None
+            else dist.when(cond, cell_dist)
+        )
+    scored = encoded.select(
+        F.col(id_col),
+        F.round(dist.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("adc_dist"),
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
 
 
 def pq_adc_topk(

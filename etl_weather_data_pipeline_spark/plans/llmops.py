@@ -1501,6 +1501,208 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+# Residual IVF-PQ state per sf_dir: the full cell-centroid map (cells ×
+# dim floats) plus codebooks trained on r = x − centroid(cell). Both are
+# deterministic functions of the table (mean centroids; lowest-id Lloyd
+# seeds), so the memo shares one training run across queries/sessions
+# the way _pq_codebooks does.
+_PQ_RES_CACHE: dict[str, tuple] = {}
+
+
+def _pq_residual_state(emb, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_fit,
+        pq_residual_frame,
+    )
+    from etl_weather_data_pipeline_spark.operators.similarity import (
+        cell_centroids,
+    )
+
+    if sf_dir not in _PQ_RES_CACHE:
+        cents_map = {
+            r["label"]: [float(x) for x in r["centroid"]]
+            for r in cell_centroids(emb).collect()
+        }
+        rf = pq_residual_frame(emb, cents_map)
+        codebooks, hists = pq_fit(
+            rf, m=4, k=16, iterations=3, vec_col="__res"
+        )
+        _PQ_RES_CACHE[sf_dir] = (cents_map, codebooks, hists)
+    return _PQ_RES_CACHE[sf_dir]
+
+
+@q(
+    "ann_ivfpq_residual_topk",
+    "IVF-PQ with RESIDUAL encoding — the actual FAISS IVFPQ "
+    "composition (Jegou et al. 2011 §IV; the r7 whole-vector variant "
+    "was the honest half-step): codes quantize r = x − centroid(cell), "
+    "whose energy is what remains AFTER the coarse quantizer explains "
+    "the cell, so the same byte budget codes a tighter distribution; "
+    "the query side residualizes per probed cell (one m × 16 LUT per "
+    "cell, n_probe·m·16 driver floats as plan literals) which adds the "
+    "centroid term back exactly. Residualization and encoding are "
+    "map-only (centroid matrix = when-chain literals, no join); ADC is "
+    "m lookups via a label-routed when-chain, all codegen. Invariant "
+    "booleans: re-ranked recall@10 vs in-cell exact clears the 0.3 "
+    "tripwire, shortlist recall monotone (ADC-50 ⊇ ADC-25, same "
+    "deterministic order), probe genuinely prunes, residual Lloyd SSE "
+    "non-increasing, and the HEADLINE claim — residual codes are "
+    "TIGHTER than whole-vector codes at the identical byte budget: "
+    "full-table squared reconstruction error, residual decode "
+    "(centroid + codebook) vs whole decode, measured in THIS query "
+    "with both paths sharing the scan. Reconstruction error — not a "
+    "single query's recall@10 — is the right comparison: residual "
+    "coding provably shrinks the coded distribution (ANOVA: within- "
+    "cell SS <= total SS, strict when any cell means differ) and the "
+    "measured gap holds at all three SFs (359<365 / 358<365 / "
+    "1541<1547), while per-query recall deltas on these near-random "
+    "synthetic embeddings are distance-concentration coin flips "
+    "(measured rerank hits res-vs-whole at sf0.01: 7v8, 10v8, 6v9, "
+    "8v9, 8v8). Exact cross-check: n_vectors.",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS k,
+           COUNT(*) AS n_vectors,
+           TRUE AS recall_floor_ok,
+           TRUE AS shortlist_recall_monotone,
+           TRUE AS probe_prunes_scan,
+           TRUE AS sse_monotone,
+           TRUE AS residual_tighter_codes
+    FROM embeddings
+    """,
+)
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_adc_topk_residual,
+        pq_encode,
+        pq_recon_sqerr,
+        pq_residual_frame,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    cents_map, res_codebooks, res_hists = _pq_residual_state(emb, sf_dir)
+    sse_monotone = all(
+        later <= earlier * (1 + 1e-9) + 1e-9
+        for h in res_hists
+        for earlier, later in zip(h, h[1:])
+    )
+    # probe selection identical to ann_ivfpq_topk (centroids from the
+    # same map — no second centroid pass)
+    import math
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den if den else 0.0
+
+    probe = [
+        lbl
+        for lbl, _ in sorted(
+            ((lbl, _cos(c, qv)) for lbl, c in cents_map.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+    ]
+    pruned = emb.filter(F.col("label").isin(probe)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(pruned)
+    enc_res = pq_encode(
+        pq_residual_frame(pruned, cents_map),
+        res_codebooks,
+        vec_col="__res",
+        keep_cols=("label",),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(enc_res)
+    sl25 = pq_adc_topk_residual(
+        enc_res, res_codebooks, cents_map, qv, probe, k=25
+    ).select("vec_id")
+    sl50 = pq_adc_topk_residual(
+        enc_res, res_codebooks, cents_map, qv, probe, k=50
+    ).select("vec_id")
+    # code-tightness comparison vs the whole-vector design, full table,
+    # both encodes + reconstructions in single map-side passes (the
+    # residual one rides its __res column along — no join)
+    whole_codebooks, _ = _pq_codebooks(emb, sf_dir)
+    rf_full = pq_residual_frame(emb, cents_map)
+    err_res = pq_encode(
+        rf_full, res_codebooks, vec_col="__res", keep_cols=("__res",)
+    ).agg(
+        F.sum(pq_recon_sqerr(res_codebooks, "__res")).alias("__err_res")
+    )
+    err_whole = pq_encode(
+        emb, whole_codebooks, keep_cols=("embedding",)
+    ).agg(
+        F.sum(pq_recon_sqerr(whole_codebooks, "embedding")).alias(
+            "__err_whole"
+        )
+    )
+    incell10 = (
+        pruned.select(
+            "vec_id",
+            VX.l2_distance(F.col("embedding"), qlit).alias("__d"),
+        )
+        .orderBy("__d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+
+    def _rerank_hits(shortlist):
+        r10 = (
+            shortlist.join(pruned, "vec_id")
+            .select(
+                "vec_id",
+                VX.l2_distance(F.col("embedding"), qlit).alias("__d"),
+            )
+            .orderBy("__d", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        return r10.join(incell10, "vec_id").agg(
+            F.count(F.lit(1)).alias("__h")
+        )
+
+    h_rr = _rerank_hits(sl50).withColumnRenamed("__h", "__hrr")
+    h25 = sl25.join(incell10, "vec_id").agg(
+        F.count(F.lit(1)).alias("__h25")
+    )
+    h50 = sl50.join(incell10, "vec_id").agg(
+        F.count(F.lit(1)).alias("__h50")
+    )
+    n_in = pruned.agg(F.count(F.lit(1)).alias("__n_in"))
+    n_all = emb.agg(F.count(F.lit(1)).alias("__n_all"))
+    return (
+        h_rr.crossJoin(h25)
+        .crossJoin(h50)
+        .crossJoin(n_in)
+        .crossJoin(n_all)
+        .crossJoin(err_res)
+        .crossJoin(err_whole)
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.col("__n_all").cast("long").alias("n_vectors"),
+            (F.col("__hrr") >= F.lit(3)).alias("recall_floor_ok"),
+            (F.col("__h50") >= F.col("__h25")).alias(
+                "shortlist_recall_monotone"
+            ),
+            (F.col("__n_in") < F.col("__n_all")).alias(
+                "probe_prunes_scan"
+            ),
+            F.lit(bool(sse_monotone)).alias("sse_monotone"),
+            (F.col("__err_res") < F.col("__err_whole")).alias(
+                "residual_tighter_codes"
+            ),
+        )
+    )
+
+
 @q(
     "ann_pq_multi_topk",
     "Batch ADC serving — PQ for MANY queries at once (the PQ twin of "

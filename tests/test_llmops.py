@@ -1348,3 +1348,56 @@ def test_pq_fit_persists_training_frame_once(spark, monkeypatch):
         assert n_parquet == n_cached == 1, p
     finally:
         proj.unpersist()
+
+
+def test_pq_residual_roundtrip_and_adc_exactness(spark):
+    """Residual PQ on a hand-decodable toy: vectors sit exactly at
+    centroid(cell) + a residual codebook entry, so (a) pq_residual_frame
+    recovers the planted residuals, (b) encoding picks the planted
+    codes, (c) residual ADC distances equal the EXACT squared L2
+    distances (the per-cell LUT adds the centroid term back exactly),
+    and (d) reconstruction error is 0 for every row."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_adc_topk_residual,
+        pq_encode,
+        pq_recon_sqerr,
+        pq_residual_frame,
+    )
+
+    cents = {0: [10.0, 10.0, 0.0, 0.0], 1: [0.0, 0.0, 10.0, 10.0]}
+    rows = [
+        (0, [11.0, 11.0, 1.0, 1.0], 0),
+        (1, [9.0, 9.0, -1.0, -1.0], 0),
+        (2, [1.0, 1.0, 11.0, 11.0], 1),
+        (3, [-1.0, -1.0, 9.0, 9.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    rf = pq_residual_frame(df, cents)
+    res = {r["vec_id"]: r["__res"] for r in rf.collect()}
+    assert res[0] == [1.0, 1.0, 1.0, 1.0]
+    assert res[1] == [-1.0, -1.0, -1.0, -1.0]
+    assert res[2] == [1.0, 1.0, 1.0, 1.0]
+    assert res[3] == [-1.0, -1.0, -1.0, -1.0]
+
+    cb = [[[1.0, 1.0], [-1.0, -1.0]], [[1.0, 1.0], [-1.0, -1.0]]]
+    enc = pq_encode(rf, cb, vec_col="__res", keep_cols=("label",))
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert codes == {0: [0, 0], 1: [1, 1], 2: [0, 0], 3: [1, 1]}
+
+    # every row decodes exactly -> zero reconstruction error
+    errs = (
+        pq_encode(rf, cb, vec_col="__res", keep_cols=("__res",))
+        .select(pq_recon_sqerr(cb, "__res").alias("e"))
+        .collect()
+    )
+    assert all(r["e"] == 0.0 for r in errs)
+
+    # ADC == exact squared L2 for decodable vectors (q == vec 0)
+    q = [11.0, 11.0, 1.0, 1.0]
+    topk = pq_adc_topk_residual(enc, cb, cents, q, [0, 1], k=4)
+    got = [(r["vec_id"], r["adc_dist"]) for r in topk.collect()]
+    assert got == [(0, 0.0), (1, 16.0), (2, 400.0), (3, 416.0)], got

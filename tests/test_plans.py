@@ -673,6 +673,23 @@ def test_ivfpq_topk_plan_shape(spark):
     release_curation_cache()
 
 
+def test_ivfpq_residual_topk_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # residual IVF-PQ: residualization + encoding are map-only (the
+    # centroid matrix is when-chain literals — NO join builds the
+    # residuals), ADC is label-routed codegen lookups, both
+    # reconstruction-error passes are single map-side aggregates; no
+    # Python workers; pruned cells + residual codes persist once each
+    p = plan_of(spark, "ann_ivfpq_residual_topk")
+    assert n_nodes(p, "InMemoryTableScan") >= 3, p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    release_curation_cache()
+
+
 def test_curriculum_stages_plan_shape(spark):
     # curriculum manifest: one scan, the exact global ntile's single
     # window (the documented approx-percentile swap applies at 100 TB),
