@@ -104,6 +104,7 @@ PROPERTY_QUERIES = [
     "ann_pq_multi_topk",
     "corpus_bpe_merges",
     "doc_quality_classifier",
+    "corpus_curation_pipeline_v2",
     "corpus_merge_state",
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",

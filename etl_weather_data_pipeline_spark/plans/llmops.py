@@ -870,6 +870,228 @@ def corpus_curation_pipeline(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_curation_pipeline_v2",
+    "Curation flagship v2 — the full CCNet/LLaMA recipe the standalone "
+    "scorers feed (r7 verdict directive #5): exact dedup (min-id "
+    "survivor) -> MinHash-LSH near-dup removal (Jaccard >= 0.5, larger "
+    "id drops) -> bigram-LM quality band (LM TRAINED ON THE STAGE-2 "
+    "SURVIVORS, per-doc mean conditional logprob >= -3.45; garbled "
+    "word order and <2-token docs drop — CCNet's perplexity gate) -> "
+    "fitted-classifier filter (score > 0.5, weights shared with "
+    "doc_quality_classifier via the _pq_codebooks-style memo — one GD "
+    "run serves both queries). Stage counts through the LM band are "
+    "EXACT (the LM is deterministic arithmetic, mirrored in DuckDB "
+    "CTE-for-CTE); the fitted stage is property-checked: it must be "
+    "genuinely selective (0 < n_final < n_after_lm) and keep the "
+    "information-dense side (avg distinct-token ratio of kept > "
+    "dropped — the planted concept's direction), plus the fit's own "
+    "loss-monotone/finite booleans. Scale shape: stages are hash-agg + "
+    "equi-join shuffles only (v1's contract); the LM rides ONE "
+    "persisted survivor frame; classifier scoring is plan-literal "
+    "weights — no extra shuffle at all.",
+    oracle=f"""
+    WITH survivors0 AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d
+      JOIN (SELECT {O_FINGERPRINT} AS fp, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY 1) s
+        ON d.doc_id = s.doc_id),
+    {_o_lsh_ctes(8, 4, table="survivors0")},
+    toksets AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM survivors0),
+    dropped AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN toksets l ON l.doc_id = c.id_a
+                  JOIN toksets r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    s2 AS (
+      SELECT * FROM survivors0
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+    tok AS (SELECT doc_id, unnest({O_TOKS}) AS token FROM s2),
+    big AS (
+      SELECT doc_id, t.first AS first, t.bigram AS bigram FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len({O_TOKS}) >= 2 THEN
+            list_transform(range(1, len({O_TOKS})),
+              i -> struct_pack(first := {O_TOKS}[i],
+                               bigram := {O_TOKS}[i] || ' ' || {O_TOKS}[i+1]))
+          ELSE CAST([] AS STRUCT(first VARCHAR, bigram VARCHAR)[]) END
+        ) AS t
+        FROM s2)),
+    uvocab AS (SELECT token, COUNT(*) AS ucnt FROM tok GROUP BY token),
+    v AS (SELECT COUNT(*) AS vsize FROM uvocab),
+    bvocab AS (SELECT bigram, COUNT(*) AS bcnt FROM big GROUP BY bigram),
+    lmsc AS (
+      SELECT b.doc_id,
+             {o_dround("ln(bv.bcnt + 0.5)", 8)}
+               - {o_dround(
+                   "ln(uv.ucnt + 0.5 * (SELECT vsize FROM v))", 8)} AS lp
+      FROM big b JOIN bvocab bv USING (bigram)
+                 JOIN uvocab uv ON uv.token = b.first),
+    per AS (
+      SELECT doc_id,
+             {o_dround(
+                 "CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE)"
+                 " / COUNT(*)", 6)} AS s
+      FROM lmsc GROUP BY doc_id),
+    s3 AS (
+      SELECT doc_id FROM s2 JOIN per USING (doc_id)
+      WHERE per.s >= -3.45)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+           (SELECT COUNT(*) FROM survivors0) AS n_after_exact,
+           (SELECT COUNT(*) FROM s2) AS n_after_neardup,
+           (SELECT COUNT(*) FROM s3) AS n_after_lm,
+           TRUE AS classifier_stage_selective,
+           TRUE AS classifier_keeps_denser,
+           TRUE AS loss_monotone,
+           TRUE AS weights_finite
+    """,
+)
+def corpus_curation_pipeline_v2(spark, sf_dir):
+    import math
+
+    from pyspark import StorageLevel
+
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        jaccard_verify,
+    )
+    from etl_weather_data_pipeline_spark.operators.logreg import (
+        logreg_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    release_curation_cache()
+    # stage 1: exact dedup (same persisted shape + rationale as v1)
+    kept = (
+        dedup_exact(docs)
+        .select("doc_id", "lang", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(kept)
+    cand = minhash_lsh_pairs(kept, num_hashes=8, bands=4)
+    dropped = (
+        jaccard_verify(kept, cand, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    # stage 2 survivors feed the LM train (tok, big), the band join,
+    # and the count — persist the narrow frame once
+    s2 = kept.join(dropped, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(s2)
+    # stage 3: bigram LM over the SURVIVORS (doc_bigram_logprob's exact
+    # arithmetic, retargeted at s2 — score the corpus with an LM trained
+    # on what dedup kept)
+    toked = s2.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    tok = toked.select("doc_id", F.explode("__t").alias("token"))
+    uvocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CURATION_PERSISTED.append(uvocab)
+    v = uvocab.agg(F.count(F.lit(1)).alias("vsize"))
+    big = (
+        toked.select(
+            "doc_id",
+            F.explode_outer(
+                F.when(
+                    F.size("__t") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(__t) - 2), "
+                        "i -> struct(__t[i] AS first, "
+                        "concat(__t[i], ' ', __t[i + 1]) AS bigram))"
+                    ),
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", F.col("b.first").alias("first"), "b.bigram")
+    )
+    bvocab = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("bcnt"))
+    lmsc = (
+        big.join(bvocab, "bigram")
+        .join(uvocab, big["first"] == uvocab["token"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                dround(F.log(F.col("bcnt") + F.lit(0.5)), 8)
+                - dround(
+                    F.log(F.col("ucnt") + F.lit(0.5) * F.col("vsize")), 8
+                )
+            ).alias("lp"),
+        )
+    )
+    per = lmsc.groupBy("doc_id").agg(
+        dround(
+            F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__s")
+    )
+    s3 = s2.join(
+        per.filter(F.col("__s") >= F.lit(-3.45)).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", "text")
+    # stage 4: fitted classifier (weights from the shared memo; when
+    # cold, train on the FULL table — the memo contract — persisting
+    # the training features for the 11 GD aggregates)
+    if sf_dir not in _QUALITY_CLF_CACHE:
+        feats_full = _quality_features(docs).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _CURATION_PERSISTED.append(feats_full)
+        w, losses = _quality_weights(feats_full, sf_dir)
+    else:
+        w, losses = _QUALITY_CLF_CACHE[sf_dir]
+    monotone = all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
+    finite = all(math.isfinite(x) for x in w)
+    scored = _quality_features(s3).select(
+        "doc_id",
+        "f_dr",
+        logreg_score(_QUALITY_FCOLS, w).alias("__p"),
+    )
+    clf = scored.agg(
+        F.count(F.lit(1)).alias("__n_lm"),
+        F.count(F.when(F.col("__p") > 0.5, 1)).alias("__n_final"),
+        F.avg(F.when(F.col("__p") > 0.5, F.col("f_dr"))).alias(
+            "__dr_keep"
+        ),
+        F.avg(F.when(F.col("__p") <= 0.5, F.col("f_dr"))).alias(
+            "__dr_drop"
+        ),
+    )
+    n_input = docs.agg(F.count(F.lit(1)).alias("__n_in"))
+    n_exact = kept.agg(F.count(F.lit(1)).alias("__n_ex"))
+    n_s2 = s2.agg(F.count(F.lit(1)).alias("__n_s2"))
+    return (
+        n_input.crossJoin(n_exact)
+        .crossJoin(n_s2)
+        .crossJoin(clf)
+        .select(
+            F.col("__n_in").cast("long").alias("n_input"),
+            F.col("__n_ex").cast("long").alias("n_after_exact"),
+            F.col("__n_s2").cast("long").alias("n_after_neardup"),
+            F.col("__n_lm").cast("long").alias("n_after_lm"),
+            (
+                (F.col("__n_final") > 0)
+                & (F.col("__n_final") < F.col("__n_lm"))
+            ).alias("classifier_stage_selective"),
+            F.coalesce(
+                F.col("__dr_keep") > F.col("__dr_drop"), F.lit(False)
+            ).alias("classifier_keeps_denser"),
+            F.lit(bool(monotone)).alias("loss_monotone"),
+            F.lit(bool(finite)).alias("weights_finite"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1181,6 +1403,50 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+_QUALITY_FCOLS = ["f_sw", "f_dr", "f_len"]
+
+# Fitted quality-classifier weights per sf_dir — the _pq_codebooks-style
+# memo: full-batch GD with lowest-id-free deterministic aggregates is a
+# pure function of the table, so the standalone report and the v2
+# curation pipeline share ONE training run (10 iterations = 11
+# aggregate jobs) instead of refitting each.
+_QUALITY_CLF_CACHE: dict[str, tuple] = {}
+
+
+def _quality_features(docs):
+    """(doc_id, f_sw, f_dr, f_len, y) classifier feature projection —
+    shared by doc_quality_classifier (fit + self-check) and
+    corpus_curation_pipeline_v2 (scoring stage) so the two can never
+    drift. f_len is clamped to [0,1]: the loss_monotone gate rests on
+    the 'lr=4.0 is below 2/L' convexity argument and L scales with the
+    feature bound — an unclamped length on a longer-doc vintage could
+    flip the invariant (r7 ADVICE)."""
+    return docs.select(
+        "doc_id",
+        TX.stopword_ratio(F.col("text")).alias("f_sw"),
+        TX.distinct_token_ratio(F.col("text")).alias("f_dr"),
+        F.least(F.length("text") / F.lit(2000.0), F.lit(1.0)).alias(
+            "f_len"
+        ),
+    ).withColumn("y", (F.col("f_dr") > F.lit(0.46)).cast("int"))
+
+
+def _quality_weights(feats, sf_dir):
+    """Memoized logreg fit. CONTRACT: ``feats`` must be
+    _quality_features over the FULL documents table of ``sf_dir`` (both
+    callers build it that way), so whichever query warms the cache,
+    every consumer scores with weights trained on the same set."""
+    from etl_weather_data_pipeline_spark.operators.logreg import (
+        logreg_fit,
+    )
+
+    if sf_dir not in _QUALITY_CLF_CACHE:
+        _QUALITY_CLF_CACHE[sf_dir] = logreg_fit(
+            feats, _QUALITY_FCOLS, "y", lr=4.0, iterations=10
+        )
+    return _QUALITY_CLF_CACHE[sf_dir]
+
+
 @q(
     "doc_quality_classifier",
     "Classifier-based quality scoring (the CCNet / LLaMA recipe: train "
@@ -1213,33 +1479,17 @@ def doc_quality_classifier(spark, sf_dir):
     from pyspark import StorageLevel
 
     from etl_weather_data_pipeline_spark.operators.logreg import (
-        logreg_fit,
         logreg_score,
     )
 
     docs = load(spark, sf_dir, "documents")
-    fcols = ["f_sw", "f_dr", "f_len"]
+    fcols = _QUALITY_FCOLS
     # The regex-heavy feature projection feeds 11 GD aggregates plus
-    # the final accuracy pass — persist the narrow 4-column frame once
-    # (bounded registry) instead of re-tokenizing the corpus per pass.
-    feats = (
-        docs.select(
-            TX.stopword_ratio(F.col("text")).alias("f_sw"),
-            TX.distinct_token_ratio(F.col("text")).alias("f_dr"),
-            # Clamped to [0,1]: the loss_monotone gate rests on the
-            # 'lr=4.0 is below 2/L' convexity argument, and L scales
-            # with the feature bound — an unclamped length feature on a
-            # longer-doc data vintage would raise L and could flip the
-            # invariant (r7 ADVICE).
-            F.least(F.length("text") / F.lit(2000.0), F.lit(1.0)).alias(
-                "f_len"
-            ),
-        )
-        .withColumn("y", (F.col("f_dr") > F.lit(0.46)).cast("int"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # the final accuracy pass — persist the narrow frame once (bounded
+    # registry) instead of re-tokenizing the corpus per pass.
+    feats = _quality_features(docs).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(feats)
-    w, losses = logreg_fit(feats, fcols, "y", lr=4.0, iterations=10)
+    w, losses = _quality_weights(feats, sf_dir)
     monotone = all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
     correct = (
         (logreg_score(fcols, w) > 0.5).cast("int") == F.col("y")

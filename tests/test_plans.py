@@ -690,6 +690,23 @@ def test_ivfpq_residual_topk_plan_shape(spark):
     release_curation_cache()
 
 
+def test_curation_pipeline_v2_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # v2 flagship: deduped survivors, stage-2 survivors, the LM vocab,
+    # and the classifier training features each persist once (the final
+    # plan reads caches, not repeated corpus scans); classifier weights
+    # are plan literals — no Python workers; the only nested-loop joins
+    # are the 1-row stage-count crossJoins
+    p = plan_of(spark, "corpus_curation_pipeline_v2")
+    assert n_nodes(p, "InMemoryTableScan") >= 4, p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    release_curation_cache()
+
+
 def test_curriculum_stages_plan_shape(spark):
     # curriculum manifest: one scan, the exact global ntile's single
     # window (the documented approx-percentile swap applies at 100 TB),
