@@ -11,6 +11,13 @@ $SPARK_GRAFT_RUNS (default 3) back-to-back runs after a JVM warmup pass:
 a 3-run variance study on identical code measured 47% peak-to-trough
 host noise on single-shot timings (README "Benchmark comparability
 across rounds"), so cross-round totals are only signal on minima.
+
+The line also carries "core_r6_value": the total over the FROZEN
+round-6 31-query core — the like-for-like number across rounds (the
+full total grows with every added headliner). BENCH_CALLABLES entries
+(the streaming funnel sink) are timed single-shot, unwarmed — they are
+hundreds-of-jobs pipelines whose relative noise is small, and min-of-N
+on a ~45s pipeline would triple the bench's wall clock.
 """
 
 from __future__ import annotations
@@ -81,6 +88,94 @@ HEADLINE = [
     # (identical survivors at sf0.01; wall-clock parity with the exact
     # funnel at test SFs — inside cross-session noise — the scale claim
     # is the 184x pinned gram-match volume reduction)
+    "corpus_dedup_funnel_blocked",
+    # round-8: v2 of the curation flagship (dedup -> near-dup -> LM
+    # band -> fitted-classifier filter)
+    "corpus_curation_pipeline_v2",
+]
+
+
+def _bench_streaming_funnel_2batch(spark, sf_dir):
+    """Bounded two-batch streaming-funnel sink measurement (r7 verdict
+    directive #6): bootstrap a fresh store with half the corpus through
+    the full three-stage merge, then merge the WHOLE corpus against it —
+    the steady-state shape (a batch probing an existing store through
+    exact + band + winnow stages). The full driver-oracled
+    corpus_funnel_merge_state (3 merges + replay) runs 70s at sf0.1 —
+    too heavy for the min-of-N loop — so this twin is timed SINGLE-SHOT
+    (see the timing loop: it is a many-hundred-job pipeline, so its
+    relative noise is far below a 0.5s query's)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        bands_table_name,
+        merge_batch_neardup_into_corpus,
+        winnow_table_name,
+    )
+
+    store = tempfile.mkdtemp(prefix="bench_funnel_") + "/store"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    try:
+        merge_batch_neardup_into_corpus(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            store,
+            band_buckets=8,
+            passage_min_run=16,
+        )
+        merge_batch_neardup_into_corpus(
+            docs, store, band_buckets=8, passage_min_run=16
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
+        spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
+
+
+# Timed callables that are not registry queries (side-effecting sinks).
+# Single-shot (not min-of-N) — noted per entry.
+BENCH_CALLABLES = {
+    "streaming_funnel_sink_2batch": _bench_streaming_funnel_2batch,
+}
+
+# Frozen like-for-like core (= the round-6 headline set, the baseline of
+# every cross-round comparison since): the FULL headline total grows as
+# headliners are added (47.6s -> 56.6s across r6->r7 reads as a
+# regression until decomposed), so the JSON line carries a second total
+# over this frozen set. Do NOT grow this list — its only value is that
+# it never changes.
+CORE_R6 = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "segment_order_stats",
+    "latest_event_per_user",
+    "user_sessions",
+    "dedup_events_hourly",
+    "doc_dedup_exact",
+    "doc_minhash_lsh_pairs",
+    "doc_minhash_lsh_pairs_xxh",
+    "doc_jaccard_pairs",
+    "doc_text_stats",
+    "ann_cosine_topk",
+    "doc_winnow_fingerprints",
+    "doc_neardup_clusters",
+    "doc_tfidf_top_terms",
+    "doc_incremental_dedup",
+    "corpus_sequence_pack",
+    "doc_winnow_overlap_pairs",
+    "source_token_kl",
+    "embedding_dim_stats",
+    "doc_ngram_novelty",
+    "dsir_importance_weights",
+    "doc_exact_passage_pairs",
+    "doc_passage_pairs_blocked",
+    "corpus_dedup_funnel_incremental",
+    "dedup_recall_probe",
+    "weather_pipeline_e2e",
+    "corpus_curation_pipeline",
+    "corpus_dedup_funnel",
     "corpus_dedup_funnel_blocked",
 ]
 
@@ -214,9 +309,20 @@ def main() -> None:
             ).save()
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
+    # Side-effecting sink benchmarks: single-shot by design — each is a
+    # multi-stage pipeline of hundreds of jobs, so per-entry noise is a
+    # few percent, not the 47% single-shot band of sub-second queries,
+    # and a min-of-N here would triple the bench's wall clock.
+    if not subset:
+        for name, fn in BENCH_CALLABLES.items():
+            t0 = time.monotonic()
+            fn(spark, sf_dir)
+            timings[name] = round(time.monotonic() - t0, 3)
     release_curation_cache()
 
     total = round(sum(timings.values()), 3)
+    core = [n for n in CORE_R6 if n in timings]
+    core_total = round(sum(timings[n] for n in core), 3)
     print(
         json.dumps(
             {
@@ -226,6 +332,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": n_runs,
+                # like-for-like across rounds: the frozen r6 core set
+                # (the full total grows with every added headliner)
+                "core_r6_value": core_total,
+                "core_r6_n_queries": len(core),
             }
         )
     )

@@ -80,6 +80,7 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    round_secs: list[float] | None = None,
 ) -> tuple[list[Merge], DataFrame, int]:
     """Learn ``n_merges`` BPE merges; returns
     ``(merges, final_vocab, base_total_symbols)``.
@@ -89,7 +90,17 @@ def bpe_train(
     application always merges at least one occurrence of the selected
     pair), which corpus_bpe_merges turns into a driver-checkable
     invariant. Stops early if no adjacent pair remains.
+
+    Realistic-vocab scaling (measured at sf0.1, 64 merges, local[32]):
+    the per-round cost curve is FLAT — each round is one pair-count
+    aggregate + one checkpoint-materializing count over the previous
+    round's localCheckpoint, so lineage never accumulates and the
+    vocab table only shrinks; pass ``round_secs`` (an empty list) to
+    record per-round wall seconds and see the curve yourself
+    (tests/test_llmops.py pins flatness at 64 merges on the gate SF).
     """
+    import time
+
     vocab = build_vocab(docs, text_col).localCheckpoint(eager=True)
     base_total = int(
         vocab.agg(F.sum(F.col("cnt") * F.size("sym")).alias("t")).first()[
@@ -98,6 +109,7 @@ def bpe_train(
     )
     merges: list[Merge] = []
     for i in range(n_merges):
+        t0 = time.monotonic()
         pair_arr = F.when(
             F.size("sym") >= 2,
             F.expr(
@@ -132,6 +144,8 @@ def bpe_train(
         )
         merges.append(Merge(i, a, b, n, total_after))
         vocab = new_vocab
+        if round_secs is not None:
+            round_secs.append(time.monotonic() - t0)
     return merges, vocab, base_total
 
 
