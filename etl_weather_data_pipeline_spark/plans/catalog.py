@@ -139,102 +139,98 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-7 rotation
-# (closes the cumulative evidence gap — after this window every one of
-# the 130 registry queries has had at least one green driver row):
-# (1) queries whose code or oracle changed this round (dedup_recall_probe
-# id-space guard; corpus_neardup_merge_state bucketed band table;
-# doc_passage_pairs_blocked _passage_stack refactor) and the round's NEW
-# queries (passage_recall_probe, events_mad_outliers_approx,
-# doc_cdc_chunk_dedup, corpus_ingest_history_report,
-# corpus_funnel_merge_state, corpus_mixture_plan, neardup_cluster_keep,
-# events_zorder_layout, ann_pq_topk, ann_ivfpq_topk,
-# corpus_curriculum_stages, corpus_bpe_merges, doc_quality_classifier,
-# doc_bigram_logprob, corpus_epoch_expand, ann_pq_multi_topk;
-# corpus_pack_stats
-# runs in the Python tail), then (2) the 3 queries
-# that have NEVER had a driver row (landed after r6's window froze),
-# then (3) the 16 rows deferred from r6 (r4-vintage), then (4) the two
-# standing canaries, then (5) 8 of the 44 r5-vintage rows — weather
-# family (reference-parity core), the property oracles, the
-# timestamp-sensitive events family, and the deepest llm chains first.
-# Python-worker queries (grouped/arrow applyInPandas + mapInPandas) sit
-# at the window TAIL so a worker-death costs no other query its row;
-# multimodal_decode_features stays dead-last (it once killed the r1
-# harness). Deferred to r8 (banked r5-green + mirror-verified every
-# session, lowest marginal evidence): embedding_neardup_pairs,
-# doc_jaccard_pairs, doc_tfidf_top_terms, doc_ngram_jaccard_pairs,
-# doc_text_stats, doc_lang_id, ann_multi_query_topk,
-# multimodal_binary_features, embedding_lsh_buckets, doc_pii_scrub,
-# doc_stratified_sample, label_centroids, doc_minhash_jaccard_estimate,
-# doc_span_dedup, doc_quality_quantile_filter, embedding_quantize_stats,
-# neardup_degree_stats, doc_repetition_stats, corpus_length_histogram,
-# doc_chunk_spans, corpus_sequence_pack, corpus_temperature_sample,
-# neardup_cross_source_matrix, corpus_shard_manifest,
-# source_quality_stats, corpus_train_split, doc_contamination_flags,
-# corpus_vocab_stats, ann_cosine_topk, orders_monthly_growth,
-# user_retention_cohorts, events_funnel_conversion, pricing_summary,
-# doc_winnow_fingerprints, doc_neardup_clusters, approx_aggregates
-# (property query — its invariants re-assert at bench SF every round
-# via --check-invariants regardless of the window).
+# file holds exactly the first 50 registry entries). Round-8 rotation
+# (executes r7 verdict directive #2 — after this window every registry
+# query's latest driver row is <= 3 rounds old): (1) queries whose code
+# changed this round (doc_cdc_chunk_dedup narrow-shuffle rewrite;
+# doc_quality_classifier f_len clamp + shared-weights memo; the PQ
+# family over the refactored sampled-training pq_fit; the three
+# merge-state queries over the bucket-marker + winnow-backfill streaming
+# changes) and the round's NEW queries (corpus_curation_pipeline_v2,
+# ann_ivfpq_residual_topk), then (2) the 36 banked rows deferred from r7
+# (named at the r7 list's tail comment, see git history), then (3) the
+# standing canary corpus_curation_pipeline (the other canary,
+# corpus_merge_state, is in group 1 this round via the streaming
+# changes) and weather_pipeline_e2e (reference-parity core).
+# Python-worker / worker-risk queries sit at the window TAIL so a
+# worker death costs no other query its row. Deferred to r9 (banked
+# green + mirror-verified every session): the r4-vintage relational
+# battery (orders_cube, orders_grouping_sets, daily_event_type_pivot,
+# daily_counts_unpivot, customers_with_big_orders,
+# customers_without_orders, customer_only_nations,
+# customer_string_battery, nationkeys_union, nations_intersect,
+# brand_part_stats, conditional_aggs, doc_simhash, doc_simhash_pairs,
+# doc_minhash_signatures, doc_duplicate_groups — all re-greened r7),
+# the weather family minus e2e (weather_daily_summary, weather_latest,
+# weather_seasonal_trends, weather_quality_metrics), the events family
+# (events_anomaly_zscore, events_mad_outliers,
+# events_mad_outliers_approx, events_zorder_layout,
+# events_filtered_scored and kin), and the r7 debutants
+# (passage_recall_probe, corpus_mixture_plan, neardup_cluster_keep,
+# corpus_curriculum_stages, corpus_bpe_merges, doc_bigram_logprob,
+# corpus_epoch_expand, corpus_ingest_history_report, corpus_pack_intact,
+# corpus_pack_stats, dedup_recall_probe, doc_passage_pairs_blocked,
+# neardup_transitivity_stats, kmeans_clusters, doc_winnow_overlap_pairs)
+# — all r7-green; property queries additionally re-assert at bench SF
+# every round via --check-invariants regardless of the window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Changed or new this round — must (re-)green first:
-    "dedup_recall_probe",
-    "corpus_neardup_merge_state",
-    "doc_passage_pairs_blocked",
-    "passage_recall_probe",
-    "events_mad_outliers_approx",
+    # Changed this round — must re-green first:
     "doc_cdc_chunk_dedup",
-    "corpus_ingest_history_report",
-    "corpus_funnel_merge_state",
-    "corpus_mixture_plan",
-    "neardup_cluster_keep",
-    "events_zorder_layout",
+    "doc_quality_classifier",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    "corpus_curriculum_stages",
-    "corpus_bpe_merges",
-    "doc_quality_classifier",
-    "doc_bigram_logprob",
-    "corpus_epoch_expand",
     "ann_pq_multi_topk",
-    # Never driver-checked (r6 landed after the window froze):
-    "events_mad_outliers",
-    "neardup_transitivity_stats",
-    # r4-vintage rows deferred from r6:
-    "orders_cube",
-    "orders_grouping_sets",
-    "daily_event_type_pivot",
-    "daily_counts_unpivot",
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "customer_only_nations",
-    "customer_string_battery",
-    "nationkeys_union",
-    "nations_intersect",
-    "brand_part_stats",
-    "conditional_aggs",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "doc_minhash_signatures",
-    "doc_duplicate_groups",
-    # Standing canaries (deepest chains; each caught a real bug class):
+    "corpus_merge_state",  # standing canary, also streaming-changed
+    "corpus_neardup_merge_state",
+    "corpus_funnel_merge_state",
+    # New this round (+ the bigram-LM report whose exact arithmetic the
+    # v2 oracle reuses — green together or fail together):
+    "corpus_curation_pipeline_v2",
+    "ann_ivfpq_residual_topk",
+    "doc_bigram_logprob",
+    # The 36 rows deferred from r7 (oldest evidence in the registry);
+    # multimodal_binary_features moved to the worker-risk tail:
+    "embedding_neardup_pairs",
+    "doc_jaccard_pairs",
+    "doc_tfidf_top_terms",
+    "doc_ngram_jaccard_pairs",
+    "doc_text_stats",
+    "doc_lang_id",
+    "ann_multi_query_topk",
+    "embedding_lsh_buckets",
+    "doc_pii_scrub",
+    "doc_stratified_sample",
+    "label_centroids",
+    "doc_minhash_jaccard_estimate",
+    "doc_span_dedup",
+    "doc_quality_quantile_filter",
+    "embedding_quantize_stats",
+    "neardup_degree_stats",
+    "doc_repetition_stats",
+    "corpus_length_histogram",
+    "doc_chunk_spans",
+    "corpus_sequence_pack",
+    "corpus_temperature_sample",
+    "neardup_cross_source_matrix",
+    "corpus_shard_manifest",
+    "source_quality_stats",
+    "corpus_train_split",
+    "doc_contamination_flags",
+    "corpus_vocab_stats",
+    "ann_cosine_topk",
+    "orders_monthly_growth",
+    "user_retention_cohorts",
+    "events_funnel_conversion",
+    "pricing_summary",
+    "doc_winnow_fingerprints",
+    "doc_neardup_clusters",
+    "approx_aggregates",
+    # Standing canary + reference-parity core:
     "corpus_curation_pipeline",
-    "corpus_merge_state",
-    # r5-vintage refresh (19 of 44): reference-parity weather family,
-    # property oracles, events family, deepest llm chains:
     "weather_pipeline_e2e",
-    "weather_daily_summary",
-    "weather_latest",
-    "weather_seasonal_trends",
-    "weather_quality_metrics",
-    "kmeans_clusters",
-    "events_anomaly_zscore",
-    "doc_winnow_overlap_pairs",
-    # Python-worker tail (grouped applyInPandas packer + its report —
-    # a Python-worker death here costs no relational query its row):
-    "corpus_pack_intact",
-    "corpus_pack_stats",
+    # Worker-risk tail (binary-column battery; a worker death here
+    # costs no other query its row):
+    "multimodal_binary_features",
     # Dead-LAST on purpose: the registry's only mapInPandas query once
     # killed the round-1 driver harness mid-window; in last place a
     # repeat death costs no other query its driver row. (Now fully
