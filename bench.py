@@ -198,6 +198,7 @@ PROPERTY_QUERIES = [
     "ann_ivfpq_residual_topk",
     "ann_pq_multi_topk",
     "corpus_bpe_merges",
+    "corpus_bpe_apply",
     "doc_quality_classifier",
     "corpus_curation_pipeline_v2",
     "corpus_merge_state",

@@ -187,6 +187,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # v2 oracle reuses — green together or fail together):
     "corpus_curation_pipeline_v2",
     "ann_ivfpq_residual_topk",
+    "corpus_bpe_apply",
     "doc_bigram_logprob",
     # The 36 rows deferred from r7 (oldest evidence in the registry);
     # multimodal_binary_features moved to the worker-risk tail:
@@ -224,7 +225,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "doc_winnow_fingerprints",
     "doc_neardup_clusters",
-    "approx_aggregates",
+    # (approx_aggregates yields its slot to corpus_bpe_apply this round:
+    # it is the one deferred row whose invariants ALSO re-assert at
+    # bench SF every round via --check-invariants, so deferral costs it
+    # the least evidence; r9 rotates it in.)
     # Standing canary + reference-parity core:
     "corpus_curation_pipeline",
     "weather_pipeline_e2e",

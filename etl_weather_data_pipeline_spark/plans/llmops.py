@@ -1503,6 +1503,22 @@ def doc_quality_classifier(spark, sf_dir):
     )
 
 
+# Trained-tokenizer state per sf_dir (merges, final vocab, base total).
+# bpe_train is deterministic (count-DESC/lexicographic pair selection,
+# greedy fold), so one 8-merge training run serves both the merge
+# report and the application query; the final vocab is a localCheckpoint
+# and stays valid for the session.
+_BPE_STATE: dict[str, tuple] = {}
+
+
+def _bpe_state(docs, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.bpe import bpe_train
+
+    if sf_dir not in _BPE_STATE:
+        _BPE_STATE[sf_dir] = bpe_train(docs, n_merges=8)
+    return _BPE_STATE[sf_dir]
+
+
 @q(
     "corpus_bpe_merges",
     "BPE tokenizer training (Sennrich et al. 2016 — the GPT/LLaMA "
@@ -1541,10 +1557,8 @@ def corpus_bpe_merges(spark, sf_dir):
         StructType,
     )
 
-    from etl_weather_data_pipeline_spark.operators.bpe import bpe_train
-
     docs = load(spark, sf_dir, "documents")
-    merges, vocab, base_total = bpe_train(docs, n_merges=8)
+    merges, vocab, base_total = _bpe_state(docs, sf_dir)
     # The oracle emits exactly 8 rows (unnest(range(8))); bpe_train can
     # early-stop if the pair table empties (vocab of single-symbol
     # words). That cannot happen on a real corpus — fail LOUDLY here so
@@ -1581,6 +1595,79 @@ def corpus_bpe_merges(spark, sf_dir):
             "n_word_types",
             "pair_count_positive",
             "symbols_decreasing",
+        )
+    )
+
+
+@q(
+    "corpus_bpe_apply",
+    "Trained-tokenizer APPLICATION (the other half of corpus_bpe_merges "
+    "— what a data pipeline actually runs per batch once the tokenizer "
+    "is frozen): per-source doc/word/BPE-token totals under the trained "
+    "8-merge segmentation, via operators/bpe.py bpe_token_counts — "
+    "explode words, broadcast the bounded word-type vocab, sum segment "
+    "counts; the fact side never shuffles before the per-source "
+    "aggregate. Training is shared with corpus_bpe_merges through the "
+    "deterministic per-table memo (one run serves both). Segment "
+    "counts depend on the learned merges (not SQL-mirrorable without "
+    "replaying the loop), so the oracled surface is: EXACT per-source "
+    "n_docs and n_words, plus invariant booleans — every doc's BPE "
+    "token count lies in [n_words, n_chars + n_words] (a word is at "
+    "least one symbol and at most chars+1 — merges only shrink), and "
+    "the corpus-wide token total EQUALS the training loop's final "
+    "weighted symbol total (scored corpus == training corpus and every "
+    "word is in-vocab, so application must conserve what training "
+    "measured — a broken merge application or OOV fallback flips it).",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({O_TOKS})) AS BIGINT) AS n_words,
+           TRUE AS bpe_within_bounds,
+           TRUE AS conserves_training_total
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_bpe_apply(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges, vocab, base_total = _bpe_state(docs, sf_dir)
+    final_total = (
+        merges[-1].total_symbols_after if merges else base_total
+    )
+    per = bpe_token_counts(docs, vocab)
+    meta = docs.select(
+        "doc_id",
+        "source",
+        F.aggregate(
+            TX.tokens(F.col("text")),
+            F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        ).alias("__chars"),
+    )
+    j = per.join(meta, "doc_id")
+    in_bounds = (F.col("n_bpe_tokens") >= F.col("n_words")) & (
+        F.col("n_bpe_tokens") <= F.col("__chars") + F.col("n_words")
+    )
+    tot = j.agg(F.sum("n_bpe_tokens").alias("__tot"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.min(in_bounds).alias("bpe_within_bounds"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "bpe_within_bounds",
+            (F.col("__tot") == F.lit(final_total)).alias(
+                "conserves_training_total"
+            ),
         )
     )
 

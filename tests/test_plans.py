@@ -690,6 +690,18 @@ def test_ivfpq_residual_topk_plan_shape(spark):
     release_curation_cache()
 
 
+def test_bpe_apply_plan_shape(spark):
+    # tokenizer application: the word-type vocab BROADCASTS into the
+    # exploded fact side (the fact never shuffles before the per-source
+    # aggregate); the conservation total is a 1-row broadcast; no
+    # Python workers, no cartesian, no sort-merge join anywhere
+    p = plan_of(spark, "corpus_bpe_apply")
+    assert n_nodes(p, "BroadcastHashJoin") >= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_curation_pipeline_v2_plan_shape(spark):
     from etl_weather_data_pipeline_spark.plans.llmops import (
         release_curation_cache,
