@@ -4900,11 +4900,12 @@ def corpus_dedup_funnel_incremental(spark, sf_dir):
     "returns the store's post-merge state. The oracle replays all "
     "three stages relationally: exact fingerprint anti-join, prefixed "
     "cross-table LSH band probe + Jaccard verify, then winnow "
-    "fingerprints for store and batch (prefixed rolling chains), the "
-    "store-side df>50 stop bound, shared>=8 candidates "
-    "(within-batch unbounded, cross-probe stop-bounded — exactly the "
-    "sink's locality semantics), and the exact gram-run verify over "
-    "the candidate-pruned union (prefixed passage chain).",
+    "fingerprints for store and batch (prefixed rolling chains), BOTH "
+    "stop bounds (store-df>50 on the cross probe; batch-df>50 on the "
+    "within-batch join AND the cross probe — exactly the sink's "
+    "locality semantics, r8), shared>=8 candidates, and the exact "
+    "gram-run verify over the candidate-pruned union (prefixed "
+    "passage chain).",
     oracle=f"""
     WITH b1 AS (
       SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
@@ -4964,16 +4965,22 @@ def corpus_dedup_funnel_incremental(spark, sf_dir):
     stop3 AS (
       SELECT fingerprint FROM swwf
       GROUP BY 1 HAVING COUNT(*) > {_WINNOW_MAX_DF}),
+    bstop3 AS (
+      SELECT fingerprint FROM bwwf
+      GROUP BY 1 HAVING COUNT(*) > {_WINNOW_MAX_DF}),
+    bwfs AS (
+      SELECT * FROM bwwf WHERE fingerprint NOT IN
+        (SELECT fingerprint FROM bstop3)),
     within3 AS (
       SELECT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM bwwf l JOIN bwwf r
+      FROM bwfs l JOIN bwfs r
         ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
       GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
     vs3 AS (
       SELECT s.doc_id AS id_a, b.doc_id AS id_b
       FROM (SELECT * FROM swwf WHERE fingerprint NOT IN
               (SELECT fingerprint FROM stop3)) s
-      JOIN (SELECT * FROM bwwf WHERE fingerprint NOT IN
+      JOIN (SELECT * FROM bwfs b2 WHERE b2.fingerprint NOT IN
               (SELECT fingerprint FROM stop3)) b
         ON s.fingerprint = b.fingerprint
       GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),

@@ -618,12 +618,15 @@ def _passage_stage_drops(
     place), the boilerplate stop-fingerprint bound is a zero-exchange
     aggregate ON that bucketed key whose (tiny, > max_df only) result
     broadcasts into both probe sides, and candidate store texts prune
-    through a broadcast semi-join. Two locality notes, both documented
-    semantics: the stop bound counts fingerprint df over the STORE
-    (batch-side df is bounded by the batch), and the verify stage's
+    through a broadcast semi-join. TWO stop bounds, one per locality:
+    store-df > max_df fingerprints are dropped from the cross probe
+    (store-side boilerplate), and batch-df > max_df fingerprints are
+    dropped from BOTH the within-batch self-join and the cross probe
+    (batch-side boilerplate — without it the within join is
+    near-quadratic on template-heavy batches). The verify stage's
     gram-occurrence bounds are computed over the candidate-pruned union
     rather than the whole corpus — the periodic batch re-curation
-    (corpus_dedup_funnel_blocked) remains the corpus-global audit.
+    (corpus_dedup_funnel_blocked, corpus-global df) remains the audit.
 
     Returns ``(pdrop, bfps, grams)`` — batch ids to drop, the batch's
     winnow fingerprint rows (persisted; the caller appends the
@@ -636,8 +639,23 @@ def _passage_stage_drops(
     )
 
     bfps = winnow_fingerprint_table(s2, k, w, id_col, text_col).persist()
-    rb = bfps.select(F.col("doc_id").alias("id_b"), "fingerprint")
-    lb = bfps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    # Batch-side stop-fingerprint bound (r8): fingerprints appearing in
+    # > max_df BATCH docs are boilerplate and are dropped from blocking
+    # — without this the within-batch self-join is near-quadratic on
+    # template-heavy batches (measured at sf0.1: 2,500 batch docs ->
+    # 246,635 within candidates unstopped vs 15 stopped, with identical
+    # passage drops; the store probe was always stop-bounded, the
+    # within join was the gap). Same df>max_df rule the batch funnel
+    # (corpus_dedup_funnel_blocked) applies corpus-globally.
+    batch_stop = (
+        bfps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("fingerprint")
+    )
+    bstopped = bfps.join(F.broadcast(batch_stop), "fingerprint", "left_anti")
+    rb = bstopped.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    lb = bstopped.select(F.col("doc_id").alias("id_a"), "fingerprint")
     within = (
         lb.join(rb, "fingerprint")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -1214,3 +1214,71 @@ def test_winnow_backfill_restores_stage3_coverage(spark, tmp_path):
     ) == 1
     ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
     assert ids == {1, 2, 11}, ids
+
+
+def test_passage_stage_batch_boilerplate_stop(spark, tmp_path):
+    """r8 scale fix: the within-batch winnow self-join now drops
+    fingerprints with batch-df > max_df BEFORE blocking. Without the
+    stop, a template-heavy batch is near-quadratic in candidates
+    (measured at sf0.1: 2,500 docs -> 246,635 within-pairs, all
+    unverifiable — the verify stage's gram max_occ bound drops those
+    grams anyway), so the prune changes volume, not admissions.
+    Behavioral: 60 docs sharing a boilerplate block are ALL admitted
+    (boilerplate is not a passage-dup), while a planted unique-passage
+    pair in the same batch is still deduped. Volume: the stopped
+    within-join emits orders of magnitude fewer candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        winnow_fingerprint_table,
+    )
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_neardup_into_corpus,
+    )
+
+    boiler = _words("boilerplateblock", 30)
+    P = _words("uniquepassage", 25)
+    rows = [(i, boiler + " " + _words(f"tail{i}x", 25)) for i in range(60)]
+    rows += [
+        (100, P + " " + _words("alphatail", 25)),
+        (101, P + " " + _words("betatail", 25)),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # volume pin: batch-df>50 stop collapses the within-join candidates
+    bfps = winnow_fingerprint_table(batch, 8, 4)
+    stop = (
+        bfps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 50)
+        .select("fingerprint")
+    )
+    def within_pairs(fps):
+        l = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+        r = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
+        return (
+            l.join(r, "fingerprint")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 8)
+            .count()
+        )
+    unstopped = within_pairs(bfps)
+    stopped = within_pairs(
+        bfps.join(F.broadcast(stop), "fingerprint", "left_anti")
+    )
+    assert unstopped > 1000, unstopped  # near-quadratic without the stop
+    # >90% candidate reduction (not exactly the planted pair alone:
+    # tails share incidental 8-gram windows across the doc-id digits)
+    assert stopped * 10 < unstopped, (stopped, unstopped)
+
+    # behavior: boilerplate docs admitted, true passage pair deduped
+    store = str(tmp_path / "corpus")
+    n = merge_batch_neardup_into_corpus(
+        batch, store, band_buckets=4, passage_min_run=16
+    )
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert 100 in ids and 101 not in ids, ids  # smaller id wins
+    assert all(i in ids for i in range(60)), ids
+    assert n == 61
