@@ -188,6 +188,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline_v2",
     "ann_ivfpq_residual_topk",
     "corpus_bpe_apply",
+    "corpus_decontaminate_eval",
     "doc_bigram_logprob",
     # The 36 rows deferred from r7 (oldest evidence in the registry);
     # multimodal_binary_features moved to the worker-risk tail:
@@ -222,13 +223,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_monthly_growth",
     "user_retention_cohorts",
     "events_funnel_conversion",
-    "pricing_summary",
     "doc_winnow_fingerprints",
     "doc_neardup_clusters",
-    # (approx_aggregates yields its slot to corpus_bpe_apply this round:
-    # it is the one deferred row whose invariants ALSO re-assert at
-    # bench SF every round via --check-invariants, so deferral costs it
-    # the least evidence; r9 rotates it in.)
+    # (approx_aggregates and pricing_summary yield their slots to the
+    # round's new corpus_bpe_apply and corpus_decontaminate_eval:
+    # approx_aggregates' invariants re-assert at bench SF every round
+    # via --check-invariants, and pricing_summary is bench-headline +
+    # mirror-verified every session — the two lowest-marginal-evidence
+    # deferrals; r9 rotates both in.)
     # Standing canary + reference-parity core:
     "corpus_curation_pipeline",
     "weather_pipeline_e2e",

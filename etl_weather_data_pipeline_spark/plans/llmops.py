@@ -4427,6 +4427,89 @@ def doc_passage_pairs_blocked(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_decontaminate_eval",
+    "PASSAGE-level benchmark decontamination against an eval TABLE — "
+    "the GPT-3/LLaMA-style n-gram decontamination pass "
+    "(doc_contamination_flags matches a tiny literal phrase set; real "
+    "decontamination matches thousands of benchmark DOCUMENTS): a "
+    "training doc is contaminated when it shares a verbatim run of >= "
+    "16 consecutive 8-gram hashes (>= 23 normalized chars) with any "
+    "eval doc. Eval set here = the deterministic doc_id % 37 == 0 "
+    "slice (the stand-in benchmark table); everything else is the "
+    "training corpus. Composition = the blocked passage machinery "
+    "wholesale: ONE shared Rabin-Karp pass feeds sketch + gram table "
+    "(_passage_stack), winnow candidates (stop-bounded df <= 50, >= 8 "
+    "shared) are filtered to CROSS eval/train pairs only, and the "
+    "exact gram-run verify routes through those pairs — never an "
+    "all-pairs comparison, and the eval side shrinks the candidate "
+    "set to a sliver of the dedup run's. Per-language report: train "
+    "docs, contaminated (dropped), clean.",
+    oracle=f"""
+    WITH {_o_rolling(_WINNOW_K)},
+    {_o_winnow_rows(_WINNOW_W)},
+    {_O_WINNOW_CAND},
+    xcand AS (
+      SELECT id_a, id_b FROM cand
+      WHERE (id_a % 37 = 0) <> (id_b % 37 = 0)),
+    {_o_passage(cand="xcand", with_rolling=False)},
+    cont AS (
+      SELECT DISTINCT CASE WHEN id_a % 37 = 0 THEN id_b ELSE id_a END
+               AS doc_id
+      FROM pr),
+    train AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 37 <> 0)
+    SELECT t.lang,
+           COUNT(*) AS n_train_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM train t LEFT JOIN cont c ON c.doc_id = t.doc_id
+    GROUP BY t.lang
+    """,
+)
+def corpus_decontaminate_eval(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        exact_passage_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    release_curation_cache()
+    cand, grams = _passage_stack(docs)
+    is_eval_a = F.col("id_a") % 37 == 0
+    is_eval_b = F.col("id_b") % 37 == 0
+    xcand = cand.filter(is_eval_a != is_eval_b)
+    pairs = exact_passage_pairs(
+        grams, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K, candidates=xcand
+    )
+    cont = (
+        pairs.select(
+            F.when(F.col("id_a") % 37 == 0, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") % 37 != 0).select(
+        "doc_id", "lang"
+    )
+    return (
+        train.join(cont, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.coalesce(F.sum("__c"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.count(F.when(F.col("__c").isNull(), 1))
+            .cast("long")
+            .alias("n_clean"),
+        )
+    )
+
+
 def _passage_stack(docs):
     """The shared core of the blocked passage composition: ONE persisted
     Rabin-Karp hash pass feeding both the winnow-candidate sketch and the

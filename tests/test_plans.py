@@ -702,6 +702,23 @@ def test_bpe_apply_plan_shape(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_decontaminate_eval_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # eval-table decontamination rides the shared passage stack: one
+    # parquet scan into the persisted hash/sketch/gram caches, gram
+    # matching routed through the CROSS eval/train candidate pairs only
+    # — no cartesian, no full gram self-join, no Python
+    p = plan_of(spark, "corpus_decontaminate_eval")
+    assert n_nodes(p, "Scan parquet") <= 2, p  # stack cache + train scan
+    assert n_nodes(p, "InMemoryTableScan") >= 3, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    release_curation_cache()
+
+
 def test_curation_pipeline_v2_plan_shape(spark):
     from etl_weather_data_pipeline_spark.plans.llmops import (
         release_curation_cache,
