@@ -189,6 +189,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_residual_topk",
     "corpus_bpe_apply",
     "corpus_decontaminate_eval",
+    "neardup_threshold_sweep",
     "doc_bigram_logprob",
     # The 36 rows deferred from r7 (oldest evidence in the registry);
     # multimodal_binary_features moved to the worker-risk tail:
@@ -219,7 +220,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_train_split",
     "doc_contamination_flags",
     "corpus_vocab_stats",
-    "ann_cosine_topk",
+    # (ann_cosine_topk yields its slot to neardup_threshold_sweep —
+    # like pricing_summary it is bench-headline + mirror-verified every
+    # session; its r5 row is exactly 3 rounds old at r8, within the
+    # evidence bound; r9 rotates it in.)
     "orders_monthly_growth",
     "user_retention_cohorts",
     "events_funnel_conversion",

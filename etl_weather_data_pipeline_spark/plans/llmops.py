@@ -316,6 +316,60 @@ def doc_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "neardup_threshold_sweep",
+    "Jaccard-threshold calibration sweep — the report a corpus team "
+    "reads BEFORE committing to a dedup threshold (every near-dup "
+    "query here hardcodes 0.5; this shows what 0.5 vs 0.9 would cost): "
+    "ONE LSH candidate pass + ONE exact-Jaccard scoring pass, then "
+    "per-threshold pair counts and docs-dropped-under-min-id-policy "
+    "for thresholds 0.5..0.9. Scale shape: the sweep adds NOTHING to "
+    "the dedup run's cost profile — candidates are scored once "
+    "(threshold=0 verify) and the 5-row threshold table broadcasts "
+    "into a theta-join over the (tiny, collision-bounded) scored "
+    "pairs; no per-threshold re-scan of the corpus. Counting id_b "
+    "distinct per threshold mirrors the drop-the-larger-id survivor "
+    "policy, so n_docs_dropped is exactly how many docs each "
+    "threshold would remove.",
+    oracle=f"""
+    WITH {_o_lsh_ctes(8, 4)},
+    tk AS (SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM documents),
+    sc AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+               / (len(l.toks) + len(r.toks)
+                  - len(list_intersect(l.toks, r.toks))) AS j
+      FROM cand c JOIN tk l ON l.doc_id = c.id_a
+                  JOIN tk r ON r.doc_id = c.id_b),
+    th AS (SELECT CAST(x AS DOUBLE) AS threshold
+           FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(x))
+    SELECT th.threshold,
+           CAST(COUNT(sc.id_a) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT sc.id_b) AS BIGINT) AS n_docs_dropped
+    FROM th LEFT JOIN sc ON sc.j >= th.threshold
+    GROUP BY th.threshold
+    """,
+)
+def neardup_threshold_sweep(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    # threshold=0.0 keeps every candidate with its exact score — the
+    # sweep then re-reads the scored pairs, never the corpus
+    scored = jaccard_verify(docs, cand, threshold=0.0)
+    th = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    joined = F.broadcast(th).join(
+        scored, scored["jaccard"] >= th["threshold"], "left"
+    )
+    return joined.groupBy("threshold").agg(
+        F.count("id_a").cast("long").alias("n_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_docs_dropped"),
+    )
+
+
+@q(
     "doc_neardup_clusters",
     "Near-dup CLUSTERS, not just pairs: LSH candidates -> Jaccard >= 0.5 "
     "verify -> connected components (iterative min-label propagation; "
