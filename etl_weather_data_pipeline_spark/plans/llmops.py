@@ -1557,20 +1557,24 @@ def doc_quality_classifier(spark, sf_dir):
     )
 
 
-# Trained-tokenizer state per sf_dir (merges, final vocab, base total).
-# bpe_train is deterministic (count-DESC/lexicographic pair selection,
-# greedy fold), so one 8-merge training run serves both the merge
-# report and the application query; the final vocab is a localCheckpoint
-# and stays valid for the session.
-_BPE_STATE: dict[str, tuple] = {}
+# Trained-tokenizer state per (session, sf_dir) — merges, final vocab,
+# base total. bpe_train is deterministic (count-DESC/lexicographic pair
+# selection, greedy fold), so one 8-merge training run serves both the
+# merge report and the application query. Unlike the float-only PQ
+# memos, the cached vocab is a localCheckpointed DataFrame whose RDD
+# dies with its SparkContext, so the key includes the application id —
+# a session restart in the same Python process retrains instead of
+# dereferencing a dead checkpoint.
+_BPE_STATE: dict[tuple[str, str], tuple] = {}
 
 
 def _bpe_state(docs, sf_dir):
     from etl_weather_data_pipeline_spark.operators.bpe import bpe_train
 
-    if sf_dir not in _BPE_STATE:
-        _BPE_STATE[sf_dir] = bpe_train(docs, n_merges=8)
-    return _BPE_STATE[sf_dir]
+    key = (docs.sparkSession.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_STATE:
+        _BPE_STATE[key] = bpe_train(docs, n_merges=8)
+    return _BPE_STATE[key]
 
 
 @q(
