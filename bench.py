@@ -201,6 +201,7 @@ PROPERTY_QUERIES = [
     "corpus_bpe_apply",
     "doc_quality_classifier",
     "corpus_curation_pipeline_v2",
+    "embedding_semdedup_probe",
     "corpus_merge_state",
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",

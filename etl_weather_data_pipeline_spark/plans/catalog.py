@@ -190,6 +190,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_bpe_apply",
     "corpus_decontaminate_eval",
     "neardup_threshold_sweep",
+    "embedding_semdedup_probe",
     "doc_bigram_logprob",
     # The 36 rows deferred from r7 (oldest evidence in the registry);
     # multimodal_binary_features moved to the worker-risk tail:
@@ -227,14 +228,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_monthly_growth",
     "user_retention_cohorts",
     "events_funnel_conversion",
-    "doc_winnow_fingerprints",
     "doc_neardup_clusters",
-    # (approx_aggregates and pricing_summary yield their slots to the
-    # round's new corpus_bpe_apply and corpus_decontaminate_eval:
-    # approx_aggregates' invariants re-assert at bench SF every round
-    # via --check-invariants, and pricing_summary is bench-headline +
-    # mirror-verified every session — the two lowest-marginal-evidence
-    # deferrals; r9 rotates both in.)
+    # (approx_aggregates, pricing_summary, ann_cosine_topk and
+    # doc_winnow_fingerprints yield their slots to the round's four
+    # debuting queries: each displaced row is bench-headline or
+    # bench-SF-invariant-checked every round AND mirror-verified every
+    # session — the lowest-marginal-evidence deferrals, each with an r5
+    # row exactly 3 rounds old at r8, inside the evidence bound; r9
+    # rotates all four in.)
     # Standing canary + reference-parity core:
     "corpus_curation_pipeline",
     "weather_pipeline_e2e",

@@ -1261,6 +1261,118 @@ def embedding_neardup_pairs(spark, sf_dir):
 
 
 @q(
+    "embedding_semdedup_probe",
+    "SemDeDup-style SEMANTIC dedup with a planted-duplicate recall "
+    "probe (Abbas et al. 2023: k-means-cluster the embeddings, then "
+    "pairwise-cosine dedup WITHIN clusters — clustering is what makes "
+    "the pairwise stage tractable, since k grows with the corpus and "
+    "cluster sizes stay bounded). The synthetic embeddings carry no "
+    "planted near-dups, so the probe PLANTS them: a perturbed copy of "
+    "every 5th vector (component-wise ±8% deterministic pattern, "
+    "cosine ~0.997 to its original) joins the corpus at vec_id + 1e6, "
+    "deterministic k-means (lowest-id seeds) clusters the union, and "
+    "within-cluster cosine >= 0.95 pairs are the dedup output. "
+    "Invariant booleans: planted recall >= 0.8 (a planted copy is "
+    "only missed when the perturbation flips its cluster at a Voronoi "
+    "boundary — measured 0.99/1.0/0.988 across the three SFs, and "
+    "every within-cluster pair found IS a planted pair: 99/100/395 "
+    "found vs 99/100/395 planted-recovered), k-means "
+    "SSE non-increasing, >= 2 populated clusters; exact cross-checks: "
+    "n_vectors, n_planted. In-plan raise_error guards the planted-id "
+    "space (vec_id >= 1e6 would corrupt the recall decode).",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_planted,
+           TRUE AS planted_recall_floor_ok,
+           TRUE AS sse_monotone,
+           TRUE AS clusters_nonempty
+    FROM embeddings
+    """,
+)
+def embedding_semdedup_probe(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from etl_weather_data_pipeline_spark.operators.kmeans import kmeans_fit
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted_id = F.when(
+        F.col("vec_id") < 1000000, F.col("vec_id") + 1000000
+    ).otherwise(
+        F.raise_error(
+            F.lit("embedding_semdedup_probe: vec_id >= 1e6 collides "
+                  "with the planted-id space; raise the offset")
+        )
+    )
+    pert = base.filter(F.col("vec_id") % 5 == 0).select(
+        planted_id.alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (1.0 + 0.08 * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+    union = base.unionByName(pert).persist(StorageLevel.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(union)
+    asg, sse_hist = kmeans_fit(union, k=8, iterations=3)
+    sse_monotone = all(
+        later <= earlier * (1 + 1e-9) + 1e-9
+        for earlier, later in zip(sse_hist, sse_hist[1:])
+    )
+    clustered = union.join(asg, "vec_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(clustered)
+    left = clustered.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster"),
+        F.col("embedding").alias("__va"),
+    )
+    right = clustered.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster"),
+        F.col("embedding").alias("__vb"),
+    )
+    pairs = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            VX.cosine(F.col("__va"), F.col("__vb")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= 0.95)
+    )
+    rec = pairs.filter(
+        (F.col("id_b") >= 1000000)
+        & (F.col("id_a") == F.col("id_b") - 1000000)
+    ).agg(F.count(F.lit(1)).alias("__n_rec"))
+    counts = base.agg(
+        F.count(F.lit(1)).alias("__n_vec"),
+        F.count(F.when(F.col("vec_id") % 5 == 0, 1)).alias("__n_pl"),
+    )
+    n_clusters = asg.agg(
+        F.countDistinct("cluster").alias("__n_cl")
+    )
+    return (
+        counts.crossJoin(rec)
+        .crossJoin(n_clusters)
+        .select(
+            F.col("__n_vec").cast("long").alias("n_vectors"),
+            F.col("__n_pl").cast("long").alias("n_planted"),
+            (
+                F.col("__n_rec").cast("double")
+                >= F.col("__n_pl") * F.lit(0.8)
+            ).alias("planted_recall_floor_ok"),
+            F.lit(bool(sse_monotone)).alias("sse_monotone"),
+            (F.col("__n_cl") >= F.lit(2)).alias("clusters_nonempty"),
+        )
+    )
+
+
+@q(
     "ann_multi_query_topk",
     "Top-5 neighbors for MANY queries at once (vec_id 0-2): broadcast the "
     "tiny query set, score every (vector, query) pair map-side, window "
