@@ -702,6 +702,19 @@ def test_bpe_apply_plan_shape(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_threshold_sweep_plan_shape(spark):
+    # the sweep's only non-equi join is the 5-row threshold table
+    # BROADCAST against the scored pairs (BNLJ BuildLeft — the scored
+    # side streams, never shuffles); candidate generation + verify stay
+    # broadcast equi-joins; no cartesian, no sort-merge, no Python
+    p = plan_of(spark, "neardup_threshold_sweep")
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 1, p
+    assert "BuildLeft" in p, p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p
+
+
 def test_decontaminate_eval_plan_shape(spark):
     from etl_weather_data_pipeline_spark.plans.llmops import (
         release_curation_cache,
