@@ -702,6 +702,22 @@ def test_bpe_apply_plan_shape(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_semdedup_probe_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # SemDeDup probe: the union (base + planted) and the clustered frame
+    # each persist once; the pairwise stage is an equi-join ON the
+    # cluster id (SemDeDup's design — clustering is what bounds the
+    # pairwise work); no cartesian, no Python workers
+    p = plan_of(spark, "embedding_semdedup_probe")
+    assert n_nodes(p, "InMemoryTableScan") >= 2, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    release_curation_cache()
+
+
 def test_threshold_sweep_plan_shape(spark):
     # the sweep's only non-equi join is the 5-row threshold table
     # BROADCAST against the scored pairs (BNLJ BuildLeft — the scored
