@@ -575,20 +575,22 @@ def _append_ingest_history(
     underscore dir, invisible to the document read."""
     from datetime import datetime, timezone
 
-    row = [
-        (
-            n_batch,
-            n_exact_dropped,
-            n_neardup_dropped,
-            n_appended,
-            datetime.now(timezone.utc).replace(tzinfo=None),
-        )
-    ]
-    spark.createDataFrame(
-        row,
-        "n_batch long, n_exact_dropped long, n_neardup_dropped long, "
-        "n_appended long, merged_at timestamp",
-    ).coalesce(1).write.mode("append").parquet(
+    # Built from range(1) + literals, NOT createDataFrame(rows) +
+    # coalesce(1): a Python-local 1-row frame coalesced to one
+    # partition costs ~4.5s per write in this runtime (measured —
+    # the coalesced LocalTableScan task stalls; the same write via
+    # repartition(1) or JVM literals is ~0.3s). At one audit row per
+    # micro-batch this was ~15% of the whole merge's wall clock.
+    hist = spark.range(1).select(
+        F.lit(n_batch).cast("long").alias("n_batch"),
+        F.lit(n_exact_dropped).cast("long").alias("n_exact_dropped"),
+        F.lit(n_neardup_dropped).cast("long").alias("n_neardup_dropped"),
+        F.lit(n_appended).cast("long").alias("n_appended"),
+        F.lit(datetime.now(timezone.utc).replace(tzinfo=None))
+        .cast("timestamp")
+        .alias("merged_at"),
+    )
+    hist.coalesce(1).write.mode("append").parquet(
         f"{path}/{INGEST_HISTORY_SUBDIR}"
     )
 
@@ -950,7 +952,23 @@ def merge_batch_neardup_into_corpus(
                     "doc_id",
                     "left_semi",
                 ).localCheckpoint()
-            writer = survivors.write.mode("append")
+            # The survivor rows themselves also checkpoint (eager, read
+            # straight from the cache — sub-second), and every
+            # store-reading cache releases BEFORE the first write:
+            # CacheManager's recache-by-path doesn't just invalidate,
+            # it eagerly RE-BUILDS affected caches inside the write
+            # command — with fresh/bt/survivors still cached, the store
+            # append was re-running the whole three-stage chain per
+            # write (measured: steady-state survivors write 5.8s vs
+            # the bootstrap's 0.9s with no store-reading caches; the
+            # release cuts the whole merge ~20%). The finally below
+            # re-unpersists harmlessly (idempotent).
+            out = survivors.localCheckpoint()
+            for cached in (bt, survivors, *extra_persists):
+                if cached is not None:
+                    cached.unpersist()
+            fresh.unpersist()
+            writer = out.write.mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
