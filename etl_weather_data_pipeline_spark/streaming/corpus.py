@@ -163,7 +163,14 @@ def merge_batch_into_corpus(
     try:
         n = fresh.count()
         if n:
-            writer = fresh.write.mode("append")
+            # Checkpoint-then-release before the write: with `fresh`
+            # still cached, the append's recache-by-path eagerly
+            # re-runs the store probe chain inside the write command
+            # (same measured stall as the three-stage sink's survivors
+            # write — see merge_batch_neardup_into_corpus).
+            out = fresh.localCheckpoint()
+            fresh.unpersist()
+            writer = out.write.mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
