@@ -228,20 +228,20 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_monthly_growth",
     "user_retention_cohorts",
     "events_funnel_conversion",
-    "doc_neardup_clusters",
-    # (approx_aggregates, pricing_summary, ann_cosine_topk and
-    # doc_winnow_fingerprints yield their slots to the round's four
-    # debuting queries: each displaced row is bench-headline or
-    # bench-SF-invariant-checked every round AND mirror-verified every
-    # session — the lowest-marginal-evidence deferrals, each with an r5
-    # row exactly 3 rounds old at r8, inside the evidence bound; r9
-    # rotates all four in.)
+    # (approx_aggregates, pricing_summary, ann_cosine_topk,
+    # doc_winnow_fingerprints and doc_neardup_clusters yield their
+    # slots to the round's debuting queries: each displaced row is
+    # bench-headline or bench-SF-invariant-checked every round AND
+    # mirror-verified every session — the lowest-marginal-evidence
+    # deferrals, each with an r5 row exactly 3 rounds old at r8,
+    # inside the evidence bound; r9 rotates all five in.)
     # Standing canary + reference-parity core:
     "corpus_curation_pipeline",
     "weather_pipeline_e2e",
-    # Worker-risk tail (binary-column battery; a worker death here
-    # costs no other query its row):
+    # Worker-risk tail (binary-column battery + the new mapInPandas
+    # resize query; a worker death here costs no other query its row):
     "multimodal_binary_features",
+    "multimodal_resize_stats",
     # Dead-LAST on purpose: the registry's only mapInPandas query once
     # killed the round-1 driver harness mid-window; in last place a
     # repeat death costs no other query its driver row. (Now fully

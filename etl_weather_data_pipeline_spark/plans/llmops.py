@@ -3160,6 +3160,67 @@ def multimodal_decode_features(spark, sf_dir):
     return decode_features(payloads, max_batch_rows=256)
 
 
+@q(
+    "multimodal_resize_stats",
+    "Arrow-batched image RESIZE over a binary payload column — the "
+    "third multimodal plumbing shape (decode: 1 row -> 1 feature row; "
+    "frame_sample: 1 -> N; resize: 1 binary -> 1 smaller binary), the "
+    "per-image preprocessing step a vision-training pipeline runs. The "
+    "resizer is the deterministic stub (PIL absent; "
+    "streaming/multimodal.py resize_images — a PIL swap is a "
+    "two-liner that must preserve the pinned contract), so the oracle "
+    "hash-checks the round trip end-to-end: per doc, the stub source "
+    "dims (same checksum derivation the decode oracle mirrors) and "
+    "the resized payload's measured byte length, which must equal "
+    "width*height EXACTLY — a resizer writing a wrong-sized buffer "
+    "fails the driver gate row-by-row.",
+    oracle="""
+    WITH cs AS (
+      SELECT doc_id,
+             CASE WHEN length(text) > 0 THEN
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substr(text, 1, 64), ''),
+                     ch -> CAST(unicode(ch) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 2147483648)
+             ELSE CAST(0 AS BIGINT) END AS checksum
+      FROM documents)
+    SELECT doc_id,
+           CAST(checksum % 64 + 1 AS INTEGER) AS src_width,
+           CAST(checksum % 48 + 1 AS INTEGER) AS src_height,
+           CAST(192 AS INTEGER) AS resized_len
+    FROM cs
+    """,
+)
+def multimodal_resize_stats(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.streaming.multimodal import (
+        resize_images,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").rlike("^[\x00-\x7f]*$"),
+            F.encode(F.col("text"), "utf-8"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("multimodal_resize_stats: non-ASCII text breaks "
+                      "the byte==codepoint oracle equivalence")
+            )
+        )
+        .alias("payload"),
+    )
+    out = resize_images(payloads, width=16, height=12, max_batch_rows=256)
+    return out.select(
+        "doc_id",
+        F.col("src_width"),
+        F.col("src_height"),
+        F.length(F.col("resized")).cast("int").alias("resized_len"),
+    )
+
+
 # --- round-3 batch 2: chunking, packing, mixture sampling, quality rules ----
 
 _CHUNK_W = 32  # tokens per chunk

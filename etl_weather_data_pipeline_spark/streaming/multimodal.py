@@ -120,3 +120,87 @@ def frame_sample(
     return df.mapInPandas(
         sample, f"{id_col} long, frame_idx int, offset int, frame_byte int"
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, src_width int, src_height int, "
+    "resized binary"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_batch_rows: int = 256,
+) -> DataFrame:
+    """'Resize' a binary image column to ``width x height``, Arrow-batched
+    — the third multimodal plumbing shape next to decode (1 row -> 1
+    feature row) and frame_sample (1 row -> N rows): 1 binary in ->
+    1 (smaller) binary out, the preprocessing step a vision-training
+    pipeline runs per image. The resizer is a deterministic stub (PIL
+    is not in this container): it derives the stub's source dims the
+    same way decode_features does and emits a width*height byte grid
+    sampled from the payload — real impl is the commented two-liner;
+    the output CONTRACT (binary column whose length is exactly
+    width*height, metadata alongside, bounded per-batch memory) is
+    what the tests pin and what a PIL swap must preserve.
+
+    Memory bound: output rows carry width*height bytes each, so the
+    re-chunk to ``max_batch_rows`` bounds the decoded+resized footprint
+    per Arrow batch regardless of the session's batch size, same knob
+    as decode_features.
+    """
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        def fake_resize(payload: bytes) -> tuple[int, int, bytes]:
+            # Real impl (requires pillow):
+            #   img = PIL.Image.open(io.BytesIO(payload))
+            #   out = img.resize((width, height)).tobytes()
+            n = len(payload)
+            checksum = 0
+            for b in payload[:64]:
+                checksum = (checksum * 31 + b) % (1 << 31)
+            sw, sh = (checksum % 64) + 1, (checksum % 48) + 1
+            if n == 0:
+                return sw, sh, bytes(width * height)
+            # nearest-neighbor sample over the payload as a sw x sh grid
+            out = bytearray(width * height)
+            for y in range(height):
+                for x in range(width):
+                    sx = x * sw // width
+                    sy = y * sh // height
+                    out[y * width + x] = payload[(sy * sw + sx) % n]
+            return sw, sh, bytes(out)
+
+        for pdf in batches:
+            for lo in range(0, len(pdf), max_batch_rows):
+                chunk = pdf.iloc[lo : lo + max_batch_rows]
+                sws: list[int] = []
+                shs: list[int] = []
+                outs: list[bytes] = []
+                for p in chunk[payload_col].values:
+                    sw, sh, rb = fake_resize(bytes(p))
+                    sws.append(sw)
+                    shs.append(sh)
+                    outs.append(rb)
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        "width": pd.Series(
+                            [width] * len(chunk), dtype="int32"
+                        ),
+                        "height": pd.Series(
+                            [height] * len(chunk), dtype="int32"
+                        ),
+                        "src_width": pd.Series(sws, dtype="int32"),
+                        "src_height": pd.Series(shs, dtype="int32"),
+                        "resized": pd.Series(outs, dtype=object),
+                    }
+                )
+
+    return df.mapInPandas(resize_batches, RESIZE_SCHEMA)

@@ -1432,3 +1432,39 @@ def test_bpe_64_merges_invariant_and_flat_round_cost(spark):
     early = statistics.mean(secs[:16])
     late = statistics.mean(secs[-16:])
     assert late <= early * 2.0, (early, late, secs)
+
+
+def test_multimodal_resize_contract(spark):
+    """resize_images plumbing contract (the PIL swap must preserve it):
+    one output row per input row, resized payload length EXACTLY
+    width*height, stub source dims match decode_features' (shared
+    derivation), deterministic across runs, and empty payloads resize
+    to an all-zero grid instead of failing the task."""
+    from etl_weather_data_pipeline_spark.streaming.multimodal import (
+        decode_features,
+        resize_images,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").limit(20)
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = {r["doc_id"]: r for r in resize_images(payloads, 16, 12).collect()}
+    assert len(out) == 20
+    dec = {r["doc_id"]: r for r in decode_features(payloads).collect()}
+    for did, r in out.items():
+        assert (r["width"], r["height"]) == (16, 12)
+        assert len(r["resized"]) == 16 * 12
+        assert r["src_width"] == dec[did]["width"]
+        assert r["src_height"] == dec[did]["height"]
+    out2 = {
+        r["doc_id"]: bytes(r["resized"])
+        for r in resize_images(payloads, 16, 12).collect()
+    }
+    assert {k: bytes(v["resized"]) for k, v in out.items()} == out2
+
+    empty = spark.createDataFrame(
+        [(1, bytearray(b""))], "doc_id long, payload binary"
+    )
+    r = resize_images(empty, 8, 8).collect()[0]
+    assert bytes(r["resized"]) == bytes(64)
