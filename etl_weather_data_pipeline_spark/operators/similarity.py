@@ -156,3 +156,30 @@ def ivf_topk(
     probe_cells = [r[cell_col] for r in probe_rows]
     pruned = df.filter(F.col(cell_col).isin(probe_cells))
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def kmeans_cells(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach a TRAINED coarse-quantizer cell id — FAISS's actual IVF
+    design (Voronoi cells from k-means over the vectors themselves)
+    rather than a metadata column. Pure composition glue: the result
+    feeds ``ivf_topk(cell_col="cell")`` unchanged, and the residual PQ
+    path (``pq_residual_frame(label_col="cell")``) the same way, giving
+    the full trained IVF/IVF-PQ stack from existing operators.
+
+    Deterministic (kmeans_fit seeds from the k lowest ids); one
+    equi-join on the id attaches assignments — at 100 TB you'd persist
+    the assigned table clustered by cell so the probe scan prunes to
+    n_probe partitions (ivf_topk's documented layout contract)."""
+    from etl_weather_data_pipeline_spark.operators.kmeans import kmeans_fit
+
+    asg, _ = kmeans_fit(
+        df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    return df.join(asg.withColumnRenamed("cluster", cell_col), id_col)

@@ -1468,3 +1468,43 @@ def test_multimodal_resize_contract(spark):
     )
     r = resize_images(empty, 8, 8).collect()[0]
     assert bytes(r["resized"]) == bytes(64)
+
+
+def test_ivf_over_trained_kmeans_cells(spark):
+    """The honest FAISS IVF: cells from a TRAINED coarse quantizer
+    (kmeans_cells) instead of the metadata label. Pure composition —
+    ivf_topk(cell_col='cell') over the assigned table must be
+    deterministic, prune the scan, always find the query vector, and
+    keep brute-force recall at the same floor the label-cell variant
+    is held to (>= 5 of exact top-10 probing 3 of 8 cells)."""
+    from etl_weather_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_cells,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cells = kmeans_cells(emb, k=8, iterations=3).persist()
+    try:
+        n_cells = cells.select("cell").distinct().count()
+        assert 2 <= n_cells <= 8
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        exact = {
+            r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()
+        }
+        got1 = [
+            r["vec_id"]
+            for r in ivf_topk(cells, qv, k=10, cell_col="cell").collect()
+        ]
+        got2 = [
+            r["vec_id"]
+            for r in ivf_topk(cells, qv, k=10, cell_col="cell").collect()
+        ]
+        assert got1 == got2  # deterministic probe + scan
+        assert 0 in got1
+        assert len(exact & set(got1)) >= 5, (exact, got1)
+    finally:
+        cells.unpersist()
