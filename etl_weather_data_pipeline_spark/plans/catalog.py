@@ -250,6 +250,31 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _released(q: Query) -> Query:
+    """Wrap a query so each invocation FIRST releases the previous
+    query's persisted intermediates (the bounded _CURATION_PERSISTED
+    registry). Without this, a harness that runs the 50-query driver
+    window back-to-back in one session accumulates every appending
+    query's caches — a 1 GB-driver plain session OOM'd at window
+    position 8 in an r8 replay. Releasing between queries is always
+    SAFE: unpersist never invalidates results, it only forces a
+    recompute if a caller re-collects an old DataFrame. Flagships that
+    already self-release are unaffected (idempotent)."""
+    from dataclasses import replace
+
+    inner = q.spark
+
+    def spark_with_release(spark, sf_dir):
+        from etl_weather_data_pipeline_spark.plans.llmops import (
+            release_curation_cache,
+        )
+
+        release_curation_cache()
+        return inner(spark, sf_dir)
+
+    return replace(q, spark=spark_with_release)
+
+
 def build_registry() -> dict[str, Query]:
     """Assemble the full query registry from all plan modules."""
     from etl_weather_data_pipeline_spark.plans import (
@@ -263,7 +288,7 @@ def build_registry() -> dict[str, Query]:
     for mod in (weather_demo, relational, advanced, llmops):
         for q in mod.QUERIES:
             assert q.name not in registry, f"duplicate query name {q.name}"
-            registry[q.name] = q
+            registry[q.name] = _released(q)
     missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in registry]
     assert not missing, f"priority queries absent from registry: {missing}"
     ordered = {n: registry[n] for n in _DRIVER_WINDOW_PRIORITY}
