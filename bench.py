@@ -105,6 +105,7 @@ def _bench_streaming_funnel_2batch(spark, sf_dir):
     too heavy for the min-of-N loop — so this twin is timed SINGLE-SHOT
     (see the timing loop: it is a many-hundred-job pipeline, so its
     relative noise is far below a 0.5s query's)."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -116,7 +117,8 @@ def _bench_streaming_funnel_2batch(spark, sf_dir):
         winnow_table_name,
     )
 
-    store = tempfile.mkdtemp(prefix="bench_funnel_") + "/store"
+    tmp = tempfile.mkdtemp(prefix="bench_funnel_")
+    store = tmp + "/store"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     try:
         merge_batch_neardup_into_corpus(
@@ -131,6 +133,8 @@ def _bench_streaming_funnel_2batch(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
         spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
+        # ~1.5x-corpus parquet + side tables per run — never leak it
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # Timed callables that are not registry queries (side-effecting sinks).
@@ -193,6 +197,7 @@ PROPERTY_QUERIES = [
     "events_mad_outliers_approx",
     "kmeans_clusters",
     "ann_ivf_topk",
+    "ann_ivf_trained_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
@@ -289,7 +294,7 @@ def main() -> None:
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in headline:
+        for name in [n for n in headline if n not in BENCH_CALLABLES]:
             registry[name].spark(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -297,7 +302,7 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name in headline:
+    for name in [n for n in headline if n not in BENCH_CALLABLES]:
         q = registry[name]
         best = float("inf")
         for _ in range(n_runs):
@@ -314,12 +319,19 @@ def main() -> None:
     # Side-effecting sink benchmarks: single-shot by design — each is a
     # multi-stage pipeline of hundreds of jobs, so per-entry noise is a
     # few percent, not the 47% single-shot band of sub-second queries,
-    # and a min-of-N here would triple the bench's wall clock.
-    if not subset:
-        for name, fn in BENCH_CALLABLES.items():
-            t0 = time.monotonic()
-            fn(spark, sf_dir)
-            timings[name] = round(time.monotonic() - t0, 3)
+    # and a min-of-N here would triple the bench's wall clock. With a
+    # subset, run exactly the callables the subset names (so
+    # SPARK_GRAFT_QUERIES=streaming_funnel_sink_2batch works for
+    # interleaved A/B on the sink alone).
+    wanted_callables = (
+        [n for n in headline if n in BENCH_CALLABLES]
+        if subset
+        else list(BENCH_CALLABLES)
+    )
+    for name in wanted_callables:
+        t0 = time.monotonic()
+        BENCH_CALLABLES[name](spark, sf_dir)
+        timings[name] = round(time.monotonic() - t0, 3)
     release_curation_cache()
 
     total = round(sum(timings.values()), 3)

@@ -139,114 +139,91 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-8 rotation
-# (executes r7 verdict directive #2 — after this window every registry
-# query's latest driver row is <= 3 rounds old): (1) queries whose code
-# changed this round (doc_cdc_chunk_dedup narrow-shuffle rewrite;
-# doc_quality_classifier f_len clamp + shared-weights memo; the PQ
-# family over the refactored sampled-training pq_fit; the three
-# merge-state queries over the bucket-marker + winnow-backfill streaming
-# changes) and the round's NEW queries (corpus_curation_pipeline_v2,
-# ann_ivfpq_residual_topk), then (2) the 36 banked rows deferred from r7
-# (named at the r7 list's tail comment, see git history), then (3) the
-# standing canary corpus_curation_pipeline (the other canary,
-# corpus_merge_state, is in group 1 this round via the streaming
-# changes) and weather_pipeline_e2e (reference-parity core).
-# Python-worker / worker-risk queries sit at the window TAIL so a
-# worker death costs no other query its row. Deferred to r9 (banked
-# green + mirror-verified every session): the r4-vintage relational
-# battery (orders_cube, orders_grouping_sets, daily_event_type_pivot,
-# daily_counts_unpivot, customers_with_big_orders,
-# customers_without_orders, customer_only_nations,
-# customer_string_battery, nationkeys_union, nations_intersect,
-# brand_part_stats, conditional_aggs, doc_simhash, doc_simhash_pairs,
-# doc_minhash_signatures, doc_duplicate_groups — all re-greened r7),
-# the weather family minus e2e (weather_daily_summary, weather_latest,
-# weather_seasonal_trends, weather_quality_metrics), the events family
-# (events_anomaly_zscore, events_mad_outliers,
-# events_mad_outliers_approx, events_zorder_layout,
-# events_filtered_scored and kin), and the r7 debutants
-# (passage_recall_probe, corpus_mixture_plan, neardup_cluster_keep,
-# corpus_curriculum_stages, corpus_bpe_merges, doc_bigram_logprob,
-# corpus_epoch_expand, corpus_ingest_history_report, corpus_pack_intact,
-# corpus_pack_stats, dedup_recall_probe, doc_passage_pairs_blocked,
-# neardup_transitivity_stats, kmeans_clusters, doc_winnow_overlap_pairs)
-# — all r7-green; property queries additionally re-assert at bench SF
-# every round via --check-invariants regardless of the window.
+# file holds exactly the first 50 registry entries). Round-9 rotation
+# (executes the r8 verdict directive #1): (1) queries whose code changed
+# this round (embedding_semdedup_probe: scaled k + pair-volume
+# invariant; the three merge-state queries over the r9 streaming merge
+# amortization) and the round's NEW ann_ivf_trained_topk, then (2) the
+# FIVE r5-vintage rows the r8 verdict ordered rotated first
+# (pricing_summary, approx_aggregates, ann_cosine_topk,
+# doc_neardup_clusters, doc_winnow_fingerprints — age 4 at r9 if
+# deferred again), then (3) 37 of the 44 r6-vintage rows (age 3 at r9,
+# the boundary — everything not re-greened now breaches at r10), then
+# (4) the standing canaries corpus_curation_pipeline +
+# weather_pipeline_e2e (corpus_merge_state is in group 1 via the
+# streaming changes), with the round's new mapInPandas debutant
+# multimodal_frame_stats dead-LAST (worker-risk tail discipline: the
+# round-1 harness died on the only mapInPandas query; in last place a
+# repeat death costs no other query its row — and this one is the
+# UNBANKED debutant, so it risks only itself).
+# Deferred to r10 FIRST (the only r6 rows left out — all seven are
+# bench-headline at sf0.1 every round AND mirror-verified every
+# session, the lowest-marginal-evidence deferrals; age 4 at r10, so
+# r10 MUST open with them): top_revenue_orders, nation_revenue,
+# segment_order_stats, latest_event_per_user, user_sessions,
+# dedup_events_hourly, doc_dedup_exact. After them r10 takes the
+# 38-row r7 cohort (age 3 at r10) — 45 + canaries + e2e = 48 slots,
+# leaving ~2 for r10's own changes; plan r10's new-query count
+# accordingly. The r8 cohort (50 rows) banks until r11.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Changed this round — must re-green first:
-    "doc_cdc_chunk_dedup",
-    "doc_quality_classifier",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_multi_topk",
+    "embedding_semdedup_probe",
     "corpus_merge_state",  # standing canary, also streaming-changed
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",
-    # New this round (+ the bigram-LM report whose exact arithmetic the
-    # v2 oracle reuses — green together or fail together):
-    "corpus_curation_pipeline_v2",
-    "ann_ivfpq_residual_topk",
-    "corpus_bpe_apply",
-    "corpus_decontaminate_eval",
-    "neardup_threshold_sweep",
-    "embedding_semdedup_probe",
-    "doc_bigram_logprob",
-    # The 36 rows deferred from r7 (oldest evidence in the registry);
-    # multimodal_binary_features moved to the worker-risk tail:
-    "embedding_neardup_pairs",
-    "doc_jaccard_pairs",
-    "doc_tfidf_top_terms",
-    "doc_ngram_jaccard_pairs",
-    "doc_text_stats",
-    "doc_lang_id",
-    "ann_multi_query_topk",
-    "embedding_lsh_buckets",
-    "doc_pii_scrub",
-    "doc_stratified_sample",
-    "label_centroids",
-    "doc_minhash_jaccard_estimate",
-    "doc_span_dedup",
-    "doc_quality_quantile_filter",
-    "embedding_quantize_stats",
-    "neardup_degree_stats",
-    "doc_repetition_stats",
-    "corpus_length_histogram",
-    "doc_chunk_spans",
-    "corpus_sequence_pack",
-    "corpus_temperature_sample",
-    "neardup_cross_source_matrix",
-    "corpus_shard_manifest",
-    "source_quality_stats",
-    "corpus_train_split",
-    "doc_contamination_flags",
-    "corpus_vocab_stats",
-    # (ann_cosine_topk yields its slot to neardup_threshold_sweep —
-    # like pricing_summary it is bench-headline + mirror-verified every
-    # session; its r5 row is exactly 3 rounds old at r8, within the
-    # evidence bound; r9 rotates it in.)
-    "orders_monthly_growth",
-    "user_retention_cohorts",
-    "events_funnel_conversion",
-    # (approx_aggregates, pricing_summary, ann_cosine_topk,
-    # doc_winnow_fingerprints and doc_neardup_clusters yield their
-    # slots to the round's debuting queries: each displaced row is
-    # bench-headline or bench-SF-invariant-checked every round AND
-    # mirror-verified every session — the lowest-marginal-evidence
-    # deferrals, each with an r5 row exactly 3 rounds old at r8,
-    # inside the evidence bound; r9 rotates all five in.)
+    # New this round:
+    "ann_ivf_trained_topk",
+    # The five r5-vintage rows (r8 verdict directive #1, rotate FIRST):
+    "pricing_summary",
+    "approx_aggregates",
+    "ann_cosine_topk",
+    "doc_neardup_clusters",
+    "doc_winnow_fingerprints",
+    # 37 of the 44 r6-vintage rows (the seven named above defer to r10):
+    "global_order_metrics",
+    "top_orders_per_customer",
+    "user_running_value",
+    "customer_running_spend",
+    "events_enriched",
+    "events_filtered_scored",
+    "events_json_props",
+    "median_value_by_type",
+    "value_percentiles_by_type",
+    "event_type_rollup",
+    "daily_quality_summary",
+    "type_value_buckets",
+    "sliding_window_counts",
+    "session_window_stats",
+    "events_asof_orders",
+    "events_range_join",
+    "order_rankings",
+    "skewed_type_stats",
+    "doc_minhash_lsh_pairs",
+    "doc_minhash_lsh_pairs_xxh",
+    "doc_fingerprints",
+    "doc_token_counts",
+    "ann_ivf_topk",
+    "doc_gopher_quality_flags",
+    "embedding_semdedup_keep",
+    "corpus_dataset_card",
+    "doc_incremental_dedup",
+    "doc_unigram_logprob",
+    "source_token_kl",
+    "embedding_dim_stats",
+    "doc_ngram_novelty",
+    "dsir_importance_weights",
+    "doc_exact_passage_pairs",
+    "corpus_dedup_funnel",
+    "corpus_dedup_funnel_blocked",
+    "corpus_dedup_funnel_incremental",
+    "source_boilerplate_ngrams",
     # Standing canary + reference-parity core:
     "corpus_curation_pipeline",
     "weather_pipeline_e2e",
-    # Worker-risk tail (binary-column battery + the new mapInPandas
-    # resize query; a worker death here costs no other query its row):
-    "multimodal_binary_features",
-    "multimodal_resize_stats",
-    # Dead-LAST on purpose: the registry's only mapInPandas query once
-    # killed the round-1 driver harness mid-window; in last place a
-    # repeat death costs no other query its driver row. (Now fully
-    # oracled — the deterministic decode stub is mirrored relationally.)
-    "multimodal_decode_features",
+    # Dead-LAST on purpose (worker-risk tail): the round's new
+    # mapInPandas debutant — a worker death here costs only its own,
+    # previously-nonexistent, row.
+    "multimodal_frame_stats",
 )
 
 

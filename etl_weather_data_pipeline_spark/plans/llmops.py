@@ -1265,8 +1265,16 @@ def embedding_neardup_pairs(spark, sf_dir):
     "SemDeDup-style SEMANTIC dedup with a planted-duplicate recall "
     "probe (Abbas et al. 2023: k-means-cluster the embeddings, then "
     "pairwise-cosine dedup WITHIN clusters — clustering is what makes "
-    "the pairwise stage tractable, since k grows with the corpus and "
-    "cluster sizes stay bounded). The synthetic embeddings carry no "
+    "the pairwise stage tractable). k SCALES WITH THE TABLE, "
+    "max(8, ceil(n_union/150)) — SemDeDup's own recipe: with fixed k "
+    "the within-cluster pair stage is O(n^2/k), quadratic in corpus "
+    "size; scaled k keeps expected cluster sizes (and the pair "
+    "volume) bounded, and the materialized pair count is ASSERTED "
+    "in-query against a 4*n^2/k budget (8x the balanced-cluster "
+    "expectation — k-means clusters on near-random vectors are "
+    "uneven but not 8x uneven; a fixed-k regression or a degenerate "
+    "clustering flips the boolean at bench SF via --check-invariants)."
+    " The synthetic embeddings carry no "
     "planted near-dups, so the probe PLANTS them: a perturbed copy of "
     "every 5th vector (component-wise ±8% deterministic pattern, "
     "cosine ~0.997 to its original) joins the corpus at vec_id + 1e6, "
@@ -1274,17 +1282,24 @@ def embedding_neardup_pairs(spark, sf_dir):
     "within-cluster cosine >= 0.95 pairs are the dedup output. "
     "Invariant booleans: planted recall >= 0.8 (a planted copy is "
     "only missed when the perturbation flips its cluster at a Voronoi "
-    "boundary — measured 0.99/1.0/0.988 across the three SFs, and "
-    "every within-cluster pair found IS a planted pair: 99/100/395 "
-    "found vs 99/100/395 planted-recovered), k-means "
+    "boundary — measured 0.99/1.0/0.988 across the three SFs at the "
+    "scaled k of 8/8/16; sf0.1 recall at k=16 equals r8's fixed-k=8 "
+    "value, 395/400 — the scale-up cost nothing), pair volume within "
+    "budget (measured 22.4k/22.4k/180k vs budgets 180k/180k/1.44M), "
+    "k-means "
     "SSE non-increasing, >= 2 populated clusters; exact cross-checks: "
-    "n_vectors, n_planted. In-plan raise_error guards the planted-id "
-    "space (vec_id >= 1e6 would corrupt the recall decode).",
+    "n_vectors, n_planted (driver-exact literals from the sizing "
+    "count — the same count that picks k). In-plan raise_error guards "
+    "the planted-id space (vec_id >= 1e6 would corrupt the recall "
+    "decode). The recall and volume counts come out of ONE aggregate "
+    "over the join output — a second counting branch would re-run the "
+    "whole within-cluster join (the two-branch re-evaluation trap).",
     oracle="""
     SELECT COUNT(*) AS n_vectors,
            CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_planted,
            TRUE AS planted_recall_floor_ok,
+           TRUE AS pair_volume_bounded,
            TRUE AS sse_monotone,
            TRUE AS clusters_nonempty
     FROM embeddings
@@ -1316,7 +1331,18 @@ def embedding_semdedup_probe(spark, sf_dir):
     )
     union = base.unionByName(pert).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(union)
-    asg, sse_hist = kmeans_fit(union, k=8, iterations=3)
+    # One sizing pass over the (persisted) union picks k and yields the
+    # exact cross-check counts as driver literals (planted rows are the
+    # >= 1e6 id space — no density assumption on the source ids).
+    szrow = union.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("vec_id") >= 1000000, 1)).alias("pl"),
+    ).first()
+    n_union, n_pl = szrow["n"], szrow["pl"]
+    n_vec = n_union - n_pl
+    k = max(8, -(-n_union // 150))  # ceil-div; SemDeDup: k grows with n
+    pair_budget = 4 * n_union * n_union // k
+    asg, sse_hist = kmeans_fit(union, k=k, iterations=3)
     sse_monotone = all(
         later <= earlier * (1 + 1e-9) + 1e-9
         for earlier, later in zip(sse_hist, sse_hist[1:])
@@ -1335,7 +1361,7 @@ def embedding_semdedup_probe(spark, sf_dir):
         F.col("cluster"),
         F.col("embedding").alias("__vb"),
     )
-    pairs = (
+    joined = (
         left.join(right, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -1343,32 +1369,29 @@ def embedding_semdedup_probe(spark, sf_dir):
             "id_b",
             VX.cosine(F.col("__va"), F.col("__vb")).alias("__cos"),
         )
-        .filter(F.col("__cos") >= 0.95)
     )
-    rec = pairs.filter(
-        (F.col("id_b") >= 1000000)
-        & (F.col("id_a") == F.col("id_b") - 1000000)
-    ).agg(F.count(F.lit(1)).alias("__n_rec"))
-    counts = base.agg(
-        F.count(F.lit(1)).alias("__n_vec"),
-        F.count(F.when(F.col("vec_id") % 5 == 0, 1)).alias("__n_pl"),
+    is_dup = F.col("__cos") >= 0.95
+    is_planted = (F.col("id_b") >= 1000000) & (
+        F.col("id_a") == F.col("id_b") - 1000000
     )
-    n_clusters = asg.agg(
+    pairagg = joined.agg(
+        F.count(F.lit(1)).alias("__n_pairs"),
+        F.count(F.when(is_dup & is_planted, 1)).alias("__n_rec"),
+    )
+    n_clusters = clustered.agg(
         F.countDistinct("cluster").alias("__n_cl")
     )
-    return (
-        counts.crossJoin(rec)
-        .crossJoin(n_clusters)
-        .select(
-            F.col("__n_vec").cast("long").alias("n_vectors"),
-            F.col("__n_pl").cast("long").alias("n_planted"),
-            (
-                F.col("__n_rec").cast("double")
-                >= F.col("__n_pl") * F.lit(0.8)
-            ).alias("planted_recall_floor_ok"),
-            F.lit(bool(sse_monotone)).alias("sse_monotone"),
-            (F.col("__n_cl") >= F.lit(2)).alias("clusters_nonempty"),
-        )
+    return pairagg.crossJoin(n_clusters).select(
+        F.lit(n_vec).cast("long").alias("n_vectors"),
+        F.lit(n_pl).cast("long").alias("n_planted"),
+        (
+            F.col("__n_rec").cast("double") >= F.lit(n_pl) * F.lit(0.8)
+        ).alias("planted_recall_floor_ok"),
+        (F.col("__n_pairs") <= F.lit(pair_budget)).alias(
+            "pair_volume_bounded"
+        ),
+        F.lit(bool(sse_monotone)).alias("sse_monotone"),
+        (F.col("__n_cl") >= F.lit(2)).alias("clusters_nonempty"),
     )
 
 
@@ -1445,6 +1468,101 @@ def ann_ivf_topk(spark, sf_dir):
         F.lit(10).cast("long").alias("k"),
         (F.col("__h3") >= F.lit(3)).alias("recall_floor_ok"),
         (F.col("__h5") >= F.col("__h3")).alias("probe_recall_monotone"),
+    )
+
+
+@q(
+    "ann_ivf_trained_topk",
+    "The TRAINED-quantizer IVF path driven end-to-end — FAISS's actual "
+    "IVF composition (kmeans_cells Voronoi cells from k-means over the "
+    "vectors themselves -> cell_centroids -> ivf_topk(cell_col='cell') "
+    "probe), where ann_ivf_topk blocks on the metadata label column. "
+    "Self-checking like its sibling: the trained-IVF top-10 joins the "
+    "exact brute-force top-10 IN-QUERY and the invariants come out as "
+    "booleans — recall@10 at n_probe=3/8 trained cells clears the 0.3 "
+    "tripwire (measured 1.0/0.9/1.0 across the three SFs — trained "
+    "cells track cosine geometry, vs 0.5/0.5/0.3 for the metadata "
+    "label cells), recall is MONOTONE in n_probe (n_probe=5's "
+    "candidate set provably contains n_probe=3's: deterministic "
+    "centroid ordering, longer prefix), and the probe actually PRUNES "
+    "(n_probe=3's candidate rows < n_vectors). Exact cross-check: "
+    "n_vectors counted FROM the assigned table — a kmeans_cells join "
+    "that drops or duplicates a vector hash-fails the driver row, so "
+    "the oracle's COUNT(*) doubles as the assignment-coverage check. "
+    "One persisted assigned table feeds centroids + both probes + the "
+    "candidate counts (the multi-consumer re-evaluation trap); "
+    "centroids compute ONCE and are shared by both probes "
+    "(cell_centroids amortization API). At 100 TB the assigned table "
+    "is written clustered by cell so each probe prunes to n_probe "
+    "partitions (ivf_topk's documented layout contract).",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS k,
+           COUNT(*) AS n_vectors,
+           TRUE AS recall_floor_ok,
+           TRUE AS probe_recall_monotone,
+           TRUE AS probe_prunes_scan
+    FROM embeddings
+    """,
+)
+def ann_ivf_trained_topk(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from etl_weather_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        cell_centroids,
+        ivf_topk,
+        kmeans_cells,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cells = kmeans_cells(emb, k=8, iterations=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(cells)
+    cents = cell_centroids(cells, cell_col="cell")
+    ivf3 = ivf_topk(
+        cells, qv, k=10, n_probe=3, cell_col="cell", centroids=cents
+    ).select("vec_id")
+    ivf5 = ivf_topk(
+        cells, qv, k=10, n_probe=5, cell_col="cell", centroids=cents
+    ).select("vec_id")
+    exact = brute_force_topk(emb, qv, k=10).select("vec_id")
+    h3 = ivf3.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("__h3"))
+    h5 = ivf5.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("__h5"))
+    stats = cells.agg(F.count(F.lit(1)).alias("__n"))
+    # recompute the 3 probed cells exactly as ivf_topk chose them —
+    # deterministic (dround6 + cell-id tie-break), so this count is the
+    # probe's true candidate volume
+    probe_rows = (
+        cents.select(
+            "cell",
+            VX.cosine(F.col("centroid"), F.array(*[F.lit(x) for x in qv])).alias("__sim"),
+        )
+        .orderBy(F.col("__sim").desc(), F.col("cell"))
+        .limit(3)
+        .collect()
+    )
+    probe_cells = [r["cell"] for r in probe_rows]
+    cand3 = cells.filter(F.col("cell").isin(probe_cells)).agg(
+        F.count(F.lit(1)).alias("__c3")
+    )
+    return (
+        stats.crossJoin(h3)
+        .crossJoin(h5)
+        .crossJoin(cand3)
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.col("__n").cast("long").alias("n_vectors"),
+            (F.col("__h3") >= F.lit(3)).alias("recall_floor_ok"),
+            (F.col("__h5") >= F.col("__h3")).alias(
+                "probe_recall_monotone"
+            ),
+            (F.col("__c3") < F.col("__n")).alias("probe_prunes_scan"),
+        )
     )
 
 
@@ -3219,6 +3337,59 @@ def multimodal_resize_stats(spark, sf_dir):
         F.col("src_height"),
         F.length(F.col("resized")).cast("int").alias("resized_len"),
     )
+
+
+@q(
+    "multimodal_frame_stats",
+    "Arrow-batched FRAME SAMPLING over a binary payload column — the "
+    "1 -> N multimodal mapInPandas shape (decode: 1 -> 1 feature row; "
+    "resize: 1 -> 1 smaller binary; frame_sample: 1 payload -> N frame "
+    "rows, standing in for video frame extraction). The fan-out is the "
+    "shape where a wrong Arrow batch iterator silently DUPLICATES or "
+    "DROPS rows — exactly what a per-row hash check catches and a "
+    "row-count check can miss — so the deterministic stub (one row per "
+    "32-byte offset, max 4, carrying the byte at the offset) is "
+    "mirrored relationally: every emitted (doc_id, frame_idx, offset, "
+    "frame_byte) row is hash-checked by the driver gate, and docs "
+    "shorter than one frame stride must emit NOTHING on both engines "
+    "(the empty-fan-out edge where off-by-one iterators double-emit "
+    "or crash). Real codec swap keeps the plumbing: schema, "
+    "re-chunked batch memory bound, id alignment.",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, CAST(u.i AS INTEGER) AS frame_idx
+      FROM documents,
+           unnest(range(0, least(4, length(text) // 32))) AS u(i))
+    SELECT doc_id, frame_idx,
+           CAST(frame_idx * 32 AS INTEGER) AS "offset",
+           CAST(unicode(substr(text, frame_idx * 32 + 1, 1)) AS INTEGER)
+             AS frame_byte
+    FROM f
+    """,
+)
+def multimodal_frame_stats(spark, sf_dir):
+    from etl_weather_data_pipeline_spark.streaming.multimodal import (
+        frame_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # Same ASCII source guard as the other multimodal oracles: the
+    # byte==codepoint equivalence is what lets DuckDB mirror the stub.
+    payloads = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").rlike("^[\x00-\x7f]*$"),
+            F.encode(F.col("text"), "utf-8"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("multimodal_frame_stats: non-ASCII text breaks "
+                      "the byte==codepoint oracle equivalence")
+            )
+        )
+        .alias("payload"),
+    )
+    return frame_sample(payloads, every_n_bytes=32, max_frames=4)
 
 
 # --- round-3 batch 2: chunking, packing, mixture sampling, quality rules ----

@@ -455,12 +455,15 @@ def backfill_winnow_fingerprints(
     No-ops (returns 0) when the store or the `_winnow` table is absent —
     an exact/near-dup-only store should not grow a winnow table it never
     asked for; the merge's own absent-table branch handles the full
-    rebuild. Docs whose text yields ZERO fingerprints (shorter than
-    k+w-1 normalized chars) always look like gaps and are re-scanned
-    each call — cheap by construction, and the returned count counts
-    scanned gap DOCS, not appended rows. ``winnow_k``/``winnow_w`` must
-    match the sink's settings (fingerprints from mismatched parameters
-    never equal the probe's)."""
+    rebuild. Returns the number of fingerprint ROWS actually appended —
+    NOT gap-doc count: docs whose text yields zero fingerprints
+    (shorter than k+w-1 normalized chars) always look like gaps and are
+    re-scanned each call (cheap by construction, no id-list state to
+    corrupt), but they append nothing, so steady-state maintenance
+    reports 0 instead of a permanently-nonzero doc count (r8 ADVICE).
+    ``winnow_k``/``winnow_w`` must match the sink's settings
+    (fingerprints from mismatched parameters never equal the
+    probe's)."""
     from etl_weather_data_pipeline_spark.operators.passages import (
         winnow_fingerprint_table,
     )
@@ -479,19 +482,27 @@ def backfill_winnow_fingerprints(
         covered.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
     gap = gap.persist()
+    rows = None
     try:
         n_gap = gap.count()
         if n_gap == 0:
             return 0
         rows = winnow_fingerprint_table(
             gap, winnow_k, winnow_w, id_col, text_col
-        )
+        ).persist()
+        n_rows = rows.count()
+        if n_rows == 0:
+            # every gap doc is too short to fingerprint — nothing to
+            # append, and nothing a probe could ever match
+            return 0
         _append_side_bucketed(
             rows, name, f"{path}/{WINNOW_SUBDIR}", _WINNOW_SPEC, n_buckets
         )
-        return n_gap
+        return n_rows
     finally:
         gap.unpersist()
+        if rows is not None:
+            rows.unpersist()
 
 
 def compact_corpus_side_tables(
@@ -520,7 +531,9 @@ def compact_corpus_side_tables(
     compacted in the same pass.
     Returns {"bands": {...}, "winnow": {...}, "ingest_history": {...}}
     file counts (present-tables only; "winnow" additionally reports
-    ``backfilled_docs``)."""
+    ``backfilled_rows`` — fingerprint ROWS appended by the backfill,
+    0 at steady state even when the store holds short docs that yield
+    no fingerprints)."""
     import glob
     import os
 
@@ -564,7 +577,7 @@ def compact_corpus_side_tables(
         n_after = len(glob.glob(os.path.join(loc, "*.parquet")))
         out[label] = {"files_before": n_before, "files_after": n_after}
         if spec is _WINNOW_SPEC:
-            out[label]["backfilled_docs"] = backfilled
+            out[label]["backfilled_rows"] = backfilled
     return out
 
 

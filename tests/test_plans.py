@@ -835,3 +835,32 @@ def test_pq_multi_topk_plan_shape(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     release_curation_cache()
+
+
+def test_ivf_trained_topk_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # trained-quantizer IVF: the k-means-assigned table persists ONCE
+    # and feeds centroids + both pruned probe scans + the n_vectors and
+    # candidate-volume aggregates (five consumers — without the cache
+    # every probe re-runs the k-means assignment join); probe choice is
+    # a tiny driver-side collect; the only join left in the final plan
+    # is the assignment equi-join + tiny top-10 intersections; no
+    # cartesian, no Python workers
+    p = plan_of(spark, "ann_ivf_trained_topk")
+    assert n_nodes(p, "InMemoryTableScan") >= 4, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    release_curation_cache()
+
+
+def test_frame_stats_is_maponly_arrow(spark):
+    # the 1->N frame fan-out happens INSIDE the Arrow batch: one
+    # MapInPandas node, ZERO exchanges — at 100 TB the operator scales
+    # with input splits and never shuffles payload bytes
+    p = plan_of(spark, "multimodal_frame_stats")
+    assert n_nodes(p, "MapInPandas") == 1, p
+    assert n_nodes(p, "Exchange") == 0, p
+    assert "BatchEvalPython" not in p

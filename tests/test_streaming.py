@@ -1196,13 +1196,25 @@ def test_winnow_backfill_restores_stage3_coverage(spark, tmp_path):
     wf = spark.read.parquet(f"{store}/{WINNOW_SUBDIR}")
     assert {r["doc_id"] for r in wf.select("doc_id").distinct().collect()} == {1}
 
+    # also land a doc too short to yield any fingerprint while stage 3
+    # is off: it is a PERMANENT gap-doc (re-scanned every backfill) but
+    # must never count as backfilled work (r8 ADVICE: the report was
+    # permanently nonzero for stores holding short docs)
+    b2s = spark.createDataFrame([(3, "")], "doc_id long, text string")
+    assert merge_batch_neardup_into_corpus(b2s, store, band_buckets=4) == 1
+
     # without backfill, a quote of doc 2 slips through stage 3 — prove
     # the blindness on a throwaway copy of the batch id space, then
     # backfill and prove coverage
     out = compact_corpus_side_tables(spark, store, band_buckets=4)
-    assert out["winnow"]["backfilled_docs"] == 1
+    assert out["winnow"]["backfilled_rows"] > 0
     wf = spark.read.parquet(f"{store}/{WINNOW_SUBDIR}")
     assert {r["doc_id"] for r in wf.select("doc_id").distinct().collect()} == {1, 2}
+
+    # steady state: nothing left to backfill — the short doc 3 is still
+    # a gap doc by id but appends zero rows, so the report reads 0
+    out2 = compact_corpus_side_tables(spark, store, band_buckets=4)
+    assert out2["winnow"]["backfilled_rows"] == 0
 
     b3 = spark.createDataFrame(
         [(10, P + " " + _words("tailfill", 40)),  # quotes doc 2 -> drop
@@ -1213,7 +1225,7 @@ def test_winnow_backfill_restores_stage3_coverage(spark, tmp_path):
         b3, store, band_buckets=4, passage_min_run=16
     ) == 1
     ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
-    assert ids == {1, 2, 11}, ids
+    assert ids == {1, 2, 3, 11}, ids
 
 
 def test_passage_stage_batch_boilerplate_stop(spark, tmp_path):
