@@ -157,25 +157,18 @@ def merge_batch_into_corpus(
         fresh = _probe_fresh(batch, seen_docs.select("fingerprint"))
     else:
         fresh = batch  # first batch: store doesn't exist yet
-    # persist: count + write are two actions; without it the fingerprint
-    # projection + store anti-join runs twice per micro-batch.
-    fresh = fresh.persist()
-    try:
-        n = fresh.count()
-        if n:
-            # Checkpoint-then-release before the write: with `fresh`
-            # still cached, the append's recache-by-path eagerly
-            # re-runs the store probe chain inside the write command
-            # (same measured stall as the three-stage sink's survivors
-            # write — see merge_batch_neardup_into_corpus).
-            out = fresh.localCheckpoint()
-            fresh.unpersist()
-            writer = out.write.mode("append")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(path)
-    finally:
-        fresh.unpersist()
+    # ONE materialization + ONE planning pass: the eager checkpoint
+    # runs the probe chain once, pins the rows path-independently
+    # (recache-by-path safety — see merge_batch_neardup_into_corpus),
+    # and the count reads the lineage-free result. A persist+count+
+    # checkpoint sequence pays the driver-side planning cost twice.
+    out = fresh.localCheckpoint()
+    n = out.count()
+    if n:
+        writer = out.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
     if history:
         _append_ingest_history(spark, path, n_batch, n_batch - n, 0, n)
     return n
@@ -650,17 +643,30 @@ def _passage_stage_drops(
     rather than the whole corpus — the periodic batch re-curation
     (corpus_dedup_funnel_blocked, corpus-global df) remains the audit.
 
-    Returns ``(pdrop, bfps, grams)`` — batch ids to drop, the batch's
-    winnow fingerprint rows (persisted; the caller appends the
-    survivors' rows to ``_winnow`` and unpersists), and the persisted
-    gram table (caller unpersists)."""
+    Returns ``(pdrop, bfps, grams, rh_batch)`` — batch ids to drop, the
+    batch's winnow fingerprint rows (persisted; the caller appends the
+    survivors' rows to ``_winnow`` and unpersists), the persisted gram
+    table, and the persisted shared rolling-hash table (caller
+    unpersists all three)."""
     from etl_weather_data_pipeline_spark.operators.passages import (
         exact_passage_pairs,
         gram_positions,
         winnow_fingerprint_table,
     )
 
-    bfps = winnow_fingerprint_table(s2, k, w, id_col, text_col).persist()
+    # ONE Rabin-Karp pass over the batch texts: the winnow sketch and
+    # the gram table are both derived from the same per-doc hash arrays
+    # (operators/passages.rolling_hashes — the shared-upstream contract
+    # the batch funnel already uses); without this the batch normalizes
+    # and hashes twice per merge.
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        rolling_hashes,
+    )
+
+    rh_batch = rolling_hashes(s2, k, id_col, text_col).persist()
+    bfps = winnow_fingerprint_table(
+        s2, k, w, id_col, text_col, hashes=rh_batch
+    ).persist()
     # Batch-side stop-fingerprint bound (r8): fingerprints appearing in
     # > max_df BATCH docs are boilerplate and are dropped from blocking
     # — without this the within-batch self-join is near-quadratic on
@@ -687,7 +693,6 @@ def _passage_stage_drops(
         .select("id_a", "id_b")
     )
     cand = within
-    texts = s2.select(F.col(id_col), F.col(text_col))
     if store_docs is not None:
         wname = _side_table_name(path, _WINNOW_SPEC)
         tbl = _ensure_side_table(spark, path, _WINNOW_SPEC, n_buckets)
@@ -729,11 +734,17 @@ def _passage_stage_drops(
             id_col,
             "left_semi",
         )
-        texts = texts.unionByName(store_cand_texts)
     # gram table over the candidate-pruned union only; persisted because
-    # the candidate-routed match consumes it on both join sides
+    # the candidate-routed match consumes it on both join sides. The
+    # batch half reads the shared rolling-hash cache; only the (tiny,
+    # candidate-pruned) store texts hash fresh.
+    h_all = rh_batch
+    if store_docs is not None:
+        h_all = rh_batch.unionByName(
+            rolling_hashes(store_cand_texts, k, id_col, text_col)
+        )
     grams = gram_positions(
-        texts, k=k, min_occ=2, max_occ=max_df, id_col=id_col,
+        hashes=h_all, k=k, min_occ=2, max_occ=max_df, id_col=id_col,
         text_col=text_col,
     ).persist()
     pairs = exact_passage_pairs(
@@ -742,7 +753,7 @@ def _passage_stage_drops(
     # id_b is always the batch doc (vs-store) or the larger batch id
     # (within) — store wins, smaller id wins, same policy as stage 2
     pdrop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return pdrop, bfps, grams
+    return pdrop, bfps, grams, rh_batch
 
 
 def merge_batch_neardup_into_corpus(
@@ -840,7 +851,7 @@ def merge_batch_neardup_into_corpus(
     else:
         fresh = batch
     fresh = fresh.persist()
-    bt = survivors = None
+    bt = None
     extra_persists: list[DataFrame] = []
     try:
         n_after_exact = fresh.count() if history else 0
@@ -935,31 +946,39 @@ def merge_batch_neardup_into_corpus(
             # within a batch). History folds these drops into
             # n_neardup_dropped (stage 2 + 3 are both near-duplicate
             # mechanisms; the decomposition invariant holds unchanged).
-            s2 = s2.persist()
-            extra_persists.append(s2)
-            pdrop, bfps, grams = _passage_stage_drops(
+            # The EAGER checkpoint (not a persist) cuts the lineage at
+            # the stage-2 boundary: every Spark ACTION re-plans its
+            # whole analyzed tree on the driver, and with the passage
+            # machinery stacked on stages 1+2 each downstream action
+            # was paying ~2s of pure planning (measured r9: count() on
+            # a fully-CACHED survivors frame took 1.75s; the identical
+            # join derived from a checkpointed frame planned in 0.34s).
+            s2 = s2.localCheckpoint()
+            pdrop, bfps, grams, rh = _passage_stage_drops(
                 spark, s2, store_docs, path, text_col, id_col,
                 passage_min_run, winnow_min_shared, winnow_k, winnow_w,
                 winnow_max_df, band_buckets,
             )
-            extra_persists.extend([bfps, grams])
-            survivors = s2.join(pdrop, id_col, "left_anti").persist()
+            extra_persists.extend([bfps, grams, rh])
+            survivors = s2.join(pdrop, id_col, "left_anti")
         else:
             bfps = None
-            survivors = s2.persist()
-        n = survivors.count()
+            survivors = s2
+        # ONE planning pass for the survivor set: the eager checkpoint
+        # both materializes the chain (the store write needs
+        # path-independent rows anyway — recache-by-path would
+        # otherwise make lazy plans re-probe the just-updated store and
+        # find their own append) and truncates the lineage, so the
+        # count and the side-table derivations below plan against a
+        # lineage-free scan. The old order (count the persisted
+        # survivors, checkpoint band/winnow/survivor rows from the
+        # cache) paid the giant-tree planning cost four times
+        # (measured r9: 6.2s of the 24s merge).
+        out = survivors.localCheckpoint()
+        n = out.count()
         if n:
-            # Materialize the survivor side-table rows BEFORE touching
-            # the store: writing to `path` makes Spark's CacheManager
-            # invalidate every cached plan that READS `path` (fresh, bt,
-            # survivors all do, via the store probes), so a lazy plan
-            # evaluated after the append would recompute against the
-            # just-updated store — the fingerprint anti-join then finds
-            # its own append and the band write emits ZERO rows
-            # (observed). The eager localCheckpoint pins the rows to
-            # block storage, independent of the path.
             band_rows = (
-                bt.join(survivors.select(id_col), id_col, "left_semi")
+                bt.join(out.select(id_col), id_col, "left_semi")
                 .select(
                     F.col(id_col).alias("doc_id"), "band_idx", "band_val"
                 )
@@ -968,23 +987,19 @@ def merge_batch_neardup_into_corpus(
             winnow_rows = None
             if bfps is not None:
                 winnow_rows = bfps.join(
-                    survivors.select(F.col(id_col).alias("doc_id")),
+                    out.select(F.col(id_col).alias("doc_id")),
                     "doc_id",
                     "left_semi",
                 ).localCheckpoint()
-            # The survivor rows themselves also checkpoint (eager, read
-            # straight from the cache — sub-second), and every
-            # store-reading cache releases BEFORE the first write:
-            # CacheManager's recache-by-path doesn't just invalidate,
-            # it eagerly RE-BUILDS affected caches inside the write
-            # command — with fresh/bt/survivors still cached, the store
-            # append was re-running the whole three-stage chain per
-            # write (measured: steady-state survivors write 5.8s vs
-            # the bootstrap's 0.9s with no store-reading caches; the
-            # release cuts the whole merge ~20%). The finally below
-            # re-unpersists harmlessly (idempotent).
-            out = survivors.localCheckpoint()
-            for cached in (bt, survivors, *extra_persists):
+            # Every store-reading cache releases BEFORE the first
+            # write: CacheManager's recache-by-path doesn't just
+            # invalidate, it eagerly RE-BUILDS affected caches inside
+            # the write command — with fresh/bt still cached, the
+            # store append was re-running the probe chains per write
+            # (measured r8: steady-state survivors write 5.8s vs the
+            # bootstrap's 0.9s). The finally below re-unpersists
+            # harmlessly (idempotent).
+            for cached in (bt, *extra_persists):
                 if cached is not None:
                     cached.unpersist()
             fresh.unpersist()
@@ -1008,7 +1023,9 @@ def merge_batch_neardup_into_corpus(
         # Every persist releases even when a stage or store write
         # fails — a long-running streaming sink would otherwise leak one
         # cached plan per failed batch for the session's lifetime.
-        for cached in (bt, survivors, *extra_persists):
+        # (survivors/s2 are eager checkpoints now, not persists — their
+        # blocks release when the micro-batch's RDDs are GC'd.)
+        for cached in (bt, *extra_persists):
             if cached is not None:
                 cached.unpersist()
         fresh.unpersist()
