@@ -621,6 +621,7 @@ def _passage_stage_drops(
     w: int,
     max_df: int,
     n_buckets: int,
+    persists: list[DataFrame] | None = None,
 ):
     """Stage 3 of the streaming funnel: winnow-sketch blocking against
     the store's persisted ``_winnow`` fingerprint table + within-batch,
@@ -645,9 +646,10 @@ def _passage_stage_drops(
 
     Returns ``(pdrop, bfps, grams, rh_batch)`` — batch ids to drop, the
     batch's winnow fingerprint rows (persisted; the caller appends the
-    survivors' rows to ``_winnow`` and unpersists), the persisted gram
-    table, and the persisted shared rolling-hash table (caller
-    unpersists all three)."""
+    survivors' rows to ``_winnow``), the persisted gram table, and the
+    persisted shared rolling-hash table. All three persists register
+    into ``persists`` AS THEY ARE CREATED so the caller's finally
+    releases them even when this function raises mid-way."""
     from etl_weather_data_pipeline_spark.operators.passages import (
         exact_passage_pairs,
         gram_positions,
@@ -663,10 +665,20 @@ def _passage_stage_drops(
         rolling_hashes,
     )
 
-    rh_batch = rolling_hashes(s2, k, id_col, text_col).persist()
-    bfps = winnow_fingerprint_table(
-        s2, k, w, id_col, text_col, hashes=rh_batch
-    ).persist()
+    def _p(df: DataFrame) -> DataFrame:
+        # register persists with the CALLER's cleanup list as they are
+        # created — an exception between persist and return would
+        # otherwise leak a cached plan per retried batch (the caller
+        # only learns about our persists from the return value)
+        df = df.persist()
+        if persists is not None:
+            persists.append(df)
+        return df
+
+    rh_batch = _p(rolling_hashes(s2, k, id_col, text_col))
+    bfps = _p(
+        winnow_fingerprint_table(s2, k, w, id_col, text_col, hashes=rh_batch)
+    )
     # Batch-side stop-fingerprint bound (r8): fingerprints appearing in
     # > max_df BATCH docs are boilerplate and are dropped from blocking
     # — without this the within-batch self-join is near-quadratic on
@@ -743,10 +755,12 @@ def _passage_stage_drops(
         h_all = rh_batch.unionByName(
             rolling_hashes(store_cand_texts, k, id_col, text_col)
         )
-    grams = gram_positions(
-        hashes=h_all, k=k, min_occ=2, max_occ=max_df, id_col=id_col,
-        text_col=text_col,
-    ).persist()
+    grams = _p(
+        gram_positions(
+            hashes=h_all, k=k, min_occ=2, max_occ=max_df, id_col=id_col,
+            text_col=text_col,
+        )
+    )
     pairs = exact_passage_pairs(
         grams, min_run=min_run, k=k, candidates=cand
     )
@@ -954,12 +968,11 @@ def merge_batch_neardup_into_corpus(
             # a fully-CACHED survivors frame took 1.75s; the identical
             # join derived from a checkpointed frame planned in 0.34s).
             s2 = s2.localCheckpoint()
-            pdrop, bfps, grams, rh = _passage_stage_drops(
+            pdrop, bfps, _grams, _rh = _passage_stage_drops(
                 spark, s2, store_docs, path, text_col, id_col,
                 passage_min_run, winnow_min_shared, winnow_k, winnow_w,
-                winnow_max_df, band_buckets,
+                winnow_max_df, band_buckets, persists=extra_persists,
             )
-            extra_persists.extend([bfps, grams, rh])
             survivors = s2.join(pdrop, id_col, "left_anti")
         else:
             bfps = None

@@ -1294,3 +1294,55 @@ def test_passage_stage_batch_boilerplate_stop(spark, tmp_path):
     assert 100 in ids and 101 not in ids, ids  # smaller id wins
     assert all(i in ids for i in range(60)), ids
     assert n == 61
+
+
+def test_funnel_merge_action_discipline(spark, tmp_path, monkeypatch):
+    """r9 perf contract: the three-stage merge pays the driver-side
+    planning tax (every action re-plans its full analyzed tree —
+    measured 1.75s per action on the cached survivors frame at sf0.1)
+    as FEW times as possible. Pin the structure: per steady-state merge
+    with the passage stage on, exactly 4 localCheckpoints (the stage-2
+    lineage cut, the survivor set, band rows, winnow rows) and exactly
+    5 persists (fresh, bands table bt, and the passage stage's shared
+    rolling-hash / winnow-fingerprint / gram frames) — a regression to
+    the count-then-checkpoint-from-cache shape shows up as extra
+    checkpoints; a dropped lineage cut as a missing one."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(i, _words(f"seed{i}", 30)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(
+        b1, store, band_buckets=4, passage_min_run=16
+    ) == 4
+
+    ckpts, persists = [], []
+    orig_ck, orig_p = DataFrame.localCheckpoint, DataFrame.persist
+
+    def spy_ck(self, *a, **kw):
+        ckpts.append(self)
+        return orig_ck(self, *a, **kw)
+
+    def spy_p(self, *a, **kw):
+        persists.append(self)
+        return orig_p(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy_ck)
+    monkeypatch.setattr(DataFrame, "persist", spy_p)
+    b2 = spark.createDataFrame(
+        [(10, _words("seed1", 30)),            # exact dup of store
+         (11, _words("fresh11", 30))],         # new -> admitted
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(
+        b2, store, band_buckets=4, passage_min_run=16
+    ) == 1
+    monkeypatch.undo()
+    assert len(ckpts) == 4, [c.columns for c in ckpts]
+    assert len(persists) == 5, [p.columns for p in persists]
