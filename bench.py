@@ -350,6 +350,14 @@ def main() -> None:
                 # (the full total grows with every added headliner)
                 "core_r6_value": core_total,
                 "core_r6_n_queries": len(core),
+                # entries timed SINGLE-SHOT (side-effecting sink
+                # pipelines, outside the min-of-N loop and the core) —
+                # decompose the total with these before comparing it
+                # to min-of-N numbers. Kept inside the one JSON line:
+                # the driver parses the last line only.
+                "single_shot": [
+                    n for n in timings if n in BENCH_CALLABLES
+                ],
             }
         )
     )
