@@ -115,6 +115,32 @@ def cell_centroids(
     )
 
 
+def choose_probe_cells(
+    centroids: DataFrame,
+    query_vec: list[float],
+    n_probe: int = 3,
+    cell_col: str = "label",
+) -> list:
+    """The ``n_probe`` cell ids whose centroids are nearest the query —
+    THE probe-selection rule, shared by :func:`ivf_topk`, the persisted
+    index probe (operators/ann_index.py), and the trained-IVF property
+    query, so a change here cannot desync any of them. Ordering is raw
+    cosine DESC with the cell id as tie-break: without the tie-break, a
+    double tie at the n_probe boundary makes the probe SET
+    nondeterministic across jobs — and the probe-monotonicity property
+    oracles require n_probe=3's set to be a prefix of n_probe=5's."""
+    q = _as_literal_vec(query_vec)
+    probe_rows = (
+        centroids.select(
+            cell_col, VX.cosine(F.col("centroid"), q).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col(cell_col))
+        .limit(n_probe)
+        .collect()
+    )
+    return [r[cell_col] for r in probe_rows]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -135,25 +161,15 @@ def ivf_topk(
 
     At 100 TB the table is written partitioned/clustered by cell id, so the
     probe scan prunes to n_probe partitions — the candidate set (and the
-    shuffle) shrinks by cells/n_probe.
+    shuffle) shrinks by cells/n_probe. ``operators/ann_index.py``
+    implements exactly that layout as a persisted store.
     """
-    q = _as_literal_vec(query_vec)
     cent = (
         centroids
         if centroids is not None
         else cell_centroids(df, cell_col, vec_col)
     )
-    # Cell id breaks exact-similarity ties: without it, a double tie at
-    # the n_probe boundary makes the probe SET nondeterministic across
-    # jobs — and the probe-monotonicity property oracle (ann_ivf_topk)
-    # requires n_probe=3's set to be a subset of n_probe=5's.
-    probe_rows = (
-        cent.select(cell_col, VX.cosine(F.col("centroid"), q).alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(cell_col))
-        .limit(n_probe)
-        .collect()
-    )
-    probe_cells = [r[cell_col] for r in probe_rows]
+    probe_cells = choose_probe_cells(cent, query_vec, n_probe, cell_col)
     pruned = df.filter(F.col(cell_col).isin(probe_cells))
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
 

@@ -1536,7 +1536,14 @@ def ann_ivf_trained_topk(spark, sf_dir):
         StorageLevel.MEMORY_AND_DISK
     )
     _CURATION_PERSISTED.append(cells)
-    cents = cell_centroids(cells, cell_col="cell")
+    # cents is tiny (k rows) but feeds MANY separate driver actions
+    # (both probe selections, the probe-cell recompute, the centroid
+    # collect for the residual map) — persist it so the centroid
+    # aggregation really does compute once from the cells cache.
+    cents = cell_centroids(cells, cell_col="cell").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(cents)
     ivf3 = ivf_topk(
         cells, qv, k=10, n_probe=3, cell_col="cell", centroids=cents
     ).select("vec_id")
@@ -1547,19 +1554,15 @@ def ann_ivf_trained_topk(spark, sf_dir):
     h3 = ivf3.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("__h3"))
     h5 = ivf5.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("__h5"))
     stats = cells.agg(F.count(F.lit(1)).alias("__n"))
-    # recompute the 3 probed cells exactly as ivf_topk chose them —
-    # deterministic (dround6 + cell-id tie-break), so this count is the
-    # probe's true candidate volume
-    probe_rows = (
-        cents.select(
-            "cell",
-            VX.cosine(F.col("centroid"), F.array(*[F.lit(x) for x in qv])).alias("__sim"),
-        )
-        .orderBy(F.col("__sim").desc(), F.col("cell"))
-        .limit(3)
-        .collect()
+    # the 3 probed cells via the SAME selection rule ivf_topk runs
+    # (similarity.choose_probe_cells: raw cosine DESC, cell-id
+    # tie-break), so this count is the probe's true candidate volume
+    # and cannot desync from the probe set if the rule ever changes
+    from etl_weather_data_pipeline_spark.operators.similarity import (
+        choose_probe_cells,
     )
-    probe_cells = [r["cell"] for r in probe_rows]
+
+    probe_cells = choose_probe_cells(cents, qv, n_probe=3, cell_col="cell")
     cand3 = cells.filter(F.col("cell").isin(probe_cells)).agg(
         F.count(F.lit(1)).alias("__c3")
     )

@@ -644,12 +644,14 @@ def _passage_stage_drops(
     rather than the whole corpus — the periodic batch re-curation
     (corpus_dedup_funnel_blocked, corpus-global df) remains the audit.
 
-    Returns ``(pdrop, bfps, grams, rh_batch)`` — batch ids to drop, the
-    batch's winnow fingerprint rows (persisted; the caller appends the
-    survivors' rows to ``_winnow``), the persisted gram table, and the
-    persisted shared rolling-hash table. All three persists register
-    into ``persists`` AS THEY ARE CREATED so the caller's finally
-    releases them even when this function raises mid-way."""
+    Returns ``(pdrop, bfps)`` — batch ids to drop and the batch's winnow
+    fingerprint rows (the caller appends the survivors' rows to
+    ``_winnow``). Every persist this function creates (bfps, the shared
+    rolling-hash table, the gram table) registers into the
+    caller-supplied ``persists`` list AS IT IS CREATED — cleanup
+    ownership lives entirely with the caller's finally, even when this
+    function raises mid-way; nothing persisted is part of the return
+    contract except bfps itself."""
     from etl_weather_data_pipeline_spark.operators.passages import (
         exact_passage_pairs,
         gram_positions,
@@ -767,7 +769,7 @@ def _passage_stage_drops(
     # id_b is always the batch doc (vs-store) or the larger batch id
     # (within) — store wins, smaller id wins, same policy as stage 2
     pdrop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return pdrop, bfps, grams, rh_batch
+    return pdrop, bfps
 
 
 def merge_batch_neardup_into_corpus(
@@ -968,7 +970,7 @@ def merge_batch_neardup_into_corpus(
             # a fully-CACHED survivors frame took 1.75s; the identical
             # join derived from a checkpointed frame planned in 0.34s).
             s2 = s2.localCheckpoint()
-            pdrop, bfps, _grams, _rh = _passage_stage_drops(
+            pdrop, bfps = _passage_stage_drops(
                 spark, s2, store_docs, path, text_col, id_col,
                 passage_min_run, winnow_min_shared, winnow_k, winnow_w,
                 winnow_max_df, band_buckets, persists=extra_persists,
