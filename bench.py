@@ -198,6 +198,7 @@ PROPERTY_QUERIES = [
     "kmeans_clusters",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
+    "ann_ivf_index_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",

@@ -83,15 +83,19 @@ def _centroids_of(
     return out, float(sum(r["sq"] for r in rows))
 
 
-def kmeans_fit(
+def kmeans_fit_full(
     df: DataFrame,
     k: int = 4,
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[float]]:
+) -> tuple[DataFrame, list[float], list[list[float]]]:
     """Lloyd's algorithm, fixed iteration count; returns
-    ``(assignments, sse_history)``.
+    ``(assignments, sse_history, centroids)`` — the centroid matrix is
+    the one the FINAL assignment used, so every returned assignment
+    satisfies ``cluster == argmin_index(vec, centroids)``. Freezing that
+    matrix (operators/ann_index.py) lets later vectors join the same
+    partitioning without retraining.
 
     Seeds from the k lowest-id vectors (deterministic, no RNG). The
     centroid matrix (k × dim floats) is the ONLY driver-side state.
@@ -110,7 +114,23 @@ def kmeans_fit(
         sse_history.append(sse)
         centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
         assigned = assign_clusters(df, centroids, vec_col)
-    return assigned.select(id_col, "cluster"), sse_history
+    return assigned.select(id_col, "cluster"), sse_history, centroids
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's algorithm; returns ``(assignments, sse_history)`` — see
+    :func:`kmeans_fit_full` for the variant that also returns the final
+    centroid matrix."""
+    assigned, sse_history, _ = kmeans_fit_full(
+        df, k, iterations, id_col, vec_col
+    )
+    return assigned, sse_history
 
 
 def kmeans(

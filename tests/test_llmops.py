@@ -1508,3 +1508,47 @@ def test_ivf_over_trained_kmeans_cells(spark):
         assert len(exact & set(got1)) >= 5, (exact, got1)
     finally:
         cells.unpersist()
+
+
+def test_ivf_index_store_incremental_consistency(spark, tmp_path):
+    """The persisted IVF index store (operators/ann_index.py): the
+    frozen-centroid contract means (a) build + incremental add covers
+    exactly the union, (b) every stored row — built or added — sits in
+    the cell a fresh argmin over the frozen centroids assigns it, and
+    (c) a second build over the same data reproduces the assignment
+    bit-for-bit (derived data: rebuild is always a safe recovery)."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    incr = emb.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "idx")
+    meta = AX.write_ivf_index(base, root, n_cells=8, iterations=2)
+    assert meta["n_cells"] == 8 and meta["dim"] == 64
+    assert AX.add_to_ivf_index(incr, root) == incr.count()
+    idx = AX.read_ivf_vectors(spark, root)
+    assert idx.count() == emb.count()
+    # every stored row matches a fresh assignment against the frozen
+    # centroids — added rows included
+    cents = AX._centroid_matrix(spark, root)
+    fresh = AX._assign(emb, cents, "vec_id", "embedding").select(
+        "vec_id", F.col("cell").alias("want")
+    )
+    bad = idx.join(fresh, "vec_id").filter(
+        F.col("cell") != F.col("want")
+    ).count()
+    assert bad == 0
+    # adding an empty batch is a no-op
+    assert AX.add_to_ivf_index(incr.filter(F.lit(False)), root) == 0
+    assert AX.read_ivf_vectors(spark, root).count() == emb.count()
+    # rebuild determinism: same data -> identical (vec_id, cell) table
+    root2 = str(tmp_path / "idx2")
+    AX.write_ivf_index(base, root2, n_cells=8, iterations=2)
+    a = AX.read_ivf_vectors(spark, root).filter(F.col("vec_id") % 2 == 0)
+    b = AX.read_ivf_vectors(spark, root2)
+    diff = (
+        a.select("vec_id", "cell")
+        .exceptAll(b.select("vec_id", "cell"))
+        .count()
+    )
+    assert diff == 0 and a.count() == b.count()

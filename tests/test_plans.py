@@ -856,6 +856,42 @@ def test_ivf_trained_topk_plan_shape(spark):
     release_curation_cache()
 
 
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    # the persisted IVF index (operators/ann_index.py) exists to make
+    # the probe scan partition-bounded: the cell filter must reach the
+    # scan as a PARTITION filter (directory pruning — n_probe/n_cells of
+    # the store's I/O at any scale), not a post-scan Filter; and the
+    # footer-level file listing must agree with the plan.
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators.similarity import (
+        choose_probe_cells,
+    )
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path / "index")
+    AX.write_ivf_index(emb, root, n_cells=8, iterations=2)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()[
+        "embedding"]]
+    top = AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    assert "BatchEvalPython" not in plan
+    # footer-level agreement: probed partitions hold a strict subset of
+    # the store's files, and scanning exactly those files reproduces the
+    # pruned row count
+    cells = [int(c) for c in choose_probe_cells(
+        AX.read_ivf_centroids(spark, root), qv, 3, "cell")]
+    probed = AX.probe_partition_files(root, cells)
+    assert 0 < len(probed) < len(AX.all_partition_files(root))
+    pruned_rows = AX.read_ivf_vectors(spark, root).filter(
+        F.col("cell").isin(cells)).count()
+    assert spark.read.parquet(*probed).count() == pruned_rows
+
+
 def test_frame_stats_is_maponly_arrow(spark):
     # the 1->N frame fan-out happens INSIDE the Arrow batch: one
     # MapInPandas node, ZERO exchanges — at 100 TB the operator scales
