@@ -205,6 +205,7 @@ PROPERTY_QUERIES = [
     "ann_pq_multi_topk",
     "corpus_bpe_merges",
     "corpus_bpe_apply",
+    "corpus_training_export",
     "doc_quality_classifier",
     "corpus_curation_pipeline_v2",
     "embedding_semdedup_probe",

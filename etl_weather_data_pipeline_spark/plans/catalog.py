@@ -139,91 +139,82 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-9 rotation
-# (executes the r8 verdict directive #1): (1) queries whose code changed
-# this round (embedding_semdedup_probe: scaled k + pair-volume
-# invariant; the three merge-state queries over the r9 streaming merge
-# amortization) and the round's NEW ann_ivf_trained_topk, then (2) the
-# FIVE r5-vintage rows the r8 verdict ordered rotated first
-# (pricing_summary, approx_aggregates, ann_cosine_topk,
-# doc_neardup_clusters, doc_winnow_fingerprints — age 4 at r9 if
-# deferred again), then (3) 37 of the 44 r6-vintage rows (age 3 at r9,
-# the boundary — everything not re-greened now breaches at r10), then
-# (4) the standing canaries corpus_curation_pipeline +
-# weather_pipeline_e2e (corpus_merge_state is in group 1 via the
-# streaming changes), with the round's new mapInPandas debutant
-# multimodal_frame_stats dead-LAST (worker-risk tail discipline: the
-# round-1 harness died on the only mapInPandas query; in last place a
-# repeat death costs no other query its row — and this one is the
-# UNBANKED debutant, so it risks only itself).
-# Deferred to r10 FIRST (the only r6 rows left out — all seven are
-# bench-headline at sf0.1 every round AND mirror-verified every
-# session, the lowest-marginal-evidence deferrals; age 4 at r10, so
-# r10 MUST open with them): top_revenue_orders, nation_revenue,
-# segment_order_stats, latest_event_per_user, user_sessions,
-# dedup_events_hourly, doc_dedup_exact. After them r10 takes the
-# 38-row r7 cohort (age 3 at r10) — 45 + canaries + e2e = 48 slots,
-# leaving ~2 for r10's own changes; plan r10's new-query count
-# accordingly. The r8 cohort (50 rows) banks until r11.
+# file holds exactly the first 50 registry entries). Round-10 rotation
+# (executes the r9 verdict directive #1 name-for-name): (1) the SEVEN
+# r6-vintage rows deferred from r9 (age 4 at r10 — past the <=3-round
+# evidence bound, so they open the window), (2) the full 38-row
+# r7-vintage cohort (age 3 at r10, the boundary — everything here
+# breaches at r11 if deferred), (3) the standing canaries
+# corpus_curation_pipeline + corpus_merge_state (the latter also
+# re-greens the r10 streaming return-contract trim live) and the
+# reference-parity core weather_pipeline_e2e, then (4) the round's TWO
+# debutants, exactly the budget the r9 verdict allotted:
+# ann_ivf_index_topk (persisted IVF index store; JVM-only plan) and
+# corpus_training_export dead-LAST (worker-risk tail discipline — it is
+# the round's only NEW applyInPandas consumer, so a Python-worker death
+# costs only its own, previously-nonexistent row). 7+38+3+2 = exactly
+# 50 slots.
+# Banking plan: the 44-row r8 cohort is age 2 now and MUST rotate in at
+# r11 (44 + canaries + e2e = 47 slots, leaving ~3 for r11 debutants);
+# the 50-row r9 cohort breaches at r12 — its non-canary rows (~46) fill
+# that window, so r11/r12 debutants must be capped accordingly. The two
+# r10 debutants, once green, bank until r13.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Changed this round — must re-green first:
-    "embedding_semdedup_probe",
-    "corpus_merge_state",  # standing canary, also streaming-changed
-    "corpus_neardup_merge_state",
-    "corpus_funnel_merge_state",
-    # New this round:
-    "ann_ivf_trained_topk",
-    # The five r5-vintage rows (r8 verdict directive #1, rotate FIRST):
-    "pricing_summary",
-    "approx_aggregates",
-    "ann_cosine_topk",
-    "doc_neardup_clusters",
-    "doc_winnow_fingerprints",
-    # 37 of the 44 r6-vintage rows (the seven named above defer to r10):
-    "global_order_metrics",
-    "top_orders_per_customer",
-    "user_running_value",
-    "customer_running_spend",
-    "events_enriched",
-    "events_filtered_scored",
-    "events_json_props",
-    "median_value_by_type",
-    "value_percentiles_by_type",
-    "event_type_rollup",
-    "daily_quality_summary",
-    "type_value_buckets",
-    "sliding_window_counts",
-    "session_window_stats",
-    "events_asof_orders",
-    "events_range_join",
-    "order_rankings",
-    "skewed_type_stats",
-    "doc_minhash_lsh_pairs",
-    "doc_minhash_lsh_pairs_xxh",
-    "doc_fingerprints",
-    "doc_token_counts",
-    "ann_ivf_topk",
-    "doc_gopher_quality_flags",
-    "embedding_semdedup_keep",
-    "corpus_dataset_card",
-    "doc_incremental_dedup",
-    "doc_unigram_logprob",
-    "source_token_kl",
-    "embedding_dim_stats",
-    "doc_ngram_novelty",
-    "dsir_importance_weights",
-    "doc_exact_passage_pairs",
-    "corpus_dedup_funnel",
-    "corpus_dedup_funnel_blocked",
-    "corpus_dedup_funnel_incremental",
-    "source_boilerplate_ngrams",
-    # Standing canary + reference-parity core:
+    # The seven age-4 r6-vintage rows (r9 verdict: r10 MUST open with):
+    "top_revenue_orders",
+    "nation_revenue",
+    "segment_order_stats",
+    "user_sessions",
+    "latest_event_per_user",
+    "dedup_events_hourly",
+    "doc_dedup_exact",
+    # The 38-row r7-vintage cohort (age 3 at r10):
+    "brand_part_stats",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "nationkeys_union",
+    "customer_only_nations",
+    "daily_event_type_pivot",
+    "nations_intersect",
+    "orders_cube",
+    "orders_grouping_sets",
+    "customer_string_battery",
+    "conditional_aggs",
+    "daily_counts_unpivot",
+    "kmeans_clusters",
+    "doc_duplicate_groups",
+    "doc_minhash_signatures",
+    "doc_simhash",
+    "weather_daily_summary",
+    "weather_latest",
+    "weather_seasonal_trends",
+    "weather_quality_metrics",
+    "doc_simhash_pairs",
+    "events_anomaly_zscore",
+    "doc_winnow_overlap_pairs",
+    "doc_passage_pairs_blocked",
+    "dedup_recall_probe",
+    "passage_recall_probe",
+    "events_mad_outliers_approx",
+    "corpus_ingest_history_report",
+    "corpus_mixture_plan",
+    "neardup_cluster_keep",
+    "events_zorder_layout",
+    "corpus_curriculum_stages",
+    "corpus_bpe_merges",
+    "corpus_epoch_expand",
+    "events_mad_outliers",
+    "neardup_transitivity_stats",
+    "corpus_pack_intact",
+    "corpus_pack_stats",
+    # Standing canaries + reference-parity core:
     "corpus_curation_pipeline",
+    "corpus_merge_state",
     "weather_pipeline_e2e",
-    # Dead-LAST on purpose (worker-risk tail): the round's new
-    # mapInPandas debutant — a worker death here costs only its own,
-    # previously-nonexistent, row.
-    "multimodal_frame_stats",
+    # r10 debutants (the 2-slot budget): JVM-only index store first,
+    # the applyInPandas flagship dead-LAST (worker-risk tail):
+    "ann_ivf_index_topk",
+    "corpus_training_export",
 )
 
 

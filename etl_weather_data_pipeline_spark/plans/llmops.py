@@ -6447,6 +6447,148 @@ def corpus_shard_manifest(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_training_export",
+    "The composed TRAINING-EXPORT flagship — the actual deliverable of "
+    "a training-data pipeline, chaining three operators that previously "
+    "ran only as separate queries: (1) trained-BPE tokenization "
+    "(operators/bpe.py bpe_token_counts under the shared 8-merge "
+    "_bpe_state memo — same training run corpus_bpe_merges/apply use), "
+    "(2) intact-document sequence packing over the BPE token counts "
+    "(operators/sampling.py pack_documents_intact, budget 256, 16 hash "
+    "groups), (3) deterministic 8-way shard export with a content "
+    "manifest (sinks/writers.py export_training_shards, md5 family, "
+    "files_per_shard=2 to exercise the sub-bucketed write layout). "
+    "Shards NEST the pack groups (hash_bucket(id,16) % 8 == "
+    "hash_bucket(id,8) because 8 divides 16), so every packed sequence "
+    "lands wholly inside one shard — verified from disk, not assumed. "
+    "EVERYTHING verified is computed FROM THE WRITTEN STORE (read-back "
+    "of the shard files + the _manifest table), so the export itself is "
+    "what the oracle checks. Exact per-shard cross-checks: n_docs and "
+    "n_words (a doc lost/duplicated by pack, write, or manifest "
+    "hash-fails). Invariant booleans, per shard: pack_fits_budget "
+    "(every multi-doc sequence totals <= budget — next-fit's "
+    "feasibility contract; overflow docs sit alone), "
+    "shards_align_pack_groups (stored shard == pack_group % 8 == "
+    "md5-bucket(doc_id, 8) on every row), manifest_counts_ok + "
+    "manifest_checksum_ok (the _manifest row equals a fresh count + "
+    "bit_xor(xxhash64(text)) over the read-back rows — the consumer's "
+    "shard-verification path), and bpe_total_conserved (the store-wide "
+    "BPE token total equals the training loop's final weighted symbol "
+    "total, the corpus_bpe_apply conservation invariant carried "
+    "through packing AND the parquet round-trip). BPE counts and "
+    "packing aren't SQL-replayable, so those surfaces are booleans; "
+    "the shard partition itself is md5-exact in both engines.",
+    oracle=f"""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({O_TOKS})) AS BIGINT) AS n_words,
+           TRUE AS pack_fits_budget,
+           TRUE AS shards_align_pack_groups,
+           TRUE AS manifest_counts_ok,
+           TRUE AS manifest_checksum_ok,
+           TRUE AS bpe_total_conserved
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_training_export(spark, sf_dir):
+    import tempfile
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from etl_weather_data_pipeline_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+    from etl_weather_data_pipeline_spark.operators.sampling import (
+        pack_documents_intact,
+    )
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        export_training_shards,
+    )
+
+    budget = 256
+    release_curation_cache()
+    docs = load(spark, sf_dir, "documents")
+    merges, vocab, base_total = _bpe_state(docs, sf_dir)
+    final_total = (
+        merges[-1].total_symbols_after if merges else base_total
+    )
+    counts = bpe_token_counts(docs, vocab).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _CURATION_PERSISTED.append(counts)
+    asg = pack_documents_intact(
+        counts.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+        budget=budget,
+        n_groups=16,
+    )
+    export_df = (
+        docs.select("doc_id", "source", "text")
+        .join(counts, "doc_id")
+        .join(asg, "doc_id")
+    )
+    root = tempfile.mkdtemp(prefix="corpus_training_export_") + "/shards"
+    export_training_shards(
+        export_df,
+        root,
+        n_shards=8,
+        key_col="doc_id",
+        hash_family="md5",
+        checksum_col="text",
+        files_per_shard=2,
+    )
+    # everything below reads the WRITTEN store — the export is the
+    # thing verified, not the plan that produced it
+    store = spark.read.parquet(root).persist(StorageLevel.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(store)
+    manifest = spark.read.parquet(f"{root}/_manifest")
+    # sequence grain first (pack feasibility), then shard rollup
+    seqv = (
+        store.groupBy("shard", "pack_group", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("n_bpe_tokens").alias("__tot"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.min(
+                (F.col("__n") == 1) | (F.col("__tot") <= budget)
+            ).alias("pack_fits_budget")
+        )
+    )
+    per_shard = store.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.min(F.pmod(F.col("pack_group"), F.lit(8)) == F.col("shard"))
+        .alias("shards_align_pack_groups"),
+        F.sum("n_bpe_tokens").cast("long").alias("__bpe"),
+        F.bit_xor(F.xxhash64(F.col("text"))).alias("__ck"),
+    )
+    g = Window.partitionBy()
+    return (
+        per_shard.join(seqv, "shard")
+        .join(F.broadcast(manifest), "shard")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_words",
+            "pack_fits_budget",
+            "shards_align_pack_groups",
+            (F.col("n_rows") == F.col("n_docs")).alias(
+                "manifest_counts_ok"
+            ),
+            (F.col("content_checksum") == F.col("__ck")).alias(
+                "manifest_checksum_ok"
+            ),
+            (
+                F.sum("__bpe").over(g) == F.lit(final_total)
+            ).alias("bpe_total_conserved"),
+        )
+    )
+
+
 # Shared mixture-rate derivation: ONE source of truth for the planning
 # view (corpus_mixture_plan) and the materializer (corpus_epoch_expand),
 # on both engines — the SQL CTE chain below and _mixture_rates are
