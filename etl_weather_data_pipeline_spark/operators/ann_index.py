@@ -141,6 +141,44 @@ def write_ivf_index(
     return meta
 
 
+def ensure_ivf_index(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Bootstrap an EMPTY index from an externally trained centroid
+    matrix (no vectors written — pair with :func:`add_to_ivf_index`).
+    No-op when the index already exists. Returns True if created.
+
+    This is the streaming bootstrap path (streaming/corpus.py semantic
+    stage): the first micro-batch trains the quantizer, the index is
+    created empty AFTER the batch's admissions are decided, and every
+    batch — the first included — appends its survivors through the one
+    add path, so the store invariant (cell == argmin over frozen
+    centroids) holds by construction."""
+    if os.path.exists(_meta_path(path)):
+        return False
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent_df.repartition(1).write.mode("overwrite").parquet(
+        f"{path}/{CENTROIDS_SUBDIR}"
+    )
+    meta = {
+        "n_cells": len(centroids),
+        "dim": len(centroids[0]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "metric": "sq_l2_assign/cosine_probe",
+    }
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f)
+    return True
+
+
 def add_to_ivf_index(df_new: DataFrame, path: str) -> int:
     """Incremental add: assign new vectors against the FROZEN centroids
     (map-only argmin — the store is never read, let alone shuffled) and

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_weather_data_pipeline_spark.functions import text as TX
+from etl_weather_data_pipeline_spark.functions import vector as VX
 
 DOC_STREAM_SCHEMA = (
     "doc_id long, text string, lang string, source string, "
@@ -772,6 +773,104 @@ def _passage_stage_drops(
     return pdrop, bfps
 
 
+VECTORS_IVF_SUBDIR = "_vectors_ivf"  # stage-4 IVF index (underscore: hidden)
+
+
+def _semantic_stage_drops(
+    spark: SparkSession,
+    s3: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_cells: int,
+    iterations: int,
+):
+    """Stage 4 of the streaming funnel (OPT-IN via ``embedding_col``):
+    SemDeDup-style semantic dedup — k-means cells bound the pairwise
+    cosine stage exactly as in the batch-side `embedding_semdedup_probe`
+    (Abbas et al. 2023), with the cells coming from the store's
+    persisted IVF index (operators/ann_index.py — the `_bands`/`_winnow`
+    machinery generalized to vectors).
+
+    Bootstrap: the first vector-bearing batch trains the quantizer
+    (deterministic k-means over its own stage-3 survivors) and the
+    frozen centroids persist under ``<path>/_vectors_ivf``; every later
+    batch assigns against them map-only. Probe shape mirrors the band
+    probe's locality contract: the batch's occupied cells are a tiny
+    driver list, the store's vector table is read PARTITION-PRUNED to
+    exactly those cells, and the (batch-bounded) assigned batch side
+    broadcasts into the join — the store never shuffles. Within-batch
+    pairs come from a same-cell self-join (cluster-bounded, the
+    SemDeDup tractability argument). Store wins; smaller id wins
+    within a batch.
+
+    Returns ``(sdrop, centroids)`` — batch ids to drop (or None when
+    the batch has no vectors to judge) and the frozen centroid matrix
+    (for the caller's post-admission index append).
+    """
+    import os as _os
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        kmeans_fit_full,
+    )
+
+    vroot = f"{path}/{VECTORS_IVF_SUBDIR}"
+    index_exists = _os.path.exists(AX._meta_path(vroot))
+    if index_exists:
+        cents = AX._centroid_matrix(spark, vroot)
+    else:
+        if s3.isEmpty():
+            return None, None
+        _, _, cents = kmeans_fit_full(
+            s3, k=n_cells, iterations=iterations, id_col=id_col,
+            vec_col=vec_col,
+        )
+    asg = AX._assign(s3, cents, id_col, vec_col)
+    la = asg.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cell"),
+        F.col(vec_col).alias("__va"),
+    )
+    lb = asg.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cell"),
+        F.col(vec_col).alias("__vb"),
+    )
+    sim = None
+    within = (
+        la.join(lb, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(VX.cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("id_b")
+    )
+    sim = within
+    if index_exists and _os.path.isdir(f"{vroot}/{AX.VECTORS_SUBDIR}"):
+        occupied = [
+            r["cell"] for r in asg.select("cell").distinct().collect()
+        ]
+        if occupied:
+            # partition-pruned store read (only the batch's cells) +
+            # broadcast of the batch side: the store scans, never
+            # shuffles — the _probe_fresh locality contract for vectors
+            store_vec = (
+                AX.read_ivf_vectors(spark, vroot)
+                .filter(F.col("cell").isin(occupied))
+                .select(F.col("cell"), F.col(vec_col).alias("__va"))
+            )
+            vs_store = (
+                store_vec.join(F.broadcast(lb), "cell")
+                .filter(
+                    VX.cosine(F.col("__va"), F.col("__vb")) >= threshold
+                )
+                .select("id_b")
+            )
+            sim = within.unionByName(vs_store)
+    sdrop = sim.distinct().select(F.col("id_b").alias(id_col))
+    return sdrop, cents
+
+
 def merge_batch_neardup_into_corpus(
     batch_df: DataFrame,
     path: str,
@@ -789,6 +888,10 @@ def merge_batch_neardup_into_corpus(
     winnow_k: int = 8,
     winnow_w: int = 4,
     winnow_max_df: int = 50,
+    embedding_col: str | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_cells: int = 8,
+    semantic_iterations: int = 2,
 ) -> int:
     """Near-dup-aware merge: append only batch docs that are neither
     exact NOR near duplicates of the store (or of a surviving smaller-id
@@ -828,8 +931,30 @@ def merge_batch_neardup_into_corpus(
        run `compact_corpus_side_tables` (or
        `backfill_winnow_fingerprints`) to restore full stage-3
        coverage before relying on it;
-    4. survivors append to the store, their band rows to ``_bands``
-       (and, with stage 3 on, their fingerprint rows to ``_winnow``).
+    4. OPTIONAL semantic stage (``embedding_col='embedding'``) —
+       SemDeDup at per-batch cadence: batch vectors assign map-only to
+       the FROZEN k-means cells of the store's persisted IVF index
+       (``<path>/_vectors_ivf``, operators/ann_index.py — trained once
+       on the first vector-bearing batch), within-cell cosine >=
+       ``semantic_threshold`` drops the batch doc (store wins; smaller
+       id wins within a batch). The store's vector table is read
+       partition-pruned to the batch's occupied cells with the batch
+       side broadcast — the store never shuffles. Vectors live ONLY in
+       the index side table (the main store's schema is identical with
+       the stage on or off). Fail-open semantics, weaker than
+       ``_bands``/``_winnow``: the index is NOT rebuildable from the
+       store (the store keeps no vectors), so a crash between the
+       survivors append and the index append — or toggling the stage
+       on over an existing store — leaves a coverage gap that only
+       weakens future semantic recall, never admissions already made;
+       re-feeding embeddings is the only backfill. The batch-periodic
+       corpus-global SemDeDup (`embedding_semdedup_probe`'s machinery)
+       remains the audit: per-batch stage 4 can only judge against
+       cells trained on early data, while the periodic pass retrains
+       on the full corpus;
+    5. survivors append to the store, their band rows to ``_bands``
+       (with stage 3 on, fingerprint rows to ``_winnow``; with stage 4
+       on, their vectors to the ``_vectors_ivf`` index).
 
     Scale: the store-side work is two column-pruned probes (fingerprint
     keys; band keys) plus a semi-joined text lookup for verify
@@ -979,6 +1104,26 @@ def merge_batch_neardup_into_corpus(
         else:
             bfps = None
             survivors = s2
+        sem_cents = None
+        if embedding_col is not None:
+            # --- stage 4 (opt-in): semantic dedup against the store's
+            # persisted IVF vector index. Checkpoint the stage-3
+            # survivor set first: the k-means bootstrap and the
+            # assign/probe chain issue several actions over it, and the
+            # per-action planning tax on the stacked funnel tree is the
+            # measured r9 cost this file's checkpoint discipline exists
+            # to avoid. History folds these drops into
+            # n_neardup_dropped like stage 3 (all three are near-
+            # duplicate mechanisms; the decomposition invariant holds).
+            s3 = survivors.localCheckpoint()
+            sdrop, sem_cents = _semantic_stage_drops(
+                spark, s3, path, id_col, embedding_col,
+                semantic_threshold, semantic_cells, semantic_iterations,
+            )
+            survivors = (
+                s3 if sdrop is None
+                else s3.join(sdrop, id_col, "left_anti")
+            )
         # ONE planning pass for the survivor set: the eager checkpoint
         # both materializes the chain (the store write needs
         # path-independent rows anyway — recache-by-path would
@@ -1018,7 +1163,14 @@ def merge_batch_neardup_into_corpus(
                 if cached is not None:
                     cached.unpersist()
             fresh.unpersist()
-            writer = out.write.mode("append")
+            # vectors live in the _vectors_ivf side index only — the
+            # main store's schema stays identical whether the semantic
+            # stage is on or off (appends must never fork the schema)
+            doc_out = (
+                out.drop(embedding_col) if embedding_col is not None
+                else out
+            )
+            writer = doc_out.write.mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
@@ -1033,6 +1185,20 @@ def merge_batch_neardup_into_corpus(
                     f"{path}/{WINNOW_SUBDIR}",
                     _WINNOW_SPEC,
                     band_buckets,
+                )
+            if embedding_col is not None and sem_cents is not None:
+                from etl_weather_data_pipeline_spark.operators import (
+                    ann_index as AX,
+                )
+
+                vroot = f"{path}/{VECTORS_IVF_SUBDIR}"
+                AX.ensure_ivf_index(
+                    spark, vroot, sem_cents, id_col=id_col,
+                    vec_col=embedding_col,
+                )
+                AX.add_to_ivf_index(
+                    out.select(F.col(id_col), F.col(embedding_col)),
+                    vroot,
                 )
     finally:
         # Every persist releases even when a stage or store write
@@ -1060,9 +1226,11 @@ def start_corpus_neardup_merge_sink(
     band_buckets: int = 64,
     compact_every: int | None = None,
     passage_min_run: int | None = None,
+    embedding_col: str | None = None,
 ):
     """foreachBatch sink running the near-dup-aware merge per micro-batch
-    (see merge_batch_neardup_into_corpus).
+    (see merge_batch_neardup_into_corpus; ``embedding_col`` switches on
+    the stage-4 semantic dedup against the persisted IVF vector index).
 
     ``compact_every=N`` folds side-table maintenance into the sink
     itself: every N-th batch id triggers `compact_corpus_side_tables`
@@ -1076,6 +1244,7 @@ def start_corpus_neardup_merge_sink(
         merge_batch_neardup_into_corpus(
             batch_df, path, partition_by=partition_by,
             band_buckets=band_buckets, passage_min_run=passage_min_run,
+            embedding_col=embedding_col,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_corpus_side_tables(

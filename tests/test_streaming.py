@@ -1346,3 +1346,99 @@ def test_funnel_merge_action_discipline(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert len(ckpts) == 4, [c.columns for c in ckpts]
     assert len(persists) == 5, [p.columns for p in persists]
+
+
+def test_semantic_stage_drops_embedding_neardups(spark, tmp_path):
+    """Stage 4 (opt-in embedding_col): near-identical EMBEDDINGS are
+    dropped even when their texts share nothing (stages 1-3 blind to
+    them) — within-batch (smaller id wins) and vs the store's persisted
+    _vectors_ivf index (store wins); replay appends nothing; the main
+    store never grows an embedding column; every indexed vector sits in
+    its frozen-centroid argmin cell."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "corpus")
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    v0 = [float(x) for x in (5, -3, 2, -1, 4, -2, 1, 3)]
+    v1 = [float(x) for x in (-4, 2, -5, 3, -1, 5, -2, -3)]
+    v2 = [float(x) for x in (1, 5, -4, -2, 3, -5, 2, -1)]
+    v11 = [float(x) for x in (-2, -4, 1, 5, -3, 2, 4, -5)]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) * sum(y * y for y in b)) ** 0.5
+        return num / den
+
+    # precondition: the distinct vectors are nowhere near the threshold
+    base = [v0, v1, v2, v11]
+    assert all(
+        cos(a, b) < 0.6
+        for i, a in enumerate(base)
+        for b in base[i + 1:]
+    )
+
+    def pert(v):  # cosine ~0.9997 to v — same perturbation SemDeDup uses
+        return [x * (1.0 + 0.01 * ((i % 3) - 1)) for i, x in enumerate(v)]
+
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def merge(rows):
+        return merge_batch_neardup_into_corpus(
+            spark.createDataFrame(rows, schema),
+            store,
+            embedding_col="embedding",
+            semantic_cells=2,
+            history=False,
+        )
+
+    # batch 1: three distinct docs + doc 3 whose TEXT is unique but
+    # whose embedding near-duplicates doc 2 -> only 0,1,2 survive
+    n1 = merge(
+        [
+            (0, "alpha bravo charlie delta echo", v0),
+            (1, "foxtrot golf hotel india juliet", v1),
+            (2, "kilo lima mike november oscar", v2),
+            (3, "papa quebec romeo sierra tango", pert(v2)),
+        ]
+    )
+    assert n1 == 3
+    assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {
+        0, 1, 2,
+    }
+    # vectors live ONLY in the index; the doc store has no embedding col
+    assert "embedding" not in spark.read.parquet(store).columns
+    assert AX.read_ivf_vectors(spark, vroot).count() == 3
+
+    # batch 2: doc 10 semantically duplicates STORED doc 1 (new text);
+    # doc 11 is genuinely new -> only 11 admitted
+    batch2 = [
+        (10, "uniform victor whiskey xray yankee", pert(v1)),
+        (11, "zulu archer baker castle dancer", v11),
+    ]
+    assert merge(batch2) == 1
+    assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {
+        0, 1, 2, 11,
+    }
+    idx = AX.read_ivf_vectors(spark, vroot)
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {
+        0, 1, 2, 11,
+    }
+    # replay of batch 2: every doc dies at stage 1 (fingerprint probe),
+    # nothing appends anywhere — store and index unchanged
+    assert merge(batch2) == 0
+    assert spark.read.parquet(store).count() == 4
+    assert AX.read_ivf_vectors(spark, vroot).count() == 4
+    # index store invariant: cell == argmin over the FROZEN centroids
+    cents = AX._centroid_matrix(spark, vroot)
+    bad = idx.filter(
+        F.col("cell") != argmin_index(F.col("embedding"), cents).cast("int")
+    ).count()
+    assert bad == 0
