@@ -74,14 +74,25 @@ def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/{CENTROIDS_SUBDIR}")
 
 
-def _centroid_matrix(spark: SparkSession, path: str) -> list[list[float]]:
+def read_ivf_centroid_matrix(
+    spark: SparkSession, path: str
+) -> list[list[float]]:
+    """The frozen quantizer as a k×dim driver literal matrix, ordered by
+    cell id — the form :func:`assign_cells` consumes."""
     rows = read_ivf_centroids(spark, path).collect()
     mat = {r["cell"]: [float(x) for x in r["centroid"]] for r in rows}
     return [mat[i] for i in range(len(mat))]
 
 
-def _assign(df: DataFrame, centroids: list[list[float]],
-            id_col: str, vec_col: str) -> DataFrame:
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, cell) with cell = codegen'd argmin over the centroid
+    literals (operators/kmeans.py argmin_index) — map-only, no shuffle,
+    no broadcast; the assignment rule every index row must satisfy."""
     return df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -120,7 +131,7 @@ def write_ivf_index(
         df, k=n_cells, iterations=iterations, id_col=id_col,
         vec_col=vec_col,
     )
-    assigned = _assign(df, centroids, id_col, vec_col)
+    assigned = assign_cells(df, centroids, id_col, vec_col)
     _append_vectors(assigned, path, mode="overwrite")
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
@@ -193,8 +204,8 @@ def add_to_ivf_index(df_new: DataFrame, path: str) -> int:
     boundary: the caller dedups its feed; replays double vectors."""
     spark = df_new.sparkSession
     meta = read_ivf_meta(path)
-    centroids = _centroid_matrix(spark, path)
-    assigned = _assign(
+    centroids = read_ivf_centroid_matrix(spark, path)
+    assigned = assign_cells(
         df_new, centroids, meta["id_col"], meta["vec_col"]
     ).localCheckpoint()  # count + write from one materialization
     n = assigned.count()

@@ -1680,7 +1680,7 @@ def ann_ivf_index_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") % 2 == 1), root
     )
     idx = AX.read_ivf_vectors(spark, root)
-    cents = AX._centroid_matrix(spark, root)
+    cents = AX.read_ivf_centroid_matrix(spark, root)
     qv = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]

@@ -819,7 +819,7 @@ def _semantic_stage_drops(
     vroot = f"{path}/{VECTORS_IVF_SUBDIR}"
     index_exists = _os.path.exists(AX._meta_path(vroot))
     if index_exists:
-        cents = AX._centroid_matrix(spark, vroot)
+        cents = AX.read_ivf_centroid_matrix(spark, vroot)
     else:
         if s3.isEmpty():
             return None, None
@@ -827,7 +827,7 @@ def _semantic_stage_drops(
             s3, k=n_cells, iterations=iterations, id_col=id_col,
             vec_col=vec_col,
         )
-    asg = AX._assign(s3, cents, id_col, vec_col)
+    asg = AX.assign_cells(s3, cents, id_col, vec_col)
     la = asg.select(
         F.col(id_col).alias("id_a"),
         F.col("cell"),
@@ -838,7 +838,6 @@ def _semantic_stage_drops(
         F.col("cell"),
         F.col(vec_col).alias("__vb"),
     )
-    sim = None
     within = (
         la.join(lb, "cell")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -1530,8 +1530,8 @@ def test_ivf_index_store_incremental_consistency(spark, tmp_path):
     assert idx.count() == emb.count()
     # every stored row matches a fresh assignment against the frozen
     # centroids — added rows included
-    cents = AX._centroid_matrix(spark, root)
-    fresh = AX._assign(emb, cents, "vec_id", "embedding").select(
+    cents = AX.read_ivf_centroid_matrix(spark, root)
+    fresh = AX.assign_cells(emb, cents, "vec_id", "embedding").select(
         "vec_id", F.col("cell").alias("want")
     )
     bad = idx.join(fresh, "vec_id").filter(

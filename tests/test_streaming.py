@@ -1437,7 +1437,7 @@ def test_semantic_stage_drops_embedding_neardups(spark, tmp_path):
     assert spark.read.parquet(store).count() == 4
     assert AX.read_ivf_vectors(spark, vroot).count() == 4
     # index store invariant: cell == argmin over the FROZEN centroids
-    cents = AX._centroid_matrix(spark, vroot)
+    cents = AX.read_ivf_centroid_matrix(spark, vroot)
     bad = idx.filter(
         F.col("cell") != argmin_index(F.col("embedding"), cents).cast("int")
     ).count()
