@@ -218,6 +218,56 @@ def read_ivf_vectors(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/{VECTORS_SUBDIR}")
 
 
+def compact_ivf_index(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> dict[str, int]:
+    """Fold the per-batch append files inside each `cell=` partition —
+    the maintenance op the incremental add path needs: every
+    :func:`add_to_ivf_index` leaves one file per touched cell, and at
+    streaming cadence the probe's file-open overhead grows linearly
+    with batches. Per-partition sizing + staged-swap crash safety come
+    from :func:`sinks.writers.compact_parquet` (the rewrite never moves
+    a row across cells, so the store invariant is untouched). No-op
+    {0,0} when the index has no vectors yet."""
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        compact_parquet,
+    )
+
+    vdir = f"{path}/{VECTORS_SUBDIR}"
+    if not os.path.isdir(vdir):
+        return {"files_before": 0, "files_after": 0}
+    return compact_parquet(
+        spark, vdir, partition_by=("cell",), target_file_mb=target_file_mb
+    )
+
+
+def audit_ivf_coverage(
+    spark: SparkSession,
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ids from ``ids`` that the index is MISSING — the detection tool
+    for the documented fail-open gap (a crash between a corpus append
+    and the index append, or batches merged with the semantic stage
+    off, leave rows the index cannot judge against). The index is not
+    rebuildable from a vector-less corpus store, so the remedy is
+    re-feeding embeddings for exactly these ids through
+    :func:`add_to_ivf_index`; this audit makes the gap a measurable,
+    closeable work-list instead of silent recall loss.
+
+    Shape: both sides column-pruned to the id; one anti-join shuffle on
+    the key — an offline audit pass, not a per-batch probe. An index
+    with no vectors yet reports every input id missing (it is)."""
+    meta = read_ivf_meta(path)
+    vdir = f"{path}/{VECTORS_SUBDIR}"
+    want = ids.select(F.col(id_col).alias(meta["id_col"])).distinct()
+    if not os.path.isdir(vdir):
+        return want
+    have = read_ivf_vectors(spark, path).select(meta["id_col"])
+    return want.join(have, meta["id_col"], "left_anti")
+
+
 def probe_partition_files(path: str, cells: list[int]) -> list[str]:
     """Parquet files inside the given `cell=` partition dirs — the
     footer-level evidence (used by tests and the driver query) that a

@@ -252,6 +252,7 @@ _BANDS_SPEC = _SideSpec(
     bucket_cols=("band_idx", "band_val"),
 )
 WINNOW_SUBDIR = "_winnow"  # stage-3 sketch rows (underscore: hidden)
+VECTORS_IVF_SUBDIR = "_vectors_ivf"  # stage-4 IVF index (underscore: hidden)
 _WINNOW_SPEC = _SideSpec(
     subdir=WINNOW_SUBDIR,
     prefix="corpus_winnow_",
@@ -572,6 +573,18 @@ def compact_corpus_side_tables(
         out[label] = {"files_before": n_before, "files_after": n_after}
         if spec is _WINNOW_SPEC:
             out[label]["backfilled_rows"] = backfilled
+    # stage-4 vector index (when the semantic stage has run): fold the
+    # one-file-per-touched-cell-per-batch appends inside each cell=
+    # partition — same cadence, same staged-swap crash safety; the
+    # rewrite never moves a row across cells, so the probe's partition
+    # pruning and the store invariant are untouched
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+
+    vroot = f"{path}/{VECTORS_IVF_SUBDIR}"
+    if os.path.exists(AX._meta_path(vroot)):
+        out["vectors_ivf"] = AX.compact_ivf_index(
+            spark, vroot, target_file_mb=target_file_mb
+        )
     return out
 
 
@@ -771,9 +784,6 @@ def _passage_stage_drops(
     # (within) — store wins, smaller id wins, same policy as stage 2
     pdrop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return pdrop, bfps
-
-
-VECTORS_IVF_SUBDIR = "_vectors_ivf"  # stage-4 IVF index (underscore: hidden)
 
 
 def _semantic_stage_drops(

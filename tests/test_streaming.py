@@ -1442,3 +1442,88 @@ def test_semantic_stage_drops_embedding_neardups(spark, tmp_path):
         F.col("cell") != argmin_index(F.col("embedding"), cents).cast("int")
     ).count()
     assert bad == 0
+
+
+def test_ivf_index_compaction_and_coverage_audit(spark, tmp_path):
+    """Operational closure of the stage-4 side index: (a) repeated
+    incremental adds leave one file per touched cell per batch and
+    compact_corpus_side_tables folds them per cell= partition WITHOUT
+    changing probe results or the store invariant; (b) a batch merged
+    with the semantic stage OFF creates exactly the documented coverage
+    gap, audit_ivf_coverage names those ids, and re-feeding their
+    embeddings through add_to_ivf_index closes it."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        compact_corpus_side_tables,
+        merge_batch_neardup_into_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "corpus")
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def vec(seed):
+        return [float(((seed * 37 + i * 11) % 13) - 6) for i in range(8)]
+
+    def batch(ids, with_vec=True):
+        rows = [
+            (i, f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(8)),
+             vec(i))
+            for i in ids
+        ]
+        if with_vec:
+            return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string"
+        )
+
+    # three vector-bearing merges -> >=2 files in the busiest cell
+    merge = lambda df, **kw: merge_batch_neardup_into_corpus(
+        df, store, semantic_cells=2, history=False, band_buckets=8, **kw
+    )
+    merge(batch([0, 1, 2, 3]), embedding_col="embedding")
+    merge(batch([10, 11]), embedding_col="embedding")
+    merge(batch([20, 21]), embedding_col="embedding")
+    files_before = AX.all_partition_files(vroot)
+    idx_before = sorted(
+        tuple(r)
+        for r in AX.read_ivf_vectors(spark, vroot)
+        .select("doc_id", "cell")
+        .collect()
+    )
+    qv = vec(0)
+    top_before = [
+        tuple(r)
+        for r in AX.ivf_index_topk(spark, vroot, qv, k=5, n_probe=2)
+        .collect()
+    ]
+    report = compact_corpus_side_tables(spark, store, band_buckets=8)
+    assert report["vectors_ivf"]["files_after"] < len(files_before)
+    idx_after = sorted(
+        tuple(r)
+        for r in AX.read_ivf_vectors(spark, vroot)
+        .select("doc_id", "cell")
+        .collect()
+    )
+    assert idx_after == idx_before  # compaction moved no row across cells
+    top_after = [
+        tuple(r)
+        for r in AX.ivf_index_topk(spark, vroot, qv, k=5, n_probe=2)
+        .collect()
+    ]
+    assert top_after == top_before
+
+    # a semantic-off merge opens the documented gap; the audit names it
+    merge(batch([30, 31], with_vec=False))
+    store_ids = spark.read.parquet(store).select("doc_id")
+    missing = AX.audit_ivf_coverage(spark, store_ids, vroot, "doc_id")
+    assert {r["doc_id"] for r in missing.collect()} == {30, 31}
+    # re-feeding embeddings for exactly those ids closes it
+    AX.add_to_ivf_index(
+        batch([30, 31]).select("doc_id", "embedding"), vroot
+    )
+    assert AX.audit_ivf_coverage(
+        spark, store_ids, vroot, "doc_id"
+    ).isEmpty()
