@@ -900,3 +900,22 @@ def test_frame_stats_is_maponly_arrow(spark):
     assert n_nodes(p, "MapInPandas") == 1, p
     assert n_nodes(p, "Exchange") == 0, p
     assert "BatchEvalPython" not in p
+
+
+def test_training_export_plan_shape(spark):
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    # everything the query verifies reads the WRITTEN shard store, which
+    # persists ONCE and feeds both the shard-grain and sequence-grain
+    # aggregates from cache (two-branch re-evaluation trap); the tiny
+    # 8-row manifest/seq frames broadcast; the packer's applyInPandas
+    # ran during the export write, so the verification plan itself is
+    # pure JVM — no Python worker, no sort-merge join, no cartesian
+    p = plan_of(spark, "corpus_training_export")
+    assert n_nodes(p, "InMemoryTableScan") >= 2, p
+    assert n_nodes(p, "BatchEvalPython") == 0
+    assert n_nodes(p, "SortMergeJoin") == 0, p
+    assert "CartesianProduct" not in p
+    release_curation_cache()
