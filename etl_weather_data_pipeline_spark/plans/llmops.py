@@ -1714,7 +1714,12 @@ def ann_ivf_index_topk(spark, sf_dir):
             )
         ],
     )
-    cand3 = spark.read.parquet(*probed_files).count()
+    # probed cells are the nearest to a query vector that IS in the
+    # index, so in practice they hold files — but an empty probed cell
+    # writes no dir, and read.parquet() with zero paths raises
+    cand3 = (
+        spark.read.parquet(*probed_files).count() if probed_files else 0
+    )
     n_files_probed = len(probed_files)
     n_files_all = len(AX.all_partition_files(root))
     return spark.range(1).select(
