@@ -92,11 +92,31 @@ def assign_cells(
 ) -> DataFrame:
     """(id, vec, cell) with cell = codegen'd argmin over the centroid
     literals (operators/kmeans.py argmin_index) — map-only, no shuffle,
-    no broadcast; the assignment rule every index row must satisfy."""
+    no broadcast; the assignment rule every index row must satisfy.
+
+    Dimension-guarded: a vector whose length differs from the
+    quantizer's raises IN-PLAN instead of mis-assigning silently
+    (zip_with pads the shorter side with nulls, the distance sums go
+    null, and the argmin when-chain would fall through to the LAST
+    cell — a wrong index row that no downstream check but the store
+    invariant could catch)."""
+    dim = len(centroids[0])
+    vec = F.col(vec_col)
+    guarded = F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.printf(
+                F.lit(
+                    "ann_index.assign_cells: vector dim %s != "
+                    f"quantizer dim {dim}"
+                ),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
     return df.select(
         F.col(id_col),
         F.col(vec_col),
-        argmin_index(F.col(vec_col), centroids).cast("int").alias("cell"),
+        argmin_index(guarded, centroids).cast("int").alias("cell"),
     )
 
 

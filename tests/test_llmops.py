@@ -1552,3 +1552,21 @@ def test_ivf_index_store_incremental_consistency(spark, tmp_path):
         .count()
     )
     assert diff == 0 and a.count() == b.count()
+
+
+def test_ivf_index_rejects_dim_mismatch(spark, tmp_path):
+    """A vector whose length differs from the frozen quantizer's must
+    raise IN-PLAN, not silently mis-assign (zip_with null-pads, the
+    argmin when-chain falls through to the last cell)."""
+    import pytest as _pytest
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "idx")
+    AX.write_ivf_index(emb, root, n_cells=4, iterations=1)
+    bad = spark.createDataFrame(
+        [(999999, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="vector dim 3 != quantizer dim"):
+        AX.add_to_ivf_index(bad, root)
