@@ -131,6 +131,49 @@ def _append_vectors(assigned: DataFrame, path: str, mode: str) -> None:
     )
 
 
+def residual_codes_expr(
+    vec_col: str,
+    cell_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+):
+    """codes[s] = index of the nearest codebook centroid to subspace s
+    of the RESIDUAL x − centroid(cell) — FAISS IVF-PQ's code rule (the
+    residual's energy is what's left after the coarse quantizer, so at
+    any byte budget residual codes reconstruct tighter than raw-vector
+    codes; the r8 ann_ivfpq_residual_topk ANOVA argument). Pure
+    codegen: when-chain centroid lookup on the cell + zip_with subtract
+    + per-subspace literal argmin. THE code rule — shared by the build
+    path, the incremental add path, and the store-invariant recompute,
+    so they cannot drift."""
+    cent = None
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(v)) for v in c])
+        cond = F.col(cell_col) == F.lit(i)
+        cent = F.when(cond, lit) if cent is None else cent.when(cond, lit)
+    res = F.zip_with(
+        F.col(vec_col), cent, lambda a, b: a.cast("double") - b
+    )
+    sd = len(codebooks[0][0])
+    return F.array(
+        *[
+            argmin_index(F.slice(res, s * sd + 1, sd), cb)
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def _with_codes(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    return assigned.withColumn(
+        "codes", residual_codes_expr(vec_col, "cell", centroids, codebooks)
+    )
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -138,6 +181,9 @@ def write_ivf_index(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_iterations: int = 3,
 ) -> dict:
     """Build the index: train, assign, write `cell=`-partitioned vectors
     + frozen centroids + a params marker. Returns the meta dict.
@@ -145,13 +191,48 @@ def write_ivf_index(
     Training is deterministic (kmeans_fit_full: lowest-id seeds, fixed
     iterations), so two builds over the same data produce byte-identical
     assignments — the rebuild-equals-store recovery contract.
-    """
+
+    ``pq_m``: also train an ``m``-subspace, ``pq_k``-centroid residual
+    product quantizer (operators/quantization.py pq_fit over
+    x − centroid(cell)) and store a ``codes array<int>`` column next to
+    each vector — the FAISS IVFADC layout. The codebooks freeze into
+    the meta marker (m·k·(dim/m) driver floats), so incremental adds
+    encode with the same rule. An ADC probe
+    (:func:`ivf_index_topk` ``method='adc'``) then reads ONLY
+    (id, cell, codes) from the probed partitions — column pruning
+    stacks on partition pruning, dim floats → m ints per row of I/O."""
     spark = df.sparkSession
     _, _, centroids = kmeans_fit_full(
         df, k=n_cells, iterations=iterations, id_col=id_col,
         vec_col=vec_col,
     )
     assigned = assign_cells(df, centroids, id_col, vec_col)
+    meta = {
+        "n_cells": n_cells,
+        "dim": len(centroids[0]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "metric": "sq_l2_assign/cosine_probe",
+    }
+    if pq_m is not None:
+        from etl_weather_data_pipeline_spark.operators.quantization import (
+            pq_fit,
+            pq_residual_frame,
+        )
+
+        res = pq_residual_frame(
+            assigned,
+            {i: c for i, c in enumerate(centroids)},
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col="cell",
+        )
+        codebooks, _ = pq_fit(
+            res, m=pq_m, k=pq_k, iterations=pq_iterations,
+            id_col=id_col, vec_col="__res",
+        )
+        assigned = _with_codes(assigned, centroids, codebooks, vec_col)
+        meta["pq"] = {"m": pq_m, "k": pq_k, "codebooks": codebooks}
     _append_vectors(assigned, path, mode="overwrite")
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
@@ -160,13 +241,6 @@ def write_ivf_index(
     cent_df.repartition(1).write.mode("overwrite").parquet(
         f"{path}/{CENTROIDS_SUBDIR}"
     )
-    meta = {
-        "n_cells": n_cells,
-        "dim": len(centroids[0]),
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "metric": "sq_l2_assign/cosine_probe",
-    }
     with open(_meta_path(path), "w") as f:
         json.dump(meta, f)
     return meta
@@ -227,7 +301,14 @@ def add_to_ivf_index(df_new: DataFrame, path: str) -> int:
     centroids = read_ivf_centroid_matrix(spark, path)
     assigned = assign_cells(
         df_new, centroids, meta["id_col"], meta["vec_col"]
-    ).localCheckpoint()  # count + write from one materialization
+    )
+    if "pq" in meta:
+        # frozen codebooks: an added vector's codes equal the codes a
+        # rebuild with these codebooks would give it (same shared rule)
+        assigned = _with_codes(
+            assigned, centroids, meta["pq"]["codebooks"], meta["vec_col"]
+        )
+    assigned = assigned.localCheckpoint()  # count + write: ONE materialization
     n = assigned.count()
     if n:
         _append_vectors(assigned, path, mode="append")
@@ -322,12 +403,33 @@ def ivf_index_topk(
     query_vec: list[float],
     k: int = 10,
     n_probe: int = 3,
+    method: str = "exact",
+    rerank: int | None = None,
 ) -> DataFrame:
-    """Probe the persisted index: top-k cosine among the vectors in the
+    """Probe the persisted index: top-k among the vectors in the
     n_probe nearest cells. The cell filter hits a Hive partition column,
     so Catalyst prunes the scan to those directories (PartitionFilters)
     — no row outside the probed cells is read, which is the entire point
-    of the layout."""
+    of the layout.
+
+    ``method='exact'``: cosine over the stored raw vectors (the
+    correctness baseline inside the probed cells).
+
+    ``method='adc'`` (needs a ``pq_m`` build): asymmetric distance over
+    the stored RESIDUAL codes — the probed scan reads ONLY
+    (id, cell, codes), so column pruning stacks on partition pruning
+    (dim floats → m ints per row; verify in the plan's ReadSchema). Per
+    probed cell the query residualizes against that cell's centroid and
+    the m×k lookup tables ship as plan literals
+    (quantization.pq_adc_topk_residual). Returns (id, adc_dist).
+
+    ``rerank=R`` (adc only): FAISS-style two-phase probe — ADC selects
+    the R best candidates from codes alone, then ONLY those R rows'
+    raw vectors are read (broadcast semi-join into the probed
+    partitions) and exact cosine re-orders the final k. With R = the
+    probed candidate count this equals the exact probe bit-for-bit
+    (tested); small R keeps the raw-vector read O(R) instead of
+    O(candidates)."""
     from etl_weather_data_pipeline_spark.operators.similarity import (
         brute_force_topk,
         choose_probe_cells,
@@ -335,12 +437,48 @@ def ivf_index_topk(
 
     meta = read_ivf_meta(path)
     cents = read_ivf_centroids(spark, path)
-    probe_cells = choose_probe_cells(
-        cents, query_vec, n_probe=n_probe, cell_col="cell"
-    )
+    probe_cells = [
+        int(c)
+        for c in choose_probe_cells(
+            cents, query_vec, n_probe=n_probe, cell_col="cell"
+        )
+    ]
     pruned = read_ivf_vectors(spark, path).filter(
-        F.col("cell").isin([int(c) for c in probe_cells])
+        F.col("cell").isin(probe_cells)
+    )
+    if method == "exact":
+        return brute_force_topk(
+            pruned, query_vec, k,
+            id_col=meta["id_col"], vec_col=meta["vec_col"],
+        )
+    assert method == "adc", method
+    pq = meta.get("pq")
+    if pq is None:
+        raise ValueError(
+            "ivf_index_topk(method='adc') needs an index built with "
+            "pq_m=... (no codes in this store)"
+        )
+    from etl_weather_data_pipeline_spark.operators.quantization import (
+        pq_adc_topk_residual,
+    )
+
+    centroids = read_ivf_centroid_matrix(spark, path)
+    codes_only = pruned.select(meta["id_col"], "cell", "codes")
+    adc = pq_adc_topk_residual(
+        codes_only,
+        pq["codebooks"],
+        {i: c for i, c in enumerate(centroids)},
+        query_vec,
+        probe_cells,
+        k=(rerank if rerank is not None else k),
+        id_col=meta["id_col"],
+        label_col="cell",
+    )
+    if rerank is None:
+        return adc
+    cand = pruned.join(
+        F.broadcast(adc.select(meta["id_col"])), meta["id_col"], "left_semi"
     )
     return brute_force_topk(
-        pruned, query_vec, k, id_col=meta["id_col"], vec_col=meta["vec_col"]
+        cand, query_vec, k, id_col=meta["id_col"], vec_col=meta["vec_col"]
     )

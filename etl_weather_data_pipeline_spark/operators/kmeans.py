@@ -25,14 +25,22 @@ def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
 
 def argmin_index(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared L2), ties to the lower
-    index — the shared codegen'd when-chain argmin (also used by
-    operators/quantization.py for per-subspace code assignment)."""
-    dists = [_sq_dist_to(vec, c) for c in centroids]
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
-    idx = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
-        idx = F.when(dists[i] == best, F.lit(i)).otherwise(idx)
-    return idx
+    index — the shared codegen'd argmin (also used by
+    operators/quantization.py for per-subspace code assignment and
+    operators/ann_index.py for store-invariant recomputes).
+
+    Shape matters here: the obvious when-chain (least(d_0..d_k) then
+    k `d_i == best` branches) instantiates every distance expression
+    TWICE, and stacking several argmins in one plan (residual-PQ codes:
+    m argmins after a cell when-chain) ballooned codegen'd task
+    binaries past a 1 GB executor heap. This form evaluates each
+    distance ONCE into an array and takes array_position of the min —
+    identical semantics (array_position returns the FIRST match, i.e.
+    the lowest index on ties; 1-based, hence the -1)."""
+    dists = F.array(*[_sq_dist_to(vec, c) for c in centroids])
+    return (
+        F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    )
 
 
 def assign_clusters(

@@ -1643,7 +1643,23 @@ def ann_ivf_trained_topk(spark, sf_dir):
     "dirs hold strictly fewer parquet files than the store — "
     "footer-level evidence the probe's I/O is partition-bounded, "
     "independent of plan inspection; the PartitionFilters plan pin "
-    "lives in tests/test_plans.py). Store layout can't be expressed in "
+    "lives in tests/test_plans.py). The index is built WITH residual "
+    "PQ codes (pq_m=4, pq_k=16 — the FAISS IVFADC layout: codes "
+    "quantize x - centroid(cell), codebooks freeze into the meta "
+    "marker, adds encode with the same frozen rule), adding four "
+    "invariants: codes_consistent (EVERY stored row's codes equal the "
+    "frozen-codebook recompute via the shared residual_codes_expr — "
+    "built and added rows alike), adc_reads_codes_only (the ADC "
+    "probe's scan ReadSchema carries codes but NOT the raw vector "
+    "column — column pruning stacked on partition pruning, dim floats "
+    "-> m ints of I/O per row), adc_rerank_matches_exact_probe "
+    "(ADC with rerank >= candidate count re-reads raw vectors for the "
+    "shortlist and must equal the exact probe BIT-FOR-BIT — the "
+    "two-phase FAISS probe's correctness anchor), and "
+    "adc_rerank_recall_floor_ok (ADC shortlist-50 + exact rerank "
+    "recalls >= 3 of the true top-10; measured 7/5/6 across the three "
+    "SFs — raw 4x16 codes alone recall 3/2/1, which is exactly why "
+    "production IVFADC reranks). Store layout can't be expressed in "
     "SQL, hence the property oracle.",
     oracle="""
     SELECT CAST(10 AS BIGINT) AS k,
@@ -1654,7 +1670,11 @@ def ann_ivf_trained_topk(spark, sf_dir):
            TRUE AS recall_floor_ok,
            TRUE AS probe_recall_monotone,
            TRUE AS probe_prunes_scan,
-           TRUE AS probe_prunes_files
+           TRUE AS probe_prunes_files,
+           TRUE AS codes_consistent,
+           TRUE AS adc_reads_codes_only,
+           TRUE AS adc_rerank_matches_exact_probe,
+           TRUE AS adc_rerank_recall_floor_ok
     FROM embeddings
     """,
 )
@@ -1672,9 +1692,9 @@ def ann_ivf_index_topk(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="ann_ivf_index_") + "/index"
     emb = load(spark, sf_dir, "embeddings")
-    AX.write_ivf_index(
+    meta = AX.write_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 0), root, n_cells=8,
-        iterations=3,
+        iterations=3, pq_m=4, pq_k=16, pq_iterations=2,
     )
     n_added = AX.add_to_ivf_index(
         emb.filter(F.col("vec_id") % 2 == 1), root
@@ -1685,7 +1705,10 @@ def ann_ivf_index_topk(spark, sf_dir):
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    # ONE pass over the store: size + assignment-consistency mismatches
+    # ONE pass over the store: size + assignment-consistency + PQ-code
+    # consistency mismatches (both recomputes use the SHARED rules —
+    # argmin_index / residual_codes_expr — so a drifted build or add
+    # path flips a boolean here)
     srow = idx.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(
@@ -1695,13 +1718,44 @@ def ann_ivf_index_topk(spark, sf_dir):
                 1,
             )
         ).alias("bad"),
+        F.count(
+            F.when(
+                F.col("codes")
+                != AX.residual_codes_expr(
+                    "embedding", "cell", cents, meta["pq"]["codebooks"]
+                ),
+                1,
+            )
+        ).alias("badc"),
     ).first()
-    n_vec, n_bad = srow["n"], srow["bad"]
+    n_vec, n_bad, n_badc = srow["n"], srow["bad"], srow["badc"]
     exact = brute_force_topk(emb, qv, k=10).select("vec_id")
     top3 = AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3)
     top5 = AX.ivf_index_topk(spark, root, qv, k=10, n_probe=5)
     h3 = top3.select("vec_id").join(exact, "vec_id").count()
     h5 = top5.select("vec_id").join(exact, "vec_id").count()
+    # IVFADC: the codes-only probe's scan must NOT read the raw vector
+    # column (column pruning stacked on partition pruning); with a
+    # candidate-count rerank it must reproduce the exact probe
+    # bit-for-bit; with a 50-shortlist it must clear the recall floor
+    adc_plan = (
+        AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3, method="adc")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    rs = [ln for ln in adc_plan.splitlines() if "ReadSchema" in ln]
+    adc_codes_only = bool(rs) and all(
+        "codes" in ln and "embedding" not in ln for ln in rs
+    )
+    rr_all = AX.ivf_index_topk(
+        spark, root, qv, k=10, n_probe=3, method="adc", rerank=n_vec
+    )
+    rr_match = [tuple(r) for r in rr_all.collect()] == [
+        tuple(r) for r in top3.select("vec_id", "cosine").collect()
+    ]
+    rr50 = AX.ivf_index_topk(
+        spark, root, qv, k=10, n_probe=3, method="adc", rerank=50
+    )
+    h_rr = rr50.select("vec_id").join(exact, "vec_id").count()
     # candidate volume of the 3-cell probe = rows in the probed files;
     # the probe cells come from the SAME shared selection rule the
     # probes above used (choose_probe_cells), so this is the true volume
@@ -1733,6 +1787,10 @@ def ann_ivf_index_topk(spark, sf_dir):
         F.lit(bool(n_files_probed < n_files_all)).alias(
             "probe_prunes_files"
         ),
+        F.lit(bool(n_badc == 0)).alias("codes_consistent"),
+        F.lit(bool(adc_codes_only)).alias("adc_reads_codes_only"),
+        F.lit(bool(rr_match)).alias("adc_rerank_matches_exact_probe"),
+        F.lit(bool(h_rr >= 3)).alias("adc_rerank_recall_floor_ok"),
     )
 
 

@@ -1570,3 +1570,65 @@ def test_ivf_index_rejects_dim_mismatch(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="vector dim 3 != quantizer dim"):
         AX.add_to_ivf_index(bad, root)
+
+
+def test_ivf_index_pq_codes_and_adc_probe(spark, tmp_path):
+    """The IVFADC layer of the persisted index: residual-PQ codes are
+    stored next to each vector under ONE shared code rule
+    (residual_codes_expr) for build and incremental add; the ADC probe
+    reads codes, never the raw vector column (column pruning stacked on
+    partition pruning); and ADC + full-candidate rerank reproduces the
+    exact probe bit-for-bit (the two-phase FAISS probe's correctness
+    anchor)."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "idx")
+    meta = AX.write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), root, n_cells=8,
+        iterations=2, pq_m=4, pq_k=16, pq_iterations=2,
+    )
+    assert meta["pq"]["m"] == 4 and len(meta["pq"]["codebooks"]) == 4
+    AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), root)
+    idx = AX.read_ivf_vectors(spark, root)
+    assert "codes" in idx.columns
+    # store invariant extends to codes — added rows included
+    cents = AX.read_ivf_centroid_matrix(spark, root)
+    bad = idx.filter(
+        F.col("codes")
+        != AX.residual_codes_expr(
+            "embedding", "cell", cents, meta["pq"]["codebooks"]
+        )
+    ).count()
+    assert bad == 0
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    adc = AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3, method="adc")
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and all(
+        "codes" in ln and "embedding" not in ln for ln in rs
+    ), plan
+    assert "PartitionFilters" in plan
+    exact_probe = [
+        tuple(r)
+        for r in AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3)
+        .collect()
+    ]
+    rr_all = [
+        tuple(r)
+        for r in AX.ivf_index_topk(
+            spark, root, qv, k=10, n_probe=3, method="adc",
+            rerank=emb.count(),
+        ).collect()
+    ]
+    assert rr_all == exact_probe
+    # an index built WITHOUT pq refuses the adc probe loudly
+    root2 = str(tmp_path / "idx2")
+    AX.write_ivf_index(emb.limit(50), root2, n_cells=4, iterations=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pq_m"):
+        AX.ivf_index_topk(spark, root2, qv, method="adc")
