@@ -139,82 +139,85 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-10 rotation
-# (executes the r9 verdict directive #1 name-for-name): (1) the SEVEN
-# r6-vintage rows deferred from r9 (age 4 at r10 — past the <=3-round
-# evidence bound, so they open the window), (2) the full 38-row
-# r7-vintage cohort (age 3 at r10, the boundary — everything here
-# breaches at r11 if deferred), (3) the standing canaries
-# corpus_curation_pipeline + corpus_merge_state (the latter also
-# re-greens the r10 streaming return-contract trim live) and the
-# reference-parity core weather_pipeline_e2e, then (4) the round's TWO
-# debutants, exactly the budget the r9 verdict allotted:
-# ann_ivf_index_topk (persisted IVF index store; JVM-only plan) and
-# corpus_training_export dead-LAST (worker-risk tail discipline — it is
-# the round's only NEW applyInPandas consumer, so a Python-worker death
-# costs only its own, previously-nonexistent row). 7+38+3+2 = exactly
-# 50 slots.
-# Banking plan: the 44-row r8 cohort is age 2 now and MUST rotate in at
-# r11 (44 + canaries + e2e = 47 slots, leaving ~3 for r11 debutants);
-# the 50-row r9 cohort breaches at r12 — its non-canary rows (~46) fill
-# that window, so r11/r12 debutants must be capped accordingly. The two
-# r10 debutants, once green, bank until r13.
+# file holds exactly the first 50 registry entries). Round-11 rotation
+# (executes the r10 verdict directive #3 name-for-name): (1) the FULL
+# 44-row r8-vintage cohort (last green = CORRECTNESS_r08, age 3 at r11 —
+# every row breaches the <=3-round evidence bound if deferred), ordered
+# JVM-only plans first and the banked Python-worker consumers
+# (corpus_sequence_pack, corpus_bpe_apply, multimodal_*) at the cohort
+# tail (a worker death late in the window costs the fewest rows);
+# (2) the standing canaries kmeans_clusters + corpus_merge_state and the
+# reference-parity core weather_pipeline_e2e; (3) ONE r9-vintage early
+# pull (pricing_summary — cheapest r9 row; shrinks the r12 rotation debt
+# below the 50-slot ceiling, see banking plan); (4) the round's
+# debutants dead-LAST (both JVM-only: the IVF drift/retrain report and
+# the corpus-global SemDeDup audit, r10 verdict directives #4/#5).
+# 44+3+1+2 = exactly 50 slots.
+# Banking plan (r12, pre-planned per r10 verdict directive #7): the r9
+# cohort (47 rows green r9, age 3 at r12) minus the pricing_summary
+# early pull = 46 rows MUST open the r12 window; + canaries
+# (corpus_merge_state, corpus_curation_pipeline) + weather_pipeline_e2e
+# = 49 slots -> r12 debutant budget = 1. The 44-row r8 cohort re-banks
+# at r11 until r14; the r10 debutants (ann_ivf_index_topk,
+# corpus_training_export) bank until r13; r11's own window (this list)
+# banks until r14.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # The seven age-4 r6-vintage rows (r9 verdict: r10 MUST open with):
-    "top_revenue_orders",
-    "nation_revenue",
-    "segment_order_stats",
-    "user_sessions",
-    "latest_event_per_user",
-    "dedup_events_hourly",
-    "doc_dedup_exact",
-    # The 38-row r7-vintage cohort (age 3 at r10):
-    "brand_part_stats",
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "nationkeys_union",
-    "customer_only_nations",
-    "daily_event_type_pivot",
-    "nations_intersect",
-    "orders_cube",
-    "orders_grouping_sets",
-    "customer_string_battery",
-    "conditional_aggs",
-    "daily_counts_unpivot",
+    # --- the 44-row r8-vintage cohort (age 3 at r11), JVM-only first ---
+    "orders_monthly_growth",
+    "user_retention_cohorts",
+    "events_funnel_conversion",
+    "source_quality_stats",
+    "corpus_length_histogram",
+    "corpus_vocab_stats",
+    "corpus_train_split",
+    "corpus_temperature_sample",
+    "corpus_shard_manifest",
+    "doc_text_stats",
+    "doc_lang_id",
+    "doc_repetition_stats",
+    "doc_bigram_logprob",
+    "doc_chunk_spans",
+    "doc_span_dedup",
+    "doc_cdc_chunk_dedup",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_pii_scrub",
+    "doc_contamination_flags",
+    "doc_jaccard_pairs",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_jaccard_estimate",
+    "doc_quality_classifier",
+    "doc_quality_quantile_filter",
+    "neardup_cross_source_matrix",
+    "neardup_degree_stats",
+    "neardup_threshold_sweep",
+    "embedding_lsh_buckets",
+    "embedding_neardup_pairs",
+    "embedding_quantize_stats",
+    "label_centroids",
+    "ann_pq_topk",
+    "ann_pq_multi_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_multi_query_topk",
+    "corpus_decontaminate_eval",
+    "corpus_curation_pipeline_v2",
+    # cohort tail: banked Python-worker consumers (worker-risk tail)
+    "corpus_sequence_pack",
+    "corpus_bpe_apply",
+    "multimodal_decode_features",
+    "multimodal_resize_stats",
+    "multimodal_binary_features",
+    # --- standing canaries + reference-parity core ---
     "kmeans_clusters",
-    "doc_duplicate_groups",
-    "doc_minhash_signatures",
-    "doc_simhash",
-    "weather_daily_summary",
-    "weather_latest",
-    "weather_seasonal_trends",
-    "weather_quality_metrics",
-    "doc_simhash_pairs",
-    "events_anomaly_zscore",
-    "doc_winnow_overlap_pairs",
-    "doc_passage_pairs_blocked",
-    "dedup_recall_probe",
-    "passage_recall_probe",
-    "events_mad_outliers_approx",
-    "corpus_ingest_history_report",
-    "corpus_mixture_plan",
-    "neardup_cluster_keep",
-    "events_zorder_layout",
-    "corpus_curriculum_stages",
-    "corpus_bpe_merges",
-    "corpus_epoch_expand",
-    "events_mad_outliers",
-    "neardup_transitivity_stats",
-    "corpus_pack_intact",
-    "corpus_pack_stats",
-    # Standing canaries + reference-parity core:
-    "corpus_curation_pipeline",
     "corpus_merge_state",
     "weather_pipeline_e2e",
-    # r10 debutants (the 2-slot budget): JVM-only index store first,
-    # the applyInPandas flagship dead-LAST (worker-risk tail):
-    "ann_ivf_index_topk",
-    "corpus_training_export",
+    # --- r9-vintage early pull (r12 debt relief) ---
+    "pricing_summary",
+    # --- r11 debutants dead-LAST (both JVM-only plans) ---
+    # (uncommented the moment each lands in the registry this round)
+    # "ann_index_drift_report",
+    # "corpus_semdedup_global",
 )
 
 
