@@ -84,11 +84,28 @@ def read_ivf_centroid_matrix(
     return [mat[i] for i in range(len(mat))]
 
 
+def valid_vector_cond(vec, dim: int):
+    """Boolean Column: ``vec`` is non-null, exactly ``dim`` long, and
+    contains no null element — the precondition every index row must
+    meet. Exposed so lenient callers (the streaming semantic stage,
+    which must not poison a whole micro-batch over one bad row) can
+    FILTER on it and route the rejects to the coverage audit, while
+    strict callers (:func:`assign_cells` inside the explicit build/add
+    APIs) raise on its negation. exists() is null-strict on elements:
+    a null element yields null, so the double negation keeps the
+    condition false (not null) for such rows."""
+    no_null_elem = F.coalesce(
+        ~F.exists(vec, lambda x: x.isNull()), F.lit(False)
+    )
+    return vec.isNotNull() & (F.size(vec) == dim) & no_null_elem
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
     id_col: str,
     vec_col: str,
+    strict: bool = True,
 ) -> DataFrame:
     """(id, vec, cell) with cell = codegen'd argmin over the centroid
     literals (operators/kmeans.py argmin_index) — map-only, no shuffle,
@@ -99,20 +116,39 @@ def assign_cells(
     (zip_with pads the shorter side with nulls, the distance sums go
     null, and the argmin when-chain would fall through to the LAST
     cell — a wrong index row that no downstream check but the store
-    invariant could catch)."""
+    invariant could catch). Null-ELEMENT-guarded for the same reason
+    with a nastier failure shape: a correct-LENGTH vector containing a
+    null element nulls every distance, array_position(array_min) goes
+    null, and the row would write to cell=__HIVE_DEFAULT_PARTITION__ —
+    invisible to every probe, and invisible to a naive `cell != argmin`
+    recompute because null != null is null (r10 advice).
+
+    ``strict=False`` (the streaming semantic stage): an invalid vector
+    gets a NULL cell instead of a raise — the caller pre-filters with
+    :func:`valid_vector_cond` anyway, but a raise expression must not
+    even EXIST in that plan: PushDownPredicates freely reorders filters,
+    so a join-key predicate referencing ``cell`` can be substituted
+    through this projection and land BELOW the validity filter, firing
+    the raise on rows the filter would have dropped (the pin_once
+    substitution hazard, operators/dedup.py — observed live on this
+    exact plan). Strict callers (explicit build/add APIs) keep the
+    raise: their plans never join on ``cell`` above unfiltered rows."""
     dim = len(centroids[0])
     vec = F.col(vec_col)
-    guarded = F.when(F.size(vec) == dim, vec).otherwise(
+    invalid = (
         F.raise_error(
             F.printf(
                 F.lit(
-                    "ann_index.assign_cells: vector dim %s != "
-                    f"quantizer dim {dim}"
+                    "ann_index.assign_cells: vector dim %s (or a null "
+                    f"element/vector) != clean quantizer dim {dim}"
                 ),
                 F.size(vec).cast("string"),
             )
         )
+        if strict
+        else F.lit(None).cast("array<double>")
     )
+    guarded = F.when(valid_vector_cond(vec, dim), vec).otherwise(invalid)
     return df.select(
         F.col(id_col),
         F.col(vec_col),

@@ -1709,20 +1709,27 @@ def ann_ivf_index_topk(spark, sf_dir):
     # consistency mismatches (both recomputes use the SHARED rules —
     # argmin_index / residual_codes_expr — so a drifted build or add
     # path flips a boolean here)
+    # eqNullSafe, not !=: a null-element vector (rejected at write time
+    # by assign_cells' guard, but conceivable in a hand-written store)
+    # nulls the recomputed argmin, and `cell != null` is null — F.count
+    # would silently skip exactly the broken rows (r10 advice). The
+    # null-safe negation counts them as inconsistent.
     srow = idx.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(
             F.when(
-                F.col("cell")
-                != argmin_index(F.col("embedding"), cents).cast("int"),
+                ~F.col("cell").eqNullSafe(
+                    argmin_index(F.col("embedding"), cents).cast("int")
+                ),
                 1,
             )
         ).alias("bad"),
         F.count(
             F.when(
-                F.col("codes")
-                != AX.residual_codes_expr(
-                    "embedding", "cell", cents, meta["pq"]["codebooks"]
+                ~F.col("codes").eqNullSafe(
+                    AX.residual_codes_expr(
+                        "embedding", "cell", cents, meta["pq"]["codebooks"]
+                    )
                 ),
                 1,
             )
@@ -6546,7 +6553,7 @@ def corpus_shard_manifest(spark, sf_dir):
     SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 ::BIGINT % 8 AS BIGINT) AS shard,
            COUNT(*) AS n_docs,
-           CAST(SUM(len({O_TOKS})) AS BIGINT) AS n_words,
+           CAST(COALESCE(SUM(len({O_TOKS})), 0) AS BIGINT) AS n_words,
            TRUE AS pack_fits_budget,
            TRUE AS shards_align_pack_groups,
            TRUE AS manifest_counts_ok,
@@ -6578,8 +6585,25 @@ def corpus_training_export(spark, sf_dir):
     final_total = (
         merges[-1].total_symbols_after if merges else base_total
     )
-    counts = bpe_token_counts(docs, vocab).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # LEFT-join the counts back onto every document id with 0-coalesce:
+    # bpe_token_counts' explode drops zero-token (empty/whitespace-only)
+    # docs, but the oracle counts EVERY document per shard — an inner
+    # join here would lose such a doc from packing, export, manifest,
+    # and the exact n_docs/n_words cross-check (r10 advice; green until
+    # now only because the testdata happens to contain none).
+    counts = (
+        docs.select("doc_id")
+        .join(bpe_token_counts(docs, vocab), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0))
+            .cast("long")
+            .alias("n_words"),
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _CURATION_PERSISTED.append(counts)
     asg = pack_documents_intact(

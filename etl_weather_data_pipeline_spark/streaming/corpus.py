@@ -795,6 +795,7 @@ def _semantic_stage_drops(
     threshold: float,
     n_cells: int,
     iterations: int,
+    max_cell_df: int = 1000,
 ):
     """Stage 4 of the streaming funnel (OPT-IN via ``embedding_col``):
     SemDeDup-style semantic dedup — k-means cells bound the pairwise
@@ -818,26 +819,84 @@ def _semantic_stage_drops(
     Returns ``(sdrop, centroids)`` — batch ids to drop (or None when
     the batch has no vectors to judge) and the frozen centroid matrix
     (for the caller's post-admission index append).
+
+    Lenient on bad vectors BY DESIGN (r10 advice): a row whose
+    embedding is null, mis-sized, or contains a null element is
+    FILTERED OUT of the stage (admitted unjudged — the documented
+    per-batch fail-open gap; `audit_ivf_coverage` names it) instead of
+    hitting `assign_cells`' in-plan raise — inside a foreachBatch sink
+    that raise would fail the micro-batch, the checkpoint would retry
+    it, and one bad row would wedge the stream forever. The hard raise
+    stays in the explicit build/add APIs, where a caller can fix data.
+
+    Stop-bounded like every self-join in this repo (r8 rule, r10
+    advice): the within-batch pair join keys on ``cell``, and a batch
+    whose embeddings collapse into one cell (template-heavy feeds, or
+    the bootstrap batch with a tiny ``n_cells``) would go O(B^2)
+    cosine pairs. Batch rows in cells whose BATCH population exceeds
+    ``max_cell_df`` skip stage 4 entirely (both the within-batch join
+    and the store probe — the same both-sides semantics as the winnow
+    stop-grams), are admitted fail-open, and the skipped volume is
+    surfaced via ``warnings.warn`` (once per process-location, the
+    stdlib default — a signal to lower the threshold or retrain, not
+    a per-batch metric).
     """
     import os as _os
+    import warnings
 
     from etl_weather_data_pipeline_spark.operators import ann_index as AX
     from etl_weather_data_pipeline_spark.operators.kmeans import (
         kmeans_fit_full,
     )
 
+    vec = F.col(vec_col)
+    # cheap pre-filter (no dim yet): drops null vectors / null elements
+    # so the bootstrap k-means never trains on garbage
+    clean = s3.filter(
+        vec.isNotNull()
+        & F.coalesce(~F.exists(vec, lambda x: x.isNull()), F.lit(False))
+    )
     vroot = f"{path}/{VECTORS_IVF_SUBDIR}"
     index_exists = _os.path.exists(AX._meta_path(vroot))
     if index_exists:
         cents = AX.read_ivf_centroid_matrix(spark, vroot)
     else:
-        if s3.isEmpty():
+        if clean.isEmpty():
             return None, None
         _, _, cents = kmeans_fit_full(
-            s3, k=n_cells, iterations=iterations, id_col=id_col,
+            clean, k=n_cells, iterations=iterations, id_col=id_col,
             vec_col=vec_col,
         )
-    asg = AX.assign_cells(s3, cents, id_col, vec_col)
+    # full validity now that the quantizer dim is known: mis-sized
+    # vectors join the fail-open set instead of raising in-plan
+    judgeable = clean.filter(
+        AX.valid_vector_cond(vec, len(cents[0]))
+    )
+    # strict=False: no raise expression may exist in this plan (filter
+    # reordering would fire it on pre-filtered rows; see assign_cells)
+    asg = AX.assign_cells(judgeable, cents, id_col, vec_col, strict=False)
+    # ONE per-cell count action serves both the stop bound and the
+    # store probe's occupied-cell list (it replaces the old
+    # distinct().collect() — no extra job, no window shuffle; the
+    # result is <= n_cells rows, a driver literal by construction)
+    cell_counts = {
+        r["cell"]: r["n"]
+        for r in asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    overfull = [c for c, n in cell_counts.items() if n > max_cell_df]
+    occupied = [c for c, n in cell_counts.items() if n <= max_cell_df]
+    if overfull:
+        n_skipped = sum(cell_counts[c] for c in overfull)
+        warnings.warn(
+            f"semantic stage: {n_skipped} batch rows in "
+            f"{len(overfull)} cells over the max_cell_df={max_cell_df} "
+            "population bound were admitted unjudged (fail-open); "
+            "lower the batch size, raise max_cell_df, or retrain the "
+            "quantizer",
+            stacklevel=2,
+        )
+        asg = asg.filter(~F.col("cell").isin(overfull))
     la = asg.select(
         F.col(id_col).alias("id_a"),
         F.col("cell"),
@@ -856,9 +915,9 @@ def _semantic_stage_drops(
     )
     sim = within
     if index_exists and _os.path.isdir(f"{vroot}/{AX.VECTORS_SUBDIR}"):
-        occupied = [
-            r["cell"] for r in asg.select("cell").distinct().collect()
-        ]
+        # occupied = the batch's under-bound cells, from the shared
+        # per-cell count above (overfull cells skip the probe too —
+        # both-sides stop-bound semantics)
         if occupied:
             # partition-pruned store read (only the batch's cells) +
             # broadcast of the batch side: the store scans, never
@@ -901,6 +960,7 @@ def merge_batch_neardup_into_corpus(
     semantic_threshold: float = 0.95,
     semantic_cells: int = 8,
     semantic_iterations: int = 2,
+    semantic_max_cell_df: int = 1000,
 ) -> int:
     """Near-dup-aware merge: append only batch docs that are neither
     exact NOR near duplicates of the store (or of a surviving smaller-id
@@ -956,11 +1016,18 @@ def merge_batch_neardup_into_corpus(
        survivors append and the index append — or toggling the stage
        on over an existing store — leaves a coverage gap that only
        weakens future semantic recall, never admissions already made;
-       re-feeding embeddings is the only backfill. The batch-periodic
-       corpus-global SemDeDup (`embedding_semdedup_probe`'s machinery)
-       remains the audit: per-batch stage 4 can only judge against
-       cells trained on early data, while the periodic pass retrains
-       on the full corpus;
+       re-feeding embeddings is the only backfill. Two more fail-open
+       sets (r10 advice): rows whose embedding is null / mis-sized /
+       null-element are admitted unjudged and kept OUT of the index
+       (one bad row must never wedge the stream on the in-plan
+       assign_cells raise), and rows in cells whose batch population
+       exceeds ``semantic_max_cell_df`` skip the stage both
+       within-batch and vs-store (the df>max_df self-join rule;
+       skipped volume surfaces via warnings.warn). The batch-periodic
+       corpus-global SemDeDup (`semdedup_global_pass`, driven by the
+       `corpus_semdedup_global` query) remains the audit: per-batch
+       stage 4 can only judge against cells trained on early data,
+       while the periodic pass retrains on the full corpus;
     5. survivors append to the store, their band rows to ``_bands``
        (with stage 3 on, fingerprint rows to ``_winnow``; with stage 4
        on, their vectors to the ``_vectors_ivf`` index).
@@ -1128,6 +1195,7 @@ def merge_batch_neardup_into_corpus(
             sdrop, sem_cents = _semantic_stage_drops(
                 spark, s3, path, id_col, embedding_col,
                 semantic_threshold, semantic_cells, semantic_iterations,
+                max_cell_df=semantic_max_cell_df,
             )
             survivors = (
                 s3 if sdrop is None
@@ -1205,8 +1273,20 @@ def merge_batch_neardup_into_corpus(
                     spark, vroot, sem_cents, id_col=id_col,
                     vec_col=embedding_col,
                 )
+                # invalid vectors (null / mis-sized / null element) are
+                # admitted to the CORPUS but kept out of the index —
+                # the same fail-open set _semantic_stage_drops skipped;
+                # audit_ivf_coverage names them (add_to_ivf_index's
+                # in-plan raise would otherwise fail the batch AFTER
+                # the store append, the worst crash window)
                 AX.add_to_ivf_index(
-                    out.select(F.col(id_col), F.col(embedding_col)),
+                    out.select(
+                        F.col(id_col), F.col(embedding_col)
+                    ).filter(
+                        AX.valid_vector_cond(
+                            F.col(embedding_col), len(sem_cents[0])
+                        )
+                    ),
                     vroot,
                 )
     finally:

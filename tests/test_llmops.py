@@ -1568,7 +1568,7 @@ def test_ivf_index_rejects_dim_mismatch(spark, tmp_path):
     bad = spark.createDataFrame(
         [(999999, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
     )
-    with _pytest.raises(Exception, match="vector dim 3 != quantizer dim"):
+    with _pytest.raises(Exception, match="vector dim 3 .* quantizer dim"):
         AX.add_to_ivf_index(bad, root)
 
 
@@ -1632,3 +1632,105 @@ def test_ivf_index_pq_codes_and_adc_probe(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="pq_m"):
         AX.ivf_index_topk(spark, root2, qv, method="adc")
+
+
+def test_assign_cells_rejects_null_element_vectors(spark):
+    """r10 advice: a correct-LENGTH vector with a null ELEMENT must
+    raise in assign_cells (it would otherwise null every distance and
+    land in cell=__HIVE_DEFAULT_PARTITION__, invisible to probes), and
+    the store-consistency recompute must be null-safe — the plain
+    `cell != argmin` comparison evaluates null and silently skips
+    exactly the broken rows."""
+    import pytest
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    good = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [9.0, 9.5])],
+        "vec_id long, embedding array<double>",
+    )
+    assert sorted(
+        tuple(r)
+        for r in AX.assign_cells(good, cents, "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .collect()
+    ) == [(0, 0), (1, 1)]
+    for bad_vec in ([1.0, None], None, [1.0, 2.0, 3.0]):
+        bad = spark.createDataFrame(
+            [(2, bad_vec)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="assign_cells"):
+            AX.assign_cells(bad, cents, "vec_id", "embedding").collect()
+    # valid_vector_cond: the lenient callers' filter keeps only clean rows
+    mixed = spark.createDataFrame(
+        [
+            (0, [0.5, 0.5]),
+            (1, None),
+            (2, [1.0, None]),
+            (3, [1.0, 2.0, 3.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = mixed.filter(AX.valid_vector_cond(F.col("embedding"), 2))
+    assert [r["vec_id"] for r in kept.collect()] == [0]
+    # null-safe inconsistency count: the null-element row must COUNT as
+    # inconsistent under ~eqNullSafe (the ann_ivf_index_topk recompute)
+    broken = spark.createDataFrame(
+        [(0, [0.5, 0.5], 0), (1, [1.0, None], 0)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    recomputed = argmin_index(F.col("embedding"), cents).cast("int")
+    n_bad_plain = broken.filter(F.col("cell") != recomputed).count()
+    n_bad_safe = broken.filter(
+        ~F.col("cell").eqNullSafe(recomputed)
+    ).count()
+    assert n_bad_plain == 0  # the trap the advice names
+    assert n_bad_safe == 1  # the fix
+
+
+def test_training_export_includes_zero_token_docs(spark, tmp_path):
+    """r10 advice: a document whose tokenization is empty (null text —
+    explode would drop it) must survive BPE counting (0 tokens),
+    packing, shard export, and the manifest; the oracle counts EVERY
+    document per shard. Exact-compares the registry query against its
+    DuckDB oracle on a corpus seeded with such docs."""
+    import duckdb
+
+    from etl_weather_data_pipeline_spark.plans.catalog import (
+        build_registry,
+    )
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    sfd = str(tmp_path / "sf")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (9001, None, "en", "web", 0),  # null text: tokens -> null
+            (9002, "", "en", "web", 0),  # empty: tokens -> [''], 1 word
+            (9003, "   ", "en", "web", 3),  # whitespace-only: 1 word
+        ],
+        docs.schema,
+    )
+    docs.unionByName(extra).repartition(2).write.parquet(
+        f"{sfd}/documents.parquet"
+    )
+    q = build_registry()["corpus_training_export"]
+    sdf = q.spark(spark, sfd)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    release_curation_cache()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sfd}/documents.parquet/*.parquet')"
+    )
+    drows = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert srows == drows
+    # the seeded docs specifically made it to disk (not just the report)
+    n_union = 503
+    assert sum(r[1] for r in srows) == n_union

@@ -1527,3 +1527,139 @@ def test_ivf_index_compaction_and_coverage_audit(spark, tmp_path):
     assert AX.audit_ivf_coverage(
         spark, store_ids, vroot, "doc_id"
     ).isEmpty()
+
+
+def test_semantic_stage_lenient_on_bad_vectors(spark, tmp_path):
+    """r10 advice: a row whose embedding is null / mis-sized / contains
+    a null element must NOT wedge the merge via assign_cells' in-plan
+    raise (inside foreachBatch the checkpoint would retry the batch
+    forever) — it is admitted unjudged (fail-open), kept OUT of the
+    index, and audit_ivf_coverage names it; valid rows in the same
+    batch are still judged against the store."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    schema = "doc_id long, text string, embedding array<double>"
+    v0 = [5.0, -3.0, 2.0, -1.0]
+    v1 = [-4.0, 2.0, -5.0, 3.0]
+    v2 = [1.0, 5.0, -4.0, -2.0]
+
+    def merge(rows):
+        return merge_batch_neardup_into_corpus(
+            spark.createDataFrame(rows, schema),
+            store,
+            embedding_col="embedding",
+            semantic_cells=2,
+            history=False,
+            band_buckets=4,
+        )
+
+    assert merge(
+        [
+            (0, "alpha bravo charlie delta", v0),
+            (1, "echo foxtrot golf hotel", v1),
+        ]
+    ) == 2
+    pert = [x * 1.001 for x in v1]  # cosine ~1.0 to stored doc 1
+    n = merge(
+        [
+            (10, "india juliet kilo lima", None),
+            (11, "mike november oscar papa", [1.0, None, 2.0, 3.0]),
+            (12, "quebec romeo sierra tango", [1.0, 2.0]),
+            (13, "uniform victor whiskey xray", pert),
+            (14, "yankee zulu archer baker", v2),
+        ]
+    )
+    # 13 drops (semantic dup of stored 1); the three bad-vector rows and
+    # the genuinely-new 14 are admitted
+    assert n == 4
+    assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {
+        0, 1, 2, 10, 11, 12, 14,
+    } - {2}
+    # bad-vector rows are the documented fail-open gap: in the corpus,
+    # absent from the index, named by the audit
+    store_ids = spark.read.parquet(store).select("doc_id")
+    missing = AX.audit_ivf_coverage(spark, store_ids, vroot, "doc_id")
+    assert {r["doc_id"] for r in missing.collect()} == {10, 11, 12}
+    # the valid admitted row IS indexed (future batches judge against it)
+    assert {
+        r["doc_id"]
+        for r in AX.read_ivf_vectors(spark, vroot)
+        .select("doc_id")
+        .collect()
+    } == {0, 1, 14}
+
+
+def test_semantic_stage_cell_population_stop_bound(spark, tmp_path):
+    """r10 advice + the r8 self-join rule: a batch whose embeddings
+    collapse into one cell must not go O(B^2) cosine pairs — rows in
+    cells whose batch population exceeds semantic_max_cell_df skip
+    stage 4 on BOTH joins (admitted fail-open, warnings.warn names the
+    volume), while rows in under-bound cells are still judged."""
+    import warnings as _warnings
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    schema = "doc_id long, text string, embedding array<double>"
+    v0 = [5.0, -3.0, 2.0, -1.0]
+    v1 = [-4.0, 2.0, -5.0, 3.0]
+
+    def merge(rows, max_cell_df):
+        return merge_batch_neardup_into_corpus(
+            spark.createDataFrame(rows, schema),
+            store,
+            embedding_col="embedding",
+            semantic_cells=2,
+            semantic_max_cell_df=max_cell_df,
+            history=False,
+            band_buckets=4,
+        )
+
+    assert merge(
+        [
+            (0, "alpha bravo charlie delta", v0),
+            (1, "echo foxtrot golf hotel", v1),
+        ],
+        max_cell_df=1000,
+    ) == 2
+
+    def pert(v, i):
+        return [x * (1.0 + 0.0005 * (i + 1)) for x in v]
+
+    words = [
+        "india juliet kilo", "lima mike november", "oscar papa quebec",
+        "romeo sierra tango", "uniform victor whiskey",
+    ]
+    # five near-identical copies of stored v0 (one cell, population 5
+    # > bound 3) -> ALL admitted fail-open with a warning; one copy of
+    # stored v1 (population 1 <= bound) -> still judged, dropped
+    rows = [(10 + i, words[i], pert(v0, i)) for i in range(5)]
+    rows.append((20, "xray yankee zulu", pert(v1, 0)))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        n = merge(rows, max_cell_df=3)
+    assert n == 5
+    msgs = [str(x.message) for x in w]
+    assert any("admitted unjudged" in m and "max_cell_df=3" in m
+               for m in msgs), msgs
+    got = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert got == {0, 1, 10, 11, 12, 13, 14}
+    # skipped rows' vectors still append to the index (valid vectors;
+    # future batches CAN judge against them)
+    assert {
+        r["doc_id"]
+        for r in AX.read_ivf_vectors(spark, vroot)
+        .select("doc_id")
+        .collect()
+    } == {0, 1, 10, 11, 12, 13, 14}
