@@ -18,6 +18,18 @@ full total grows with every added headliner). BENCH_CALLABLES entries
 (the streaming funnel sink) are timed single-shot, unwarmed — they are
 hundreds-of-jobs pipelines whose relative noise is small, and min-of-N
 on a ~45s pipeline would triple the bench's wall clock.
+
+Artifact-store accounting (r11, verdict directive #1): the dedup /
+passage / probe / funnel queries derive their per-document map work
+(rolling-hash arrays, MinHash signatures, token sets) from the
+session-persistent artifact store (plans/artifacts.py) — the tables a
+production pipeline maintains once per corpus version. Their per-query
+numbers therefore measure INCREMENTAL cost given the store; the cold
+build itself is timed explicitly as the `corpus_artifacts_build` entry
+(single-shot, releases-then-rebuilds), so the one-time cost appears in
+the total exactly once. This also makes `core_r6_value` step down
+discontinuously at r11 — compare r11+ cores to each other, and add
+`corpus_artifacts_build` when comparing against r10 and earlier.
 """
 
 from __future__ import annotations
@@ -137,9 +149,24 @@ def _bench_streaming_funnel_2batch(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-# Timed callables that are not registry queries (side-effecting sinks).
-# Single-shot (not min-of-N) — noted per entry.
+def _bench_corpus_artifacts_build(spark, sf_dir):
+    """Cold build of the session corpus-artifact store
+    (plans/artifacts.py: rolling-hash arrays, MinHash signatures,
+    token sets over the raw documents table) — the one-time cost the
+    rewired dedup/passage/probe queries amortize (r10 verdict
+    directive #1). build_all releases the store first, so this entry
+    times a true cold build; per-query numbers elsewhere in this run
+    measure incremental cost GIVEN the store, so the total charges the
+    build exactly once — production accounting."""
+    from etl_weather_data_pipeline_spark.plans.artifacts import build_all
+
+    build_all(spark, sf_dir, k=8)
+
+
+# Timed callables that are not registry queries (side-effecting sinks /
+# store builds). Single-shot (not min-of-N) — noted per entry.
 BENCH_CALLABLES = {
+    "corpus_artifacts_build": _bench_corpus_artifacts_build,
     "streaming_funnel_sink_2batch": _bench_streaming_funnel_2batch,
 }
 
@@ -335,6 +362,11 @@ def main() -> None:
         BENCH_CALLABLES[name](spark, sf_dir)
         timings[name] = round(time.monotonic() - t0, 3)
     release_curation_cache()
+    from etl_weather_data_pipeline_spark.plans.artifacts import (
+        release_shared_artifacts,
+    )
+
+    release_shared_artifacts()
 
     total = round(sum(timings.values()), 3)
     core = [n for n in CORE_R6 if n in timings]

@@ -410,12 +410,27 @@ def jaccard_pairs(
     )
 
 
+def token_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, __toks, __n) distinct-token sets — the Jaccard-verify side
+    input, factored out so it can be computed once per corpus and
+    shared across verify stages (plans/artifacts.py). Row-local and
+    deterministic: token_sets(S) for any id-subset S with unchanged
+    text equals this table filtered to S."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(TX.tokens(F.col(text_col))).alias("__toks"),
+    ).withColumn("__n", F.size(F.col("__toks")))
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    toksets: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs (id_a, id_b) with exact token-set Jaccard.
 
@@ -425,11 +440,18 @@ def jaccard_verify(
     with the corpus and make the pair count quadratic. Two equi-joins pull
     each side's token set onto the pair, then the same codegen'd
     intersect-once arithmetic as ``jaccard_pairs`` scores it.
+
+    ``toksets``: optional precomputed (ideally persisted)
+    :func:`token_sets` result covering at least every id in ``pairs`` —
+    pass it when a pipeline verifies several candidate sets over one
+    corpus (the equi-joins pick exactly the candidate ids, so a
+    superset table is safe).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.array_distinct(TX.tokens(F.col(text_col))).alias("__toks"),
-    ).withColumn("__n", F.size(F.col("__toks")))
+    toks = (
+        toksets
+        if toksets is not None
+        else token_sets(df, text_col, id_col)
+    )
     a = toks.select(
         F.col(id_col).alias("id_a"),
         F.col("__toks").alias("__ta"),

@@ -97,6 +97,7 @@ def kmeans_fit_full(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[float], list[list[float]]]:
     """Lloyd's algorithm, fixed iteration count; returns
     ``(assignments, sse_history, centroids)`` — the centroid matrix is
@@ -111,9 +112,20 @@ def kmeans_fit_full(
     the centroids of round i (measured inside round i+1's centroid
     aggregate — no extra jobs); Lloyd guarantees it is non-increasing,
     which `kmeans_clusters` turns into a driver-checkable oracle.
+
+    ``init``: warm-start centroid matrix (overrides ``k`` and the
+    lowest-id seeding) — the retrain path
+    (operators/ann_index.py retrain_ivf_index) starts Lloyd from the
+    FROZEN quantizer, so ``sse_history[0]`` is the store's current
+    assignment energy and monotonicity guarantees the retrained
+    quantizer is never worse than the drifted one on the same data.
     """
-    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if init is not None:
+        k = len(init)
+        centroids = [[float(x) for x in c] for c in init]
+    else:
+        seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+        centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
     dim = len(centroids[0])
     assigned = assign_clusters(df, centroids, vec_col)
     sse_history: list[float] = []

@@ -1,0 +1,159 @@
+"""Session-memoized per-document corpus artifacts (the artifact store).
+
+A production corpus pipeline materializes the expensive PER-DOCUMENT
+derivations — Rabin-Karp k-gram hash arrays, MinHash signatures,
+distinct-token sets — ONCE per corpus version as persisted tables, and
+every downstream dedup / passage / probe / funnel job derives from
+them. This repo's incremental-funnel and streaming-store docstrings
+already promise exactly that amortization ("the store's fingerprint and
+signature tables are maintained persistently"); this module is the
+batch-side realization at session scope, prescribed by the r10 verdict
+(directive #1: share one persisted execution across the funnel and the
+recall probes within a bench session).
+
+Sharing is SEMANTICS-PRESERVING by construction, and the boundary is
+strict:
+
+- Only ROW-LOCAL DETERMINISTIC map results over the raw ``documents``
+  table are memoized. For any subset S of documents (same doc_id, same
+  text — e.g. a funnel's survivor set), artifact(S) == artifact(docs)
+  semi-joined to S's ids, because no artifact row depends on any other
+  document.
+- Corpus-DEPENDENT statistics (gram min/max_occ occurrence windows,
+  winnow fingerprint df stop bounds, band tables, candidate joins)
+  are NEVER memoized — each query recomputes them over its own input
+  relation, exactly as before.
+
+Lifecycle: keyed by (applicationId, sf_dir, artifact, params), persisted
+MEMORY_AND_DISK, at most TWO sf_dirs resident (the oracle-parity suite
+alternates the two gate SFs per query; a third evicts the
+least-recently-used — the bench session's sf0.001 warmup then sf0.1
+timing fits without thrash). ``release_shared_artifacts()`` drops
+everything; `plans.llmops.release_curation_cache` deliberately does NOT
+touch this registry (per-query intermediates release between queries,
+the artifact store is the thing that must survive them).
+
+Bench accounting: per-query bench numbers measure the incremental cost
+GIVEN the artifact store; the cold build itself is timed explicitly as
+the ``corpus_artifacts_build`` bench entry (bench.py), so the one-time
+cost appears in the total exactly once — the way a production pipeline
+pays it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_weather_data_pipeline_spark.plans.catalog import load
+
+# key -> persisted DataFrame; key = (applicationId, sf_dir, name)
+_ARTIFACTS: dict[tuple, DataFrame] = {}
+# sf_dir LRU (most-recent last); at most _MAX_SF_DIRS resident
+_SF_LRU: list[tuple] = []
+_MAX_SF_DIRS = 2
+
+
+def release_shared_artifacts() -> None:
+    """Unpersist and forget every memoized artifact (bench end-of-run /
+    test isolation). Safe at any time: unpersist never invalidates
+    results, it only forces the next consumer to rebuild."""
+    while _ARTIFACTS:
+        _, df = _ARTIFACTS.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _SF_LRU.clear()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _get(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    from pyspark import StorageLevel
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    if key not in _ARTIFACTS:
+        sf_key = (app, sf_dir)
+        if sf_key in _SF_LRU:
+            _SF_LRU.remove(sf_key)
+        _SF_LRU.append(sf_key)
+        while len(_SF_LRU) > _MAX_SF_DIRS:
+            evict = _SF_LRU.pop(0)
+            for k in [k for k in _ARTIFACTS if k[:2] == evict]:
+                try:
+                    _ARTIFACTS.pop(k).unpersist()
+                except Exception:
+                    pass
+        _ARTIFACTS[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
+    return _ARTIFACTS[key]
+
+
+def shared_rolling_hashes(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """(doc_id, __h) Rabin-Karp k-gram hash arrays over the raw
+    documents table (operators/passages.py rolling_hashes) — the
+    dominant map cost of every winnow / exact-passage / CDC consumer."""
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        rolling_hashes,
+    )
+
+    return _get(
+        spark, sf_dir, f"rolling_hashes_k{k}",
+        lambda: rolling_hashes(_docs(spark, sf_dir), k=k),
+    )
+
+
+def shared_minhash_sigs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signature table over the raw
+    documents table (operators/dedup.py minhash_signatures)."""
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    return _get(
+        spark, sf_dir,
+        f"minhash_{hash_family}_{num_hashes}x{shingle_k}",
+        lambda: minhash_signatures(
+            _docs(spark, sf_dir),
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            hash_family=hash_family,
+        ),
+    )
+
+
+def shared_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, __toks, __n) distinct-token sets over the raw documents
+    table — the Jaccard-verify side input (operators/dedup.py
+    token_sets)."""
+    from etl_weather_data_pipeline_spark.operators.dedup import token_sets
+
+    return _get(
+        spark, sf_dir, "token_sets",
+        lambda: token_sets(_docs(spark, sf_dir)),
+    )
+
+
+def build_all(spark: SparkSession, sf_dir: str, k: int = 8) -> dict:
+    """Cold-build + materialize every artifact (the bench entry's body):
+    releases the store first so the timing is a true cold build, then
+    forces each artifact end-to-end with a count. Returns row counts."""
+    release_shared_artifacts()
+    out = {}
+    for name, df in (
+        ("rolling_hashes", shared_rolling_hashes(spark, sf_dir, k)),
+        ("minhash_sigs", shared_minhash_sigs(spark, sf_dir)),
+        ("token_sets", shared_token_sets(spark, sf_dir)),
+    ):
+        out[name] = df.count()
+    return out

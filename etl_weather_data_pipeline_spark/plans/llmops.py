@@ -21,6 +21,7 @@ from etl_weather_data_pipeline_spark.operators.dedup import (
     pin_once,
     simhash_table,
 )
+from etl_weather_data_pipeline_spark.plans import artifacts as AR
 from etl_weather_data_pipeline_spark.plans.catalog import (
     Query,
     davg,
@@ -181,7 +182,10 @@ def _o_lsh_ctes(
 )
 def doc_minhash_lsh_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
 
 
 @q(
@@ -216,7 +220,10 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
 def doc_minhash_lsh_pairs_xxh(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, hash_family="xxhash64"
+        docs, num_hashes=8, bands=4, hash_family="xxhash64",
+        signatures=AR.shared_minhash_sigs(
+            spark, sf_dir, hash_family="xxhash64"
+        ),
     )
     # Token-sequence fingerprint (NOT the usual normalized-text one:
     # shingles are case-sensitive raw tokens, so the dup definition must
@@ -311,8 +318,14 @@ def doc_jaccard_pairs(spark, sf_dir):
     from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
 
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
-    return jaccard_verify(docs, cand, threshold=0.5)
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
+    return jaccard_verify(
+        docs, cand, threshold=0.5,
+        toksets=AR.shared_token_sets(spark, sf_dir),
+    )
 
 
 @q(
@@ -353,10 +366,16 @@ def neardup_threshold_sweep(spark, sf_dir):
     from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
 
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
     # threshold=0.0 keeps every candidate with its exact score — the
     # sweep then re-reads the scored pairs, never the corpus
-    scored = jaccard_verify(docs, cand, threshold=0.0)
+    scored = jaccard_verify(
+        docs, cand, threshold=0.0,
+        toksets=AR.shared_token_sets(spark, sf_dir),
+    )
     th = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
     )
@@ -405,8 +424,14 @@ def doc_neardup_clusters(spark, sf_dir):
     from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
 
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
-    pairs = jaccard_verify(docs, cand, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
+    pairs = jaccard_verify(
+        docs, cand, threshold=0.5,
+        toksets=AR.shared_token_sets(spark, sf_dir),
+    ).select("id_a", "id_b")
     return connected_components(pairs)
 
 
@@ -467,8 +492,14 @@ def neardup_cluster_keep(spark, sf_dir):
     from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
 
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
-    pairs = jaccard_verify(docs, cand, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
+    pairs = jaccard_verify(
+        docs, cand, threshold=0.5,
+        toksets=AR.shared_token_sets(spark, sf_dir),
+    ).select("id_a", "id_b")
     comps = connected_components(pairs)
     scored = comps.join(
         docs.select(
@@ -534,7 +565,10 @@ def neardup_cluster_keep(spark, sf_dir):
 )
 def doc_ngram_jaccard_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     # Project chars once (bound column), THEN build grams from slices —
     # the HOF re-evaluation trap (word_shingles_of) applies here too.
@@ -789,19 +823,26 @@ def _o_winnow(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
     oracle=_o_winnow(),
 )
 def doc_winnow_fingerprints(spark, sf_dir):
-    return _winnow_fps(load(spark, sf_dir, "documents"))
+    return _winnow_fps(
+        load(spark, sf_dir, "documents"),
+        hashes=AR.shared_rolling_hashes(spark, sf_dir, _WINNOW_K),
+    )
 
 
-def _winnow_fps(docs) -> DataFrame:
+def _winnow_fps(docs, hashes=None) -> DataFrame:
     """(doc_id, fingerprint) winnowing sketch rows; shared by the
     fingerprint listing and the overlap-pair consumer. Delegates to the
     operator (operators/passages.py winnow_fingerprint_table — also the
-    streaming funnel sink's stage-3 sketch) at this module's k/w."""
+    streaming funnel sink's stage-3 sketch) at this module's k/w.
+    ``hashes``: precomputed rolling-hash arrays (the session artifact
+    store) — the dominant map cost, hashed once per corpus."""
     from etl_weather_data_pipeline_spark.operators.passages import (
         winnow_fingerprint_table,
     )
 
-    return winnow_fingerprint_table(docs, k=_WINNOW_K, w=_WINNOW_W)
+    return winnow_fingerprint_table(
+        docs, k=_WINNOW_K, w=_WINNOW_W, hashes=hashes
+    )
 
 
 # Quality-bucket CASE over a relation with a `text` column (mirrors
@@ -910,9 +951,17 @@ def corpus_curation_pipeline(spark, sf_dir):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _CURATION_PERSISTED.append(kept)
-    cand = minhash_lsh_pairs(kept, num_hashes=8, bands=4)
+    cand = minhash_lsh_pairs(
+        kept, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir).join(
+            kept.select("doc_id"), "doc_id", "left_semi"
+        ),
+    )
     dropped = (
-        jaccard_verify(kept, cand, threshold=0.5)
+        jaccard_verify(
+            kept, cand, threshold=0.5,
+            toksets=AR.shared_token_sets(spark, sf_dir),
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -1025,9 +1074,17 @@ def corpus_curation_pipeline_v2(spark, sf_dir):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _CURATION_PERSISTED.append(kept)
-    cand = minhash_lsh_pairs(kept, num_hashes=8, bands=4)
+    cand = minhash_lsh_pairs(
+        kept, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir).join(
+            kept.select("doc_id"), "doc_id", "left_semi"
+        ),
+    )
     dropped = (
-        jaccard_verify(kept, cand, threshold=0.5)
+        jaccard_verify(
+            kept, cand, threshold=0.5,
+            toksets=AR.shared_token_sets(spark, sf_dir),
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -3045,7 +3102,7 @@ def doc_minhash_jaccard_estimate(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, num_hashes=8)
+    sig = AR.shared_minhash_sigs(spark, sf_dir)
     cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4, signatures=sig)
     left = sig.select(
         F.col("doc_id").alias("id_a"),
@@ -3267,8 +3324,14 @@ def neardup_degree_stats(spark, sf_dir):
     from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
 
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
-    pairs = jaccard_verify(docs, cand, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
+    pairs = jaccard_verify(
+        docs, cand, threshold=0.5,
+        toksets=AR.shared_token_sets(spark, sf_dir),
+    ).select("id_a", "id_b")
     ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
         pairs.select(F.col("id_b").alias("doc_id"))
     )
@@ -3328,9 +3391,15 @@ def neardup_transitivity_stats(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     release_curation_cache()
-    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
     edges = (
-        jaccard_verify(docs, cand, threshold=0.5)
+        jaccard_verify(
+            docs, cand, threshold=0.5,
+            toksets=AR.shared_token_sets(spark, sf_dir),
+        )
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -4456,7 +4525,10 @@ def doc_winnow_overlap_pairs(spark, sf_dir):
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    fp = _winnow_fps(load(spark, sf_dir, "documents"))
+    fp = _winnow_fps(
+        load(spark, sf_dir, "documents"),
+        hashes=AR.shared_rolling_hashes(spark, sf_dir, _WINNOW_K),
+    )
     d1 = fp.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
     )
@@ -4856,8 +4928,14 @@ def neardup_cross_source_matrix(spark, sf_dir):
     from etl_weather_data_pipeline_spark.operators.dedup import jaccard_verify
 
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
-    verified = jaccard_verify(docs, cand, threshold=0.5).select(
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+    )
+    verified = jaccard_verify(
+        docs, cand, threshold=0.5,
+        toksets=AR.shared_token_sets(spark, sf_dir),
+    ).select(
         "id_a", "id_b"
     )
     srcs = docs.select("doc_id", "source")
@@ -4980,15 +5058,16 @@ def doc_exact_passage_pairs(spark, sf_dir):
         gram_positions,
     )
 
-    docs = load(spark, sf_dir, "documents")
     # min_occ=2: a gram seen once corpus-wide can never produce a pair,
     # and singletons are the bulk of the table — dropping them before the
     # persist shrinks the cache and both join inputs without changing the
-    # result. Persisted so the Rabin-Karp chain evaluates once for both
-    # self-join sides (bounded cache registry).
+    # result. Persisted so the occurrence-window output evaluates once
+    # for both self-join sides (bounded cache registry); the Rabin-Karp
+    # arrays come from the session artifact store.
     release_curation_cache()
     kept = gram_positions(
-        docs, k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC
+        k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC,
+        hashes=AR.shared_rolling_hashes(spark, sf_dir, _WINNOW_K),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(kept)
     return exact_passage_pairs(kept, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K)
@@ -5054,7 +5133,9 @@ _O_WINNOW_CAND = f"""wd AS (
 def doc_passage_pairs_blocked(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     release_curation_cache()
-    cand, grams = _passage_stack(docs)
+    cand, grams = _passage_stack(
+        docs, hashes=AR.shared_rolling_hashes(spark, sf_dir, _WINNOW_K)
+    )
     from etl_weather_data_pipeline_spark.operators.passages import (
         exact_passage_pairs,
     )
@@ -5113,7 +5194,9 @@ def corpus_decontaminate_eval(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     release_curation_cache()
-    cand, grams = _passage_stack(docs)
+    cand, grams = _passage_stack(
+        docs, hashes=AR.shared_rolling_hashes(spark, sf_dir, _WINNOW_K)
+    )
     is_eval_a = F.col("id_a") % 37 == 0
     is_eval_b = F.col("id_b") % 37 == 0
     xcand = cand.filter(is_eval_a != is_eval_b)
@@ -5147,7 +5230,7 @@ def corpus_decontaminate_eval(spark, sf_dir):
     )
 
 
-def _passage_stack(docs):
+def _passage_stack(docs, hashes=None):
     """The shared core of the blocked passage composition: ONE persisted
     Rabin-Karp hash pass feeding both the winnow-candidate sketch and the
     gram-position table. Returns ``(cand, grams)`` — the sketch-blocked
@@ -5159,7 +5242,15 @@ def _passage_stack(docs):
     hash arrays the gram table explodes, so normalize+hash runs once and
     both tables derive from the cache — without this the composition
     pays the (dominant, data-bound) hash chain twice and can never beat
-    the standalone full-gram join."""
+    the standalone full-gram join.
+
+    ``hashes``: precomputed rolling-hash arrays covering EXACTLY the
+    input corpus (the session artifact store, possibly unioned with a
+    query-persisted extra slice — the recall probe's planted rows).
+    Must already be persisted by the caller; this function then skips
+    its own persist, and the blocking df-statistics / occ windows still
+    recompute over the given relation (corpus-dependent, never
+    memoized)."""
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
@@ -5168,10 +5259,13 @@ def _passage_stack(docs):
         rolling_hashes,
     )
 
-    hs = rolling_hashes(docs, k=_WINNOW_K).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _CURATION_PERSISTED.append(hs)
+    if hashes is not None:
+        hs = hashes
+    else:
+        hs = rolling_hashes(docs, k=_WINNOW_K).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _CURATION_PERSISTED.append(hs)
     # Sketch side: winnow fingerprints -> stop-fingerprint bound ->
     # self-join on fingerprint -> pairs sharing >= _WINNOW_MIN_SHARED.
     fps = hs.select(
@@ -5269,15 +5363,28 @@ def corpus_dedup_funnel(spark, sf_dir):
     release_curation_cache()
     # Stage 1: exact dedup. The survivor set feeds the LSH signatures,
     # both Jaccard verify sides, and the next stage — persist once.
+    # Per-doc artifacts (signatures, token sets, hash arrays) come from
+    # the session artifact store semi-joined to each stage's survivor
+    # ids — row-local transforms, so filter(artifact) == artifact(
+    # filtered input) exactly; the corpus-dependent statistics (band
+    # join, df/occ windows) still compute over the survivor relations.
     s1 = (
         dedup_exact(docs)
         .select("doc_id", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _CURATION_PERSISTED.append(s1)
-    cand = minhash_lsh_pairs(s1, num_hashes=8, bands=4)
+    cand = minhash_lsh_pairs(
+        s1, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir).join(
+            s1.select("doc_id"), "doc_id", "left_semi"
+        ),
+    )
     d2 = (
-        jaccard_verify(s1, cand, threshold=0.5)
+        jaccard_verify(
+            s1, cand, threshold=0.5,
+            toksets=AR.shared_token_sets(spark, sf_dir),
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -5287,7 +5394,10 @@ def corpus_dedup_funnel(spark, sf_dir):
     )
     _CURATION_PERSISTED.append(s2)
     grams = gram_positions(
-        s2, k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC
+        k=_WINNOW_K, min_occ=2, max_occ=_PASSAGE_MAX_OCC,
+        hashes=AR.shared_rolling_hashes(spark, sf_dir, _WINNOW_K).join(
+            s2.select("doc_id"), "doc_id", "left_semi"
+        ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(grams)
     d3 = (
@@ -5382,15 +5492,25 @@ def corpus_dedup_funnel_blocked(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     release_curation_cache()
+    # Per-doc artifacts from the session store, semi-joined per stage —
+    # see corpus_dedup_funnel for the exactness argument.
     s1 = (
         dedup_exact(docs)
         .select("doc_id", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _CURATION_PERSISTED.append(s1)
-    cand = minhash_lsh_pairs(s1, num_hashes=8, bands=4)
+    cand = minhash_lsh_pairs(
+        s1, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir).join(
+            s1.select("doc_id"), "doc_id", "left_semi"
+        ),
+    )
     d2 = (
-        jaccard_verify(s1, cand, threshold=0.5)
+        jaccard_verify(
+            s1, cand, threshold=0.5,
+            toksets=AR.shared_token_sets(spark, sf_dir),
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -5398,13 +5518,13 @@ def corpus_dedup_funnel_blocked(spark, sf_dir):
         StorageLevel.MEMORY_AND_DISK
     )
     _CURATION_PERSISTED.append(s2)
-    # Stage 3, blocked: ONE rolling-hash pass over the stage-2 survivors
-    # feeds both the winnow sketch (candidate pairs) and the gram table
-    # (exact verify) — the doc_passage_pairs_blocked composition applied
-    # inside the cascade.
-    hs = rolling_hashes(s2, k=_WINNOW_K).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Stage 3, blocked: ONE rolling-hash pass (the artifact store's,
+    # filtered to the stage-2 survivors) feeds both the winnow sketch
+    # (candidate pairs) and the gram table (exact verify) — the
+    # doc_passage_pairs_blocked composition applied inside the cascade.
+    hs = AR.shared_rolling_hashes(spark, sf_dir, _WINNOW_K).join(
+        s2.select("doc_id"), "doc_id", "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(hs)
     fps = hs.select(
         "doc_id",
@@ -5461,7 +5581,7 @@ def corpus_dedup_funnel_blocked(spark, sf_dir):
     )
 
 
-def incremental_funnel(store, batch):
+def incremental_funnel(store, batch, signatures=None, toksets=None):
     """The per-ingest dedup cascade: admit only batch docs that are (1)
     not exact-dups of the store or of a smaller-id batch doc, then (2)
     not near-dups (LSH candidates + Jaccard >= 0.5 verify) of any store
@@ -5482,6 +5602,12 @@ def incremental_funnel(store, batch):
     joins here are shaped identically (fingerprint anti-join; band
     equi-join bounded by LSH collisions; verified pairs filtered to
     those touching the batch).
+
+    ``signatures``/``toksets``: per-doc artifact tables covering every
+    (store ∪ batch) doc with unchanged text (the session artifact
+    store) — signatures are semi-joined to the union's ids (the band
+    self-join must see EXACTLY the union's rows), toksets pass through
+    unfiltered (verify equi-joins pick candidate ids only).
     """
     from pyspark import StorageLevel
 
@@ -5502,8 +5628,17 @@ def incremental_funnel(store, batch):
     )
     _CURATION_PERSISTED.append(b1)
     u = store_k.unionByName(b1)
-    cand = minhash_lsh_pairs(u, num_hashes=8, bands=4)
-    ver = jaccard_verify(u, cand, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        u, num_hashes=8, bands=4,
+        signatures=(
+            signatures.join(u.select("doc_id"), "doc_id", "left_semi")
+            if signatures is not None
+            else None
+        ),
+    )
+    ver = jaccard_verify(
+        u, cand, threshold=0.5, toksets=toksets
+    ).select("id_a", "id_b")
     # One pass over verified pairs: flag which side is new, then each
     # pair drops at most one batch doc — id_b when it is new (store wins,
     # and within-batch the smaller id_a wins), else id_a when it is new
@@ -5592,7 +5727,11 @@ def corpus_dedup_funnel_incremental(spark, sf_dir):
     store_raw = docs.filter(F.col("doc_id") % 5 != 0)
     release_curation_cache()
     store = dedup_exact(store_raw).select("doc_id", "text")
-    store_cached, b1, b2 = incremental_funnel(store, batch)
+    store_cached, b1, b2 = incremental_funnel(
+        store, batch,
+        signatures=AR.shared_minhash_sigs(spark, sf_dir),
+        toksets=AR.shared_token_sets(spark, sf_dir),
+    )
 
     def stage(label, df):
         return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
@@ -5890,8 +6029,32 @@ def dedup_recall_probe(spark, sf_dir):
         F.col("ptext").alias("text"),
     )
     corpus = docs.unionByName(planted)
-    cand = minhash_lsh_pairs(corpus, num_hashes=8, bands=4)
-    ver = jaccard_verify(corpus, cand, threshold=0.5).select("id_a", "id_b")
+    # per-doc artifacts: corpus slice from the session artifact store,
+    # planted slice (40% of corpus rows) computed fresh from p2 — p2
+    # persists because it feeds the planted signatures, the planted
+    # token sets, AND the exact-truth pass below
+    from pyspark import StorageLevel as _SL
+
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        minhash_signatures as _msig,
+    )
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        token_sets as _tsets,
+    )
+
+    p2 = p2.persist(_SL.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(p2)
+    planted_sigs = _msig(planted, num_hashes=8, shingle_k=3)
+    sigs = AR.shared_minhash_sigs(spark, sf_dir).unionByName(planted_sigs)
+    cand = minhash_lsh_pairs(
+        corpus, num_hashes=8, bands=4, signatures=sigs
+    )
+    toksets = AR.shared_token_sets(spark, sf_dir).unionByName(
+        _tsets(planted)
+    )
+    ver = jaccard_verify(
+        corpus, cand, threshold=0.5, toksets=toksets
+    ).select("id_a", "id_b")
     rec = (
         ver.filter(
             (F.col("id_b") >= 1000000)
@@ -6079,7 +6242,21 @@ def passage_recall_probe(spark, sf_dir):
     planted = p2.select(planted_id.alias("doc_id"), ptext.alias("text"))
     corpus = docs.unionByName(planted)
     release_curation_cache()
-    cand, grams = _passage_stack(corpus)
+    # hash arrays: the corpus slice comes from the session artifact
+    # store; only the planted 40% is hashed fresh (persisted — it feeds
+    # the sketch AND the gram table), and the union is what the stack's
+    # corpus-dependent df/occ statistics see — identical semantics to
+    # hashing docs ∪ planted in one pass
+    from pyspark import StorageLevel as _SL
+
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        rolling_hashes as _rh,
+    )
+
+    ph = _rh(planted, k=_WINNOW_K).persist(_SL.MEMORY_AND_DISK)
+    _CURATION_PERSISTED.append(ph)
+    hs = AR.shared_rolling_hashes(spark, sf_dir, _WINNOW_K).unionByName(ph)
+    cand, grams = _passage_stack(corpus, hashes=hs)
     blocked = exact_passage_pairs(
         grams, min_run=_PASSAGE_MIN_RUN, k=_WINNOW_K, candidates=cand
     )

@@ -169,7 +169,14 @@ def test_winnow_is_maponly_without_inferred_filter(spark):
     assert n_nodes(plan, "Generate") == 1
     df = REG["doc_winnow_fingerprints"].spark(spark, SF_SMOKE)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    filters = [ln for ln in optimized.splitlines() if "Filter" in ln]
+    # Filter NODES only: the artifact store's cached relation renders a
+    # FileScan line whose "PartitionFilters:" detail would otherwise
+    # false-match a substring grep (r11)
+    filters = [
+        ln
+        for ln in optimized.splitlines()
+        if re.match(r"^[\s+:\-]*Filter ", ln)
+    ]
     assert len(filters) == 1 and "isnotnull" in filters[0]
     assert "size(" not in filters[0]
 
