@@ -236,6 +236,8 @@ PROPERTY_QUERIES = [
     "doc_quality_classifier",
     "corpus_curation_pipeline_v2",
     "embedding_semdedup_probe",
+    "ann_index_drift_report",
+    "corpus_semdedup_global",
     "corpus_merge_state",
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",

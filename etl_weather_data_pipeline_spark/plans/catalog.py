@@ -215,9 +215,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- r9-vintage early pull (r12 debt relief) ---
     "pricing_summary",
     # --- r11 debutants dead-LAST (both JVM-only plans) ---
-    # (uncommented the moment each lands in the registry this round)
-    # "ann_index_drift_report",
-    # "corpus_semdedup_global",
+    "ann_index_drift_report",
+    "corpus_semdedup_global",
 )
 
 

@@ -7062,3 +7062,196 @@ def corpus_epoch_expand(spark, sf_dir):
         F.sum("__nt").cast("long").alias("tokens_out"),
         F.min("__rate").alias("rate"),
     )
+
+
+@q(
+    "ann_index_drift_report",
+    "Drift/skew audit + retrain for the persisted IVF index (r10 "
+    "verdict directive #4 — the FAISS operational reality the frozen "
+    "quantizer creates at 100 TB): the index is built with its coarse "
+    "quantizer trained on a BIASED early slice (vec_id % 4 == 0 — the "
+    "bootstrap-sample drift scenario), the remaining three quarters "
+    "arrive through the map-only add path, ivf_cell_stats reports "
+    "per-cell population skew + residual energy BEFORE, "
+    "retrain_ivf_index warm-starts Lloyd from the frozen centroids and "
+    "staged-swap rewrites the store, and the report is re-read from "
+    "the SWAPPED store. Exact cross-checks: k and n_vectors (a row "
+    "lost or duplicated by the rewrite hash-fails). Invariant "
+    "booleans: retrain_preserves_rows; retrain_assign_consistent "
+    "(every post-swap row's cell equals the argmin over the RETRAINED "
+    "centroids — null-safe recompute); sse_non_increasing (warm-start "
+    "Lloyd's monotonicity, measured from the drifted assignment's own "
+    "energy); energy_not_worse (total within-cell squared distance "
+    "from the swapped store <= the drifted store's — the retrain can "
+    "provably never hurt the data it holds); skew_frac_sums_to_one "
+    "(the stats report covers every stored row, before and after). "
+    "Clustering itself is not SQL-replayable, so those surfaces are "
+    "booleans; the oracle cross-checks the exact columns and emits "
+    "literal TRUE.",
+    oracle="""
+    SELECT CAST(8 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS retrain_preserves_rows,
+           TRUE AS retrain_assign_consistent,
+           TRUE AS sse_non_increasing,
+           TRUE AS energy_not_worse,
+           TRUE AS skew_frac_sums_to_one
+    FROM embeddings
+    """,
+)
+def ann_index_drift_report(spark, sf_dir):
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="ann_drift_") + "/index"
+    emb = load(spark, sf_dir, "embeddings")
+    AX.write_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 0), root, n_cells=8,
+        iterations=2,
+    )
+    AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 4 != 0), root)
+
+    def stats(df):
+        rows = df.collect()
+        n = sum(r["n_vectors"] for r in rows)
+        energy = sum(r["n_vectors"] * r["mean_sq_dist"] for r in rows)
+        frac = sum(r["cell_frac"] for r in rows)
+        return n, energy, frac
+
+    n_before, e_before, f_before = stats(AX.ivf_cell_stats(spark, root))
+    rep = AX.retrain_ivf_index(spark, root, iterations=3)
+    n_after, e_after, f_after = stats(AX.ivf_cell_stats(spark, root))
+    cents = AX.read_ivf_centroid_matrix(spark, root)
+    n_bad = (
+        AX.read_ivf_vectors(spark, root)
+        .filter(
+            ~F.col("cell").eqNullSafe(
+                argmin_index(F.col("embedding"), cents).cast("int")
+            )
+        )
+        .count()
+    )
+    sse = rep["sse_history"]
+    monotone = all(
+        sse[i + 1] <= sse[i] * (1 + 1e-9) + 1e-9
+        for i in range(len(sse) - 1)
+    )
+    return spark.range(1).select(
+        F.lit(8).cast("int").alias("k"),
+        F.lit(n_after).cast("long").alias("n_vectors"),
+        F.lit(bool(n_after == n_before)).alias("retrain_preserves_rows"),
+        F.lit(bool(n_bad == 0)).alias("retrain_assign_consistent"),
+        F.lit(bool(monotone)).alias("sse_non_increasing"),
+        F.lit(bool(e_after <= e_before * (1 + 1e-6) + 1e-6)).alias(
+            "energy_not_worse"
+        ),
+        F.lit(
+            bool(abs(f_before - 1.0) < 1e-9 and abs(f_after - 1.0) < 1e-9)
+        ).alias("skew_frac_sums_to_one"),
+    )
+
+
+@q(
+    "corpus_semdedup_global",
+    "The batch-periodic corpus-GLOBAL SemDeDup pass (r10 verdict "
+    "directive #5 — the audit the streaming stage-4 docstring "
+    "promises): per-batch semantic dedup judges only against cells "
+    "frozen at bootstrap, so near-dups that straddle a drifted cell "
+    "boundary are admitted blind; the periodic pass retrains the "
+    "quantizer on the FULL store (warm-start Lloyd + staged swap) and "
+    "re-judges every stored vector with MULTI-PROBE blocking (each "
+    "vector blocks to its n_probe=2 nearest cells, pairs compared when "
+    "probe sets intersect, exact cosine >= 0.95 verifies, per-cell "
+    "population stop bound) — returning the missed pairs as a "
+    "work-list. Scenario: half the embeddings build the index (frozen "
+    "early training), the other half arrives via adds, and known "
+    "near-duplicates are planted (vec_id % 10 == 0, scaled by 1.001 — "
+    "cosine ~1.0, planted at id + 1e6 with the recall probes' "
+    "collision guard). Exact cross-checks: n_base_vectors, n_planted. "
+    "Booleans: retrain_preserves_rows, retrain_assign_consistent "
+    "(post-swap store invariant), planted_recall_floor_ok (the global "
+    "pass recovers >= 90% of planted pairs — at the gate SFs it is "
+    "1.0), planted_all_indexed (every planted id reached the index "
+    "through the add path). Clustering/audit internals are not "
+    "SQL-replayable; the oracle cross-checks the exact columns.",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_base_vectors,
+           CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_planted,
+           TRUE AS retrain_preserves_rows,
+           TRUE AS retrain_assign_consistent,
+           TRUE AS planted_recall_floor_ok,
+           TRUE AS planted_all_indexed
+    FROM embeddings
+    """,
+)
+def corpus_semdedup_global(spark, sf_dir):
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="semdedup_global_") + "/index"
+    emb = load(spark, sf_dir, "embeddings")
+    AX.write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), root, n_cells=8,
+        iterations=2,
+    )
+    AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), root)
+    planted_id = F.when(
+        F.col("vec_id") < 1000000, F.col("vec_id") + 1000000
+    ).otherwise(
+        F.raise_error(
+            F.lit("corpus_semdedup_global: vec_id >= 1e6 collides with "
+                  "the planted-id space; raise the offset")
+        )
+    )
+    # element cast back to float: the embeddings table stores
+    # array<float>, and a double-promoted planted column would fork the
+    # store's parquet schema across cell partitions
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        planted_id.alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * F.lit(1.001)).cast("float"),
+        ).alias("embedding"),
+    )
+    AX.add_to_ivf_index(planted, root)
+    rep = AX.retrain_ivf_index(spark, root, iterations=2)
+    pairs = AX.semdedup_global_audit(
+        spark, root, threshold=0.95, n_probe=2
+    )
+    n_rec = pairs.filter(
+        (F.col("id_b") >= 1000000)
+        & (F.col("id_a") == F.col("id_b") - 1000000)
+    ).count()
+    n_base = emb.count()
+    n_planted = emb.filter(F.col("vec_id") % 10 == 0).count()
+    cents = AX.read_ivf_centroid_matrix(spark, root)
+    idx = AX.read_ivf_vectors(spark, root)
+    n_bad = idx.filter(
+        ~F.col("cell").eqNullSafe(
+            argmin_index(F.col("embedding"), cents).cast("int")
+        )
+    ).count()
+    n_planted_indexed = idx.filter(F.col("vec_id") >= 1000000).count()
+    return spark.range(1).select(
+        F.lit(n_base).cast("long").alias("n_base_vectors"),
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.lit(bool(rep["n_vectors"] == n_base + n_planted)).alias(
+            "retrain_preserves_rows"
+        ),
+        F.lit(bool(n_bad == 0)).alias("retrain_assign_consistent"),
+        F.lit(bool(n_planted > 0 and n_rec >= 0.9 * n_planted)).alias(
+            "planted_recall_floor_ok"
+        ),
+        F.lit(bool(n_planted_indexed == n_planted)).alias(
+            "planted_all_indexed"
+        ),
+    )

@@ -1734,3 +1734,116 @@ def test_training_export_includes_zero_token_docs(spark, tmp_path):
     # the seeded docs specifically made it to disk (not just the report)
     n_union = 503
     assert sum(r[1] for r in srows) == n_union
+
+
+def test_ivf_retrain_drift_and_cell_stats(spark, tmp_path):
+    """Directive #4 pins: the cell-stats audit covers every stored row;
+    retrain_ivf_index (warm-start Lloyd + staged swap) preserves rows,
+    leaves the post-swap store assign-consistent under the RETRAINED
+    centroids, never increases total within-cell energy, keeps probes
+    working, and re-encodes a PQ layer under the shared code rule."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "idx")
+    # drift scenario: quantizer trained on a quarter, rest added frozen
+    AX.write_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 0), root, n_cells=8,
+        iterations=2, pq_m=4, pq_k=16, pq_iterations=1,
+    )
+    AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 4 != 0), root)
+
+    def totals(df):
+        rows = df.collect()
+        return (
+            sum(r["n_vectors"] for r in rows),
+            sum(r["n_vectors"] * r["mean_sq_dist"] for r in rows),
+            sum(r["cell_frac"] for r in rows),
+        )
+
+    n0, e0, f0 = totals(AX.ivf_cell_stats(spark, root))
+    assert n0 == emb.count() and abs(f0 - 1.0) < 1e-9
+    rep = AX.retrain_ivf_index(spark, root, iterations=3, pq_iterations=1)
+    assert rep["n_vectors"] == n0
+    sse = rep["sse_history"]
+    assert all(
+        sse[i + 1] <= sse[i] * (1 + 1e-9) + 1e-9
+        for i in range(len(sse) - 1)
+    ), sse
+    n1, e1, f1 = totals(AX.ivf_cell_stats(spark, root))
+    assert n1 == n0 and abs(f1 - 1.0) < 1e-9
+    assert e1 <= e0 * (1 + 1e-6) + 1e-6, (e0, e1)
+    # post-swap store invariant under the RETRAINED quantizer: cells AND
+    # PQ codes both recompute clean (null-safe)
+    cents = AX.read_ivf_centroid_matrix(spark, root)
+    meta = AX.read_ivf_meta(root)
+    idx = AX.read_ivf_vectors(spark, root)
+    bad = idx.filter(
+        ~F.col("cell").eqNullSafe(
+            argmin_index(F.col("embedding"), cents).cast("int")
+        )
+        | ~F.col("codes").eqNullSafe(
+            AX.residual_codes_expr(
+                "embedding", "cell", cents, meta["pq"]["codebooks"]
+            )
+        )
+    ).count()
+    assert bad == 0
+    # probes keep working against the swapped store (exact + ADC)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    assert AX.ivf_index_topk(spark, root, qv, k=5, n_probe=3).count() == 5
+    assert (
+        AX.ivf_index_topk(
+            spark, root, qv, k=5, n_probe=3, method="adc"
+        ).count()
+        == 5
+    )
+
+
+def test_cdc_chunk_dedup_volume_metrics(spark):
+    """r10 verdict directive #2: doc_cdc_chunk_dedup drew cross-round
+    wall-clock flags in BOTH r9 (1.27x) and r10 (1.65x), adjudicated
+    noise both times — this pins the query's actual WORK VOLUMES, which
+    are pure functions of the data, so the next flag auto-adjudicates:
+    unchanged volumes + unchanged code => host noise, not a regression.
+
+    Pinned (smoke SF): pre-aggregate rows crossing the exchange (the
+    map-side collapse _cdc_per_doc_fp exists for), total chunks, and
+    distinct fingerprints. Session record for the bench SF (sf0.1):
+    pre_agg_rows=22899, total_chunks=22908, distinct_fps=19941 —
+    r11 builder session, doc_cdc_chunk_dedup wall-clock 2.68s (vs the
+    r10 driver artifact's 5.56s on IDENTICAL code and volumes: the
+    noise verdict, now auto-checkable). A testdata regeneration
+    legitimately changes these constants — re-measure and update, the
+    oracle hash gate (which covers the chunk totals per doc) is the
+    correctness authority.
+    Internal consistency: total chunks must equal the sum of the
+    hash-verified n_chunks output column, tying the volume record to
+    the oracled surface."""
+    from etl_weather_data_pipeline_spark.plans.catalog import (
+        build_registry,
+    )
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        _cdc_per_doc_fp,
+        release_curation_cache,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    per = _cdc_per_doc_fp(docs).persist()
+    n_rows = per.count()
+    agg = per.agg(
+        F.sum("__cnt").alias("c"), F.countDistinct("__fp").alias("f")
+    ).first()
+    per.unpersist()
+    assert (n_rows, agg["c"], agg["f"]) == (2311, 2311, 2139)
+    out = (
+        build_registry()["doc_cdc_chunk_dedup"]
+        .spark(spark, SF_SMOKE)
+        .agg(F.sum("n_chunks").alias("n"))
+        .first()["n"]
+    )
+    release_curation_cache()
+    assert out == agg["c"]

@@ -1663,3 +1663,75 @@ def test_semantic_stage_cell_population_stop_bound(spark, tmp_path):
         .select("doc_id")
         .collect()
     } == {0, 1, 10, 11, 12, 13, 14}
+
+
+def test_semdedup_global_pass_closes_perbatch_gap(spark, tmp_path):
+    """r10 verdict directive #5 — the gap -> audit -> re-judge round
+    trip, live: per-batch stage 4 judges only against cells FROZEN at
+    bootstrap, so a near-dup pair (cosine ~1.0) whose members land in
+    DIFFERENT frozen cells is admitted blind; the periodic
+    corpus-global pass (retrain_ivf_index + semdedup_global_audit's
+    multi-probe blocking) then names exactly the missed pair as the
+    re-judge work-list."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    schema = "doc_id long, text string, embedding array<double>"
+    v0 = [10.0, 0.0, 0.0, 0.0]
+    v1 = [0.0, 10.0, 0.0, 0.0]
+    # a and b straddle the frozen cell boundary (a -> cell of v0,
+    # b -> cell of v1) while cosine(a, b) ~ 0.9996 >= 0.95
+    a = [5.1, 4.9, 0.0, 0.0]
+    b = [4.9, 5.1, 0.0, 0.0]
+
+    def merge(rows):
+        return merge_batch_neardup_into_corpus(
+            spark.createDataFrame(rows, schema), store,
+            embedding_col="embedding", semantic_cells=2, history=False,
+            band_buckets=4,
+        )
+
+    assert merge(
+        [
+            (0, "alpha bravo charlie delta", v0),
+            (1, "echo foxtrot golf hotel", v1),
+        ]
+    ) == 2  # bootstrap: cells freeze at ~v0 / ~v1
+    assert merge([(10, "india juliet kilo lima", a)]) == 1
+    # b lands in the OTHER frozen cell: the per-batch probe never
+    # compares it to doc 10 -> admitted blind (the documented gap)
+    assert merge([(20, "mike november oscar papa", b)]) == 1
+    assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {
+        0, 1, 10, 20,
+    }
+    # the periodic global pass: retrain on the full store, multi-probe
+    # re-judge -> exactly the missed pair, nothing else
+    rep = AX.retrain_ivf_index(spark, vroot, iterations=2)
+    assert rep["n_vectors"] == 4
+    pairs = AX.semdedup_global_audit(
+        spark, vroot, threshold=0.95, n_probe=2
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(10, 20)}
+    # post-swap store invariant holds (the re-judge ran on a consistent
+    # index); the drop-list convention names the larger id
+    cents = AX.read_ivf_centroid_matrix(spark, vroot)
+    bad = (
+        AX.read_ivf_vectors(spark, vroot)
+        .filter(
+            ~F.col("cell").eqNullSafe(
+                argmin_index(F.col("embedding"), cents).cast("int")
+            )
+        )
+        .count()
+    )
+    assert bad == 0
