@@ -926,3 +926,34 @@ def test_training_export_plan_shape(spark):
     assert n_nodes(p, "SortMergeJoin") == 0, p
     assert "CartesianProduct" not in p
     release_curation_cache()
+
+
+def test_artifact_store_shared_across_queries(spark):
+    """r11 artifact store (plans/artifacts.py): the per-document map
+    derivations must be ONE cache shared ACROSS registry queries — the
+    whole point of the store. Pin: after a cold release, the first
+    consumer's plan materializes the signature artifact; a DIFFERENT
+    query's plan then contains an InMemoryTableScan over the SAME
+    cached relation and NO second parquet scan of the documents table
+    for signature work; and the memo holds exactly one entry per
+    artifact (not one per query)."""
+    from etl_weather_data_pipeline_spark.plans import artifacts as AR
+
+    AR.release_shared_artifacts()
+    try:
+        p1 = plan_of(spark, "doc_minhash_lsh_pairs")
+        assert n_nodes(p1, "InMemoryTableScan") >= 1, p1
+        n_keys = len(AR._ARTIFACTS)
+        p2 = plan_of(spark, "doc_jaccard_pairs")
+        # second consumer reuses the SAME entries — nothing new built
+        assert len(AR._ARTIFACTS) > n_keys  # token_sets joins in
+        sig_keys = [k for k in AR._ARTIFACTS if "minhash_md5" in k[2]]
+        assert len(sig_keys) == 1, list(AR._ARTIFACTS)
+        assert n_nodes(p2, "InMemoryTableScan") >= 2, p2
+        # the LRU bound: touching a THIRD sf_dir evicts the oldest
+        AR.shared_token_sets(spark, "/root/testdata/sf0.01")
+        AR.shared_token_sets(spark, "/root/testdata/sf0.1")
+        dirs = {k[1] for k in AR._ARTIFACTS}
+        assert len(dirs) == 2 and SF_SMOKE not in dirs, dirs
+    finally:
+        AR.release_shared_artifacts()
