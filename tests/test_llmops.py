@@ -360,6 +360,14 @@ def test_curation_cache_lifecycle(spark):
 
     release_curation_cache()
     assert llmops._CURATION_PERSISTED == []
+    # Pre-build the SESSION-scoped artifact store the flagship consumes
+    # (r11): its caches deliberately survive release_curation_cache —
+    # the per-QUERY lifecycle under test is the _CURATION_PERSISTED
+    # registry, so the artifact RDDs belong in the baseline snapshot.
+    from etl_weather_data_pipeline_spark.plans import artifacts as AR
+
+    AR.shared_minhash_sigs(spark, SF_SMOKE).count()
+    AR.shared_token_sets(spark, SF_SMOKE).count()
     base_ids = persistent_ids()
     df1 = q.spark(spark, SF_SMOKE)
     rows = df1.collect()
