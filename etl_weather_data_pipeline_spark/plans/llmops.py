@@ -7100,6 +7100,7 @@ def corpus_epoch_expand(spark, sf_dir):
     """,
 )
 def ann_index_drift_report(spark, sf_dir):
+    import shutil
     import tempfile
 
     from etl_weather_data_pipeline_spark.operators import ann_index as AX
@@ -7107,13 +7108,9 @@ def ann_index_drift_report(spark, sf_dir):
         argmin_index,
     )
 
-    root = tempfile.mkdtemp(prefix="ann_drift_") + "/index"
+    tmp = tempfile.mkdtemp(prefix="ann_drift_")
+    root = tmp + "/index"
     emb = load(spark, sf_dir, "embeddings")
-    AX.write_ivf_index(
-        emb.filter(F.col("vec_id") % 4 == 0), root, n_cells=8,
-        iterations=2,
-    )
-    AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 4 != 0), root)
 
     def stats(df):
         rows = df.collect()
@@ -7122,19 +7119,32 @@ def ann_index_drift_report(spark, sf_dir):
         frac = sum(r["cell_frac"] for r in rows)
         return n, energy, frac
 
-    n_before, e_before, f_before = stats(AX.ivf_cell_stats(spark, root))
-    rep = AX.retrain_ivf_index(spark, root, iterations=3)
-    n_after, e_after, f_after = stats(AX.ivf_cell_stats(spark, root))
-    cents = AX.read_ivf_centroid_matrix(spark, root)
-    n_bad = (
-        AX.read_ivf_vectors(spark, root)
-        .filter(
-            ~F.col("cell").eqNullSafe(
-                argmin_index(F.col("embedding"), cents).cast("int")
-            )
+    # every returned value is a DRIVER literal computed before the
+    # finally, so removing the temp index is safe (bench runs this
+    # min-of-N — leaked index dirs would accumulate per run)
+    try:
+        AX.write_ivf_index(
+            emb.filter(F.col("vec_id") % 4 == 0), root, n_cells=8,
+            iterations=2,
         )
-        .count()
-    )
+        AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 4 != 0), root)
+        n_before, e_before, f_before = stats(
+            AX.ivf_cell_stats(spark, root)
+        )
+        rep = AX.retrain_ivf_index(spark, root, iterations=3)
+        n_after, e_after, f_after = stats(AX.ivf_cell_stats(spark, root))
+        cents = AX.read_ivf_centroid_matrix(spark, root)
+        n_bad = (
+            AX.read_ivf_vectors(spark, root)
+            .filter(
+                ~F.col("cell").eqNullSafe(
+                    argmin_index(F.col("embedding"), cents).cast("int")
+                )
+            )
+            .count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     sse = rep["sse_history"]
     monotone = all(
         sse[i + 1] <= sse[i] * (1 + 1e-9) + 1e-9
@@ -7190,6 +7200,7 @@ def ann_index_drift_report(spark, sf_dir):
     """,
 )
 def corpus_semdedup_global(spark, sf_dir):
+    import shutil
     import tempfile
 
     from etl_weather_data_pipeline_spark.operators import ann_index as AX
@@ -7197,13 +7208,9 @@ def corpus_semdedup_global(spark, sf_dir):
         argmin_index,
     )
 
-    root = tempfile.mkdtemp(prefix="semdedup_global_") + "/index"
+    tmp = tempfile.mkdtemp(prefix="semdedup_global_")
+    root = tmp + "/index"
     emb = load(spark, sf_dir, "embeddings")
-    AX.write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), root, n_cells=8,
-        iterations=2,
-    )
-    AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), root)
     planted_id = F.when(
         F.col("vec_id") < 1000000, F.col("vec_id") + 1000000
     ).otherwise(
@@ -7222,25 +7229,35 @@ def corpus_semdedup_global(spark, sf_dir):
             lambda x: (x.cast("double") * F.lit(1.001)).cast("float"),
         ).alias("embedding"),
     )
-    AX.add_to_ivf_index(planted, root)
-    rep = AX.retrain_ivf_index(spark, root, iterations=2)
-    pairs = AX.semdedup_global_audit(
-        spark, root, threshold=0.95, n_probe=2
-    )
-    n_rec = pairs.filter(
-        (F.col("id_b") >= 1000000)
-        & (F.col("id_a") == F.col("id_b") - 1000000)
-    ).count()
-    n_base = emb.count()
-    n_planted = emb.filter(F.col("vec_id") % 10 == 0).count()
-    cents = AX.read_ivf_centroid_matrix(spark, root)
-    idx = AX.read_ivf_vectors(spark, root)
-    n_bad = idx.filter(
-        ~F.col("cell").eqNullSafe(
-            argmin_index(F.col("embedding"), cents).cast("int")
+    # every returned value is a DRIVER literal computed before the
+    # finally, so removing the temp index is safe (bench min-of-N)
+    try:
+        AX.write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), root, n_cells=8,
+            iterations=2,
         )
-    ).count()
-    n_planted_indexed = idx.filter(F.col("vec_id") >= 1000000).count()
+        AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), root)
+        AX.add_to_ivf_index(planted, root)
+        rep = AX.retrain_ivf_index(spark, root, iterations=2)
+        pairs = AX.semdedup_global_audit(
+            spark, root, threshold=0.95, n_probe=2
+        )
+        n_rec = pairs.filter(
+            (F.col("id_b") >= 1000000)
+            & (F.col("id_a") == F.col("id_b") - 1000000)
+        ).count()
+        n_base = emb.count()
+        n_planted = emb.filter(F.col("vec_id") % 10 == 0).count()
+        cents = AX.read_ivf_centroid_matrix(spark, root)
+        idx = AX.read_ivf_vectors(spark, root)
+        n_bad = idx.filter(
+            ~F.col("cell").eqNullSafe(
+                argmin_index(F.col("embedding"), cents).cast("int")
+            )
+        ).count()
+        n_planted_indexed = idx.filter(F.col("vec_id") >= 1000000).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.range(1).select(
         F.lit(n_base).cast("long").alias("n_base_vectors"),
         F.lit(n_planted).cast("long").alias("n_planted"),
