@@ -332,11 +332,20 @@ def main() -> None:
         release_curation_cache()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
+    # Multi-second queries get two EXTRA runs beyond $SPARK_GRAFT_RUNS
+    # (r10 verdict directive #1b): sub-second queries' absolute noise is
+    # bounded by their size, but a 47%-band outlier on a 5 s query moves
+    # the headline by seconds — min-of-5 on exactly those floors it at
+    # ~2 s of extra wall-clock per query, none of it reported.
+    extra_if_slow = int(os.environ.get("SPARK_GRAFT_EXTRA_SLOW_RUNS", "2"))
+    slow_threshold_s = 1.5
     timings: dict[str, float] = {}
     for name in [n for n in headline if n not in BENCH_CALLABLES]:
         q = registry[name]
         best = float("inf")
-        for _ in range(n_runs):
+        runs = n_runs
+        done = 0
+        while done < runs:
             # Queries that persist an intermediate (winnow overlap, the
             # curation flagship) release + rebuild their cache on every
             # invocation, so each run re-computes from the scan — min-of-N
@@ -346,6 +355,9 @@ def main() -> None:
                 "overwrite"
             ).save()
             best = min(best, time.monotonic() - t0)
+            done += 1
+            if done == n_runs and best >= slow_threshold_s:
+                runs = n_runs + extra_if_slow
         timings[name] = round(best, 3)
     # Side-effecting sink benchmarks: single-shot by design — each is a
     # multi-stage pipeline of hundreds of jobs, so per-entry noise is a
@@ -382,6 +394,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": n_runs,
+                # queries whose min after runs_per_query runs was still
+                # >= 1.5 s got this many EXTRA runs (noise flooring)
+                "extra_runs_if_slow": extra_if_slow,
                 # like-for-like across rounds: the frozen r6 core set
                 # (the full total grows with every added headliner)
                 "core_r6_value": core_total,
