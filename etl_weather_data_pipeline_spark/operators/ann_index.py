@@ -601,7 +601,6 @@ def retrain_ivf_index(
     {"n_vectors": n, "sse_history": [...], "meta": new_meta}.
     """
     import shutil
-    import tempfile
 
     from etl_weather_data_pipeline_spark.operators.kmeans import (
         kmeans_fit_full,
@@ -642,7 +641,16 @@ def retrain_ivf_index(
             "m": meta["pq"]["m"], "k": meta["pq"]["k"],
             "codebooks": codebooks,
         }
-    staged = tempfile.mkdtemp(prefix="ivf_retrain_") + "/index"
+    # Stage as a SIBLING of the live index (same directory → same
+    # filesystem, same as compact_parquet): staging in the system temp
+    # dir would make _swap_dirs' second os.rename cross-device (EXDEV)
+    # after the first rename already moved the live index aside —
+    # destroying the store on any layout where /tmp is a different
+    # mount (tmpfs is the default). The sibling rename pair can't hit
+    # EXDEV.
+    import uuid
+
+    staged = path.rstrip("/") + f".staged-{uuid.uuid4().hex[:8]}"
     n = 0
     try:
         _append_vectors(assigned, staged, mode="overwrite")
@@ -658,7 +666,9 @@ def retrain_ivf_index(
             json.dump(new_meta, f)
         _swap_dirs(path, staged)
     finally:
-        shutil.rmtree(os.path.dirname(staged), ignore_errors=True)
+        # no-op after a successful swap (staged was renamed onto the
+        # live path); removes the partial staging on any failure
+        shutil.rmtree(staged, ignore_errors=True)
     return {"n_vectors": n, "sse_history": sse_history, "meta": new_meta}
 
 
@@ -667,7 +677,7 @@ def semdedup_global_audit(
     path: str,
     threshold: float = 0.95,
     n_probe: int = 2,
-    max_cell_df: int = 1000,
+    max_cell_df: int = 100000,
 ) -> DataFrame:
     """Corpus-global SemDeDup pass over the persisted index — the
     batch-periodic audit the streaming stage-4 docstring promises: the
@@ -682,15 +692,25 @@ def semdedup_global_audit(
     vector blocks to its ``n_probe`` nearest cells, a pair is compared
     when their probe sets intersect, and the exact cosine >= threshold
     verifies — so a pair sitting on a cell boundary is still found.
-    Per-cell population stop bound (``max_cell_df``, the repo-wide
-    self-join rule) caps the quadratic term per block.
+
+    ``max_cell_df`` bounds the PROBED-row count per cell (what the
+    self-join actually fans out over — each vector contributes n_probe
+    rows, so size it accordingly): overfull cells are excluded from the
+    audit with a LOUD warnings.warn naming the skipped volume, never
+    silently (an audit that silently returns an empty work-list at
+    exactly the corpus size it exists for would be worse than none).
+    The default is deliberately high — this is an OFFLINE pass whose
+    per-cell cost is quadratic-but-distributed; a warning here means
+    the quantizer needs more cells (retrain with a larger k) or the
+    hot cell needs sub-blocking, not a bigger bound. The bound check
+    is one driver-side collect of <= n_cells (cell, count) rows.
 
     Returns distinct (id_a, id_b) with id_a < id_b; the conventional
     drop-list is the distinct id_b set (smaller id wins, matching the
     per-batch stage). One scan + one (bounded) self-join — the offline
     audit shape, not a per-batch probe.
     """
-    from pyspark.sql.window import Window
+    import warnings
 
     from etl_weather_data_pipeline_spark.functions import vector as VX
     from etl_weather_data_pipeline_spark.operators.kmeans import (
@@ -704,7 +724,11 @@ def semdedup_global_audit(
     vec = F.col(vec_col)
     # n_probe nearest cells per vector: every distance evaluates ONCE
     # into a (dist, cell) struct array; array_sort orders by dist (cell
-    # breaks ties deterministically); slice + transform + explode
+    # breaks ties deterministically); slice + transform + explode_OUTER
+    # (the repo explode rule: a plain explode makes the optimizer infer
+    # a size()>0 filter that sinks below the projection and re-computes
+    # the whole k-distance chain per row — and the sliced array is
+    # never empty anyway, so the inferred filter is pure re-evaluation)
     pairs_arr = F.array(
         *[
             F.struct(
@@ -716,7 +740,7 @@ def semdedup_global_audit(
     probed = vecs.select(
         id_col,
         vec_col,
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.slice(
                     F.array_sort(pairs_arr),
@@ -726,10 +750,25 @@ def semdedup_global_audit(
                 lambda s: s["c"],
             )
         ).alias("cell"),
-    )
-    bounded = probed.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("cell"))
-    ).filter(F.col("__df") <= max_cell_df).drop("__df")
+    ).filter(F.col("cell").isNotNull())
+    cell_counts = {
+        r["cell"]: r["n"]
+        for r in probed.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    overfull = [c for c, n in cell_counts.items() if n > max_cell_df]
+    bounded = probed
+    if overfull:
+        warnings.warn(
+            f"semdedup_global_audit: {sum(cell_counts[c] for c in overfull)}"
+            f" probed rows in {len(overfull)} cells over the "
+            f"max_cell_df={max_cell_df} bound were EXCLUDED from the "
+            "audit — retrain with more cells or sub-block the hot "
+            "cells; pairs inside them are not judged",
+            stacklevel=2,
+        )
+        bounded = probed.filter(~F.col("cell").isin(overfull))
     la = bounded.select(
         F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("__va")
     )

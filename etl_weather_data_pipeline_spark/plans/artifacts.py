@@ -75,11 +75,14 @@ def _get(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
 
     app = spark.sparkContext.applicationId
     key = (app, sf_dir, name)
+    # touch the LRU on EVERY access, not just builds — otherwise
+    # eviction degenerates to build-order FIFO and a third sf_dir can
+    # evict the one actively in use (r11 review)
+    sf_key = (app, sf_dir)
+    if sf_key in _SF_LRU:
+        _SF_LRU.remove(sf_key)
+    _SF_LRU.append(sf_key)
     if key not in _ARTIFACTS:
-        sf_key = (app, sf_dir)
-        if sf_key in _SF_LRU:
-            _SF_LRU.remove(sf_key)
-        _SF_LRU.append(sf_key)
         while len(_SF_LRU) > _MAX_SF_DIRS:
             evict = _SF_LRU.pop(0)
             for k in [k for k in _ARTIFACTS if k[:2] == evict]:
@@ -153,6 +156,10 @@ def build_all(spark: SparkSession, sf_dir: str, k: int = 8) -> dict:
     for name, df in (
         ("rolling_hashes", shared_rolling_hashes(spark, sf_dir, k)),
         ("minhash_sigs", shared_minhash_sigs(spark, sf_dir)),
+        (
+            "minhash_sigs_xxh",
+            shared_minhash_sigs(spark, sf_dir, hash_family="xxhash64"),
+        ),
         ("token_sets", shared_token_sets(spark, sf_dir)),
     ):
         out[name] = df.count()

@@ -863,8 +863,23 @@ def _semantic_stage_drops(
     else:
         if clean.isEmpty():
             return None, None
+        # Train on the DOMINANT dimension only: the null pre-filter
+        # can't see a mis-sized vector, and k-means seeds from the k
+        # LOWEST ids — one wrong-dimension row holding the lowest id
+        # would otherwise freeze a wrong quantizer dim into the store
+        # forever, silently filtering every correctly-sized vector out
+        # of judging and the index (r11 review). One tiny extra action,
+        # bootstrap-only; ties break to the smaller dim
+        # (deterministic).
+        dim_row = (
+            clean.groupBy(F.size(vec).alias("__d"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("__d").asc())
+            .first()
+        )
         _, _, cents = kmeans_fit_full(
-            clean, k=n_cells, iterations=iterations, id_col=id_col,
+            clean.filter(F.size(vec) == int(dim_row["__d"])),
+            k=n_cells, iterations=iterations, id_col=id_col,
             vec_col=vec_col,
         )
     # full validity now that the quantizer dim is known: mis-sized

@@ -1735,3 +1735,46 @@ def test_semdedup_global_pass_closes_perbatch_gap(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_semantic_bootstrap_trains_on_dominant_dim(spark, tmp_path):
+    """r11 review: the bootstrap quantizer seeds from the k LOWEST ids,
+    so a mis-sized vector holding the lowest id must not freeze a wrong
+    quantizer dimension into the store (which would silently disable
+    the stage for every correctly-sized vector forever) — training
+    filters to the batch's DOMINANT dimension first."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    schema = "doc_id long, text string, embedding array<double>"
+    v0 = [5.0, -3.0, 2.0, -1.0]
+    v1 = [-4.0, 2.0, -5.0, 3.0]
+
+    def merge(rows):
+        return merge_batch_neardup_into_corpus(
+            spark.createDataFrame(rows, schema), store,
+            embedding_col="embedding", semantic_cells=2, history=False,
+            band_buckets=4,
+        )
+
+    # the LOWEST id carries a dim-2 vector; dim 4 dominates the batch
+    assert merge(
+        [
+            (0, "alpha bravo charlie delta", [1.0, 2.0]),
+            (1, "echo foxtrot golf hotel", v0),
+            (2, "india juliet kilo lima", v1),
+        ]
+    ) == 3
+    # the frozen quantizer is dim 4; doc 0 is the fail-open gap
+    assert AX.read_ivf_meta(vroot)["dim"] == 4
+    store_ids = spark.read.parquet(store).select("doc_id")
+    missing = AX.audit_ivf_coverage(spark, store_ids, vroot, "doc_id")
+    assert {r["doc_id"] for r in missing.collect()} == {0}
+    # the stage is ALIVE: a semantic dup of stored doc 1 is dropped
+    pert = [x * 1.001 for x in v0]
+    assert merge([(10, "mike november oscar papa", pert)]) == 0
