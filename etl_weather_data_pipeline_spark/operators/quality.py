@@ -40,7 +40,11 @@ def quality_metrics(df: DataFrame, total_input: int) -> Row:
     row = df.agg(
         F.count("*").alias("total_records_output"),
         F.avg("quality_score").alias("average_quality_score"),
-        null_total.alias("null_cells"),
+        # coalesce: SUM over ZERO rows is null — an all-invalid batch
+        # (every row dropped by validation) must flow through to the
+        # quality gate as 0-retention metrics, not crash the metrics
+        # computation itself with a None arithmetic TypeError (r11)
+        F.coalesce(null_total, F.lit(0)).alias("null_cells"),
         F.countDistinct("city").alias("unique_cities"),
         F.countDistinct("country").alias("unique_countries"),
         F.min("timestamp").alias("timestamp_min"),

@@ -637,3 +637,21 @@ def test_compact_parquet_zorder_single_column(spark, tmp_path):
     spans = _footer_col_spans(p, "a")
     if len(spans) >= 2:  # clustered: files tile the key domain
         assert _avg(spans) < 0.7 * 999, spans
+
+
+def test_quality_gate_failure_on_all_invalid_batch(spark, tmp_path):
+    """r11: a batch where EVERY row fails validation must flow through
+    to the quality gate as 0-retention metrics (status recorded, gate
+    raises) — SUM over zero rows is null, and the uncoalesced null_cells
+    arithmetic used to crash quality_metrics with a TypeError instead of
+    failing the gate."""
+    rows = [_obs("A", "AA", 0, 999.0), _obs("B", "BB", 0, -999.0)]
+    df = spark.createDataFrame(rows, RAW_SCHEMA)
+    m = quality_metrics(transform_weather(df), 2)
+    assert m["total_records_output"] == 0
+    assert m["data_retention_rate"] == 0.0
+    assert m["missing_values_percentage"] == 0.0
+    with pytest.raises(ValueError, match="quality gate failed"):
+        run_pipeline(spark, df, str(tmp_path / "wh"))
+    hist = spark.read.parquet(f"{tmp_path}/wh/load_history").collect()
+    assert hist[0]["status"] == "quality_gate_failed"
