@@ -161,6 +161,19 @@ def o_dround(x: str, n: int) -> str:
 # at r11 until r14; the r10 debutants (ann_ivf_index_topk,
 # corpus_training_export) bank until r13; r11's own window (this list)
 # banks until r14.
+# Changed-code note (r11): 23 queries were rewired onto the session
+# artifact store this round; the age-3 rotation debt owns the window,
+# so only the EIGHT rewired queries that are r8-vintage get driver
+# re-checks this round (doc_jaccard_pairs, doc_ngram_jaccard_pairs,
+# doc_minhash_jaccard_estimate, neardup_cross_source_matrix,
+# neardup_degree_stats, neardup_threshold_sweep,
+# corpus_curation_pipeline_v2, corpus_decontaminate_eval) — enough to
+# exercise every artifact (signatures, token sets, rolling hashes)
+# through the driver gate at sf0.01. The other 15 rewires are
+# r9-vintage rows whose driver re-check lands at r12 where they are
+# due anyway; interim exact evidence = the green
+# tests/test_oracle_parity.py legs (46/46, both gate SFs, stricter
+# than the driver's hash compare).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- the 44-row r8-vintage cohort (age 3 at r11), JVM-only first ---
     "orders_monthly_growth",
