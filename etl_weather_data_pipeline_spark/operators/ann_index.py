@@ -84,20 +84,25 @@ def read_ivf_centroid_matrix(
     return [mat[i] for i in range(len(mat))]
 
 
-def valid_vector_cond(vec, dim: int):
-    """Boolean Column: ``vec`` is non-null, exactly ``dim`` long, and
-    contains no null element — the precondition every index row must
-    meet. Exposed so lenient callers (the streaming semantic stage,
-    which must not poison a whole micro-batch over one bad row) can
-    FILTER on it and route the rejects to the coverage audit, while
-    strict callers (:func:`assign_cells` inside the explicit build/add
-    APIs) raise on its negation. exists() is null-strict on elements:
-    a null element yields null, so the double negation keeps the
-    condition false (not null) for such rows."""
+def valid_vector_cond(vec, dim: int | None):
+    """Boolean Column: ``vec`` is non-null, exactly ``dim`` long (size
+    check skipped when ``dim`` is None — the pre-quantizer bootstrap
+    filter, where the dimension isn't known yet), and contains no null
+    element — the precondition every index row must meet. Exposed so
+    lenient callers (the streaming semantic stage, which must not
+    poison a whole micro-batch over one bad row) can FILTER on it and
+    route the rejects to the coverage audit, while strict callers
+    (:func:`assign_cells` inside the explicit build/add APIs) raise on
+    its negation. exists() is null-strict on elements: a null element
+    yields null, so the double negation keeps the condition false (not
+    null) for such rows."""
     no_null_elem = F.coalesce(
         ~F.exists(vec, lambda x: x.isNull()), F.lit(False)
     )
-    return vec.isNotNull() & (F.size(vec) == dim) & no_null_elem
+    cond = vec.isNotNull() & no_null_elem
+    if dim is not None:
+        cond = cond & (F.size(vec) == dim)
+    return cond
 
 
 def assign_cells(
@@ -551,11 +556,23 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     under distribution drift both numbers decay silently —
     audit_ivf_coverage cannot see this (it only finds MISSING ids);
     this is the detector, retrain_ivf_index is the remedy (FAISS
-    operational practice; r10 verdict directive #4)."""
+    operational practice; r10 verdict directive #4).
+
+    A vector-less index (ensure_ivf_index bootstrap with no adds yet)
+    returns an EMPTY frame rather than crashing on the missing
+    `vectors/` dir. A row whose cell is null / outside the quantizer
+    (a corrupt store) reports mean_sq_dist = NULL — deliberately
+    visible rather than zeroed, since unmeasurable energy is itself the
+    finding (the assign-consistency recompute flags the same rows)."""
     from pyspark.sql.window import Window
 
     meta = read_ivf_meta(path)
     cents = read_ivf_centroid_matrix(spark, path)
+    schema = (
+        "cell int, n_vectors long, cell_frac double, mean_sq_dist double"
+    )
+    if not os.path.isdir(f"{path}/{VECTORS_SUBDIR}"):
+        return spark.createDataFrame([], schema)
     v = read_ivf_vectors(spark, path)
     sq = _sq_dist_to_centroid(meta["vec_col"], "cell", cents)
     per = v.groupBy("cell").agg(
@@ -610,6 +627,10 @@ def retrain_ivf_index(
     meta = read_ivf_meta(path)
     old_cents = read_ivf_centroid_matrix(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if not os.path.isdir(f"{path}/{VECTORS_SUBDIR}"):
+        # vector-less bootstrap index (ensure_ivf_index, no adds yet):
+        # nothing to retrain — clean no-op, same shape as a real run
+        return {"n_vectors": 0, "sse_history": [], "meta": meta}
     vecs = read_ivf_vectors(spark, path).select(id_col, vec_col)
     # The whole retrain reads the LIVE files; everything below completes
     # before the swap, so no plan ever reads a half-swapped dir.
@@ -666,8 +687,16 @@ def retrain_ivf_index(
             json.dump(new_meta, f)
         _swap_dirs(path, staged)
     finally:
-        # no-op after a successful swap (staged was renamed onto the
-        # live path); removes the partial staging on any failure
+        # Self-heal before cleanup: if the swap died BETWEEN its two
+        # renames (live moved aside, replacement not yet in place) the
+        # live path is missing and the staged dir holds the only
+        # complete NEW index — finish the swap with the one remaining
+        # rename instead of deleting it (the old copy stays at
+        # <path>.old-* either way). Otherwise the rmtree is a no-op
+        # after success (staged was renamed away) and removes partial
+        # staging on an early failure.
+        if not os.path.exists(path) and os.path.isdir(staged):
+            os.rename(staged, path)
         shutil.rmtree(staged, ignore_errors=True)
     return {"n_vectors": n, "sse_history": sse_history, "meta": new_meta}
 
@@ -720,6 +749,9 @@ def semdedup_global_audit(
     meta = read_ivf_meta(path)
     cents = read_ivf_centroid_matrix(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if not os.path.isdir(f"{path}/{VECTORS_SUBDIR}"):
+        # vector-less bootstrap index: nothing to audit
+        return spark.createDataFrame([], "id_a long, id_b long")
     vecs = read_ivf_vectors(spark, path).select(id_col, vec_col)
     vec = F.col(vec_col)
     # n_probe nearest cells per vector: every distance evaluates ONCE
@@ -751,6 +783,12 @@ def semdedup_global_audit(
             )
         ).alias("cell"),
     ).filter(F.col("cell").isNotNull())
+    # Eager lineage cut: the k-distance/sort probe chain is the pass's
+    # dominant map cost and THREE consumers follow (the cell-count
+    # collect + both self-join sides — different projections, so no
+    # ReusedExchange; the repo's 2+-branch re-eval rule). One
+    # materialization, everything below reads the checkpoint.
+    probed = probed.localCheckpoint()
     cell_counts = {
         r["cell"]: r["n"]
         for r in probed.groupBy("cell")

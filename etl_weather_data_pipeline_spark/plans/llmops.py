@@ -7115,7 +7115,15 @@ def ann_index_drift_report(spark, sf_dir):
     def stats(df):
         rows = df.collect()
         n = sum(r["n_vectors"] for r in rows)
-        energy = sum(r["n_vectors"] * r["mean_sq_dist"] for r in rows)
+        # a null mean_sq_dist marks an unmeasurable (corrupt-cell) row —
+        # impossible for a store built through these APIs, but the audit
+        # must not crash on the brokenness it exists to surface; the
+        # assign-consistency boolean below flags the same rows
+        energy = sum(
+            r["n_vectors"] * r["mean_sq_dist"]
+            for r in rows
+            if r["mean_sq_dist"] is not None
+        )
         frac = sum(r["cell_frac"] for r in rows)
         return n, energy, frac
 

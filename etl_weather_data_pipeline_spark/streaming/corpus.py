@@ -850,12 +850,10 @@ def _semantic_stage_drops(
     )
 
     vec = F.col(vec_col)
-    # cheap pre-filter (no dim yet): drops null vectors / null elements
-    # so the bootstrap k-means never trains on garbage
-    clean = s3.filter(
-        vec.isNotNull()
-        & F.coalesce(~F.exists(vec, lambda x: x.isNull()), F.lit(False))
-    )
+    # cheap pre-filter (dim unknown yet -> dim=None): drops null
+    # vectors / null elements so the bootstrap k-means never trains on
+    # garbage (one shared predicate with the strict APIs)
+    clean = s3.filter(AX.valid_vector_cond(vec, None))
     vroot = f"{path}/{VECTORS_IVF_SUBDIR}"
     index_exists = _os.path.exists(AX._meta_path(vroot))
     if index_exists:

@@ -1855,3 +1855,29 @@ def test_cdc_chunk_dedup_volume_metrics(spark):
     )
     release_curation_cache()
     assert out == agg["c"]
+
+
+def test_index_maintenance_noop_on_vectorless_index(spark, tmp_path):
+    """r11 review: an ensure_ivf_index bootstrap (meta + centroids, no
+    vectors/ dir yet — the streaming stage's legitimate first state)
+    must be a clean no-op for the maintenance/audit operators, not a
+    PATH_NOT_FOUND crash."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+
+    root = str(tmp_path / "idx")
+    assert AX.ensure_ivf_index(
+        spark, root, [[0.0, 0.0], [10.0, 10.0]], id_col="doc_id",
+        vec_col="embedding",
+    )
+    assert AX.ivf_cell_stats(spark, root).count() == 0
+    rep = AX.retrain_ivf_index(spark, root)
+    assert rep["n_vectors"] == 0 and rep["sse_history"] == []
+    # the no-op retrain left the index intact and usable
+    assert AX.read_ivf_meta(root)["dim"] == 2
+    assert AX.semdedup_global_audit(spark, root).count() == 0
+    assert AX.add_to_ivf_index(
+        spark.createDataFrame(
+            [(1, [0.5, 0.5])], "doc_id long, embedding array<double>"
+        ),
+        root,
+    ) == 1

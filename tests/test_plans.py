@@ -957,3 +957,43 @@ def test_artifact_store_shared_across_queries(spark):
         assert len(dirs) == 2 and SF_SMOKE not in dirs, dirs
     finally:
         AR.release_shared_artifacts()
+
+
+def test_r11_index_ops_plan_shapes(spark, tmp_path):
+    """Plan pins for the r11 index-maintenance operators (the
+    new-operator rule): ivf_cell_stats is ONE parquet pass into
+    partial+final hash aggregates (the per-cell skew/energy audit must
+    never become a second scan or a join), and semdedup_global_audit's
+    dominant k-distance probe chain is materialized ONCE (eager
+    localCheckpoint) with the pair stage a cell equi-join — no
+    parquet re-scan per join side, no cartesian. retrain_ivf_index is
+    an action-performing maintenance op (no lazy plan to pin); its
+    behavior contract lives in test_ivf_retrain_drift_and_cell_stats."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    root = str(tmp_path / "idx")
+    AX.write_ivf_index(emb, root, n_cells=4, iterations=1)
+
+    def fmt(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    p = fmt(AX.ivf_cell_stats(spark, root))
+    assert n_nodes(p, "Scan parquet") == 1, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p.split(
+        "Window"
+    )[0], p
+
+    p = fmt(AX.semdedup_global_audit(spark, root, n_probe=2))
+    # every read below the join comes from the ONE checkpointed probe
+    # table — a parquet scan here means the k-distance chain re-runs
+    # per consumer (the 2+-branch re-eval rule)
+    assert n_nodes(p, "Scan parquet") == 0, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
