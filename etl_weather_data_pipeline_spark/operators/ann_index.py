@@ -161,6 +161,18 @@ def assign_cells(
     )
 
 
+def _vector_files(path: str) -> list[str]:
+    """Parquet data files currently in the store's vectors dir — the
+    listing-level snapshot retrain_ivf_index diffs to catch concurrent
+    appends (its lost-update guard)."""
+    import glob
+
+    return glob.glob(
+        os.path.join(path, VECTORS_SUBDIR, "**", "*.parquet"),
+        recursive=True,
+    )
+
+
 def _append_vectors(assigned: DataFrame, path: str, mode: str) -> None:
     # one shuffle on cell → each cell partition dir receives exactly the
     # tasks holding that cell (few large files, never one per input task)
@@ -616,6 +628,18 @@ def retrain_ivf_index(
     `<path>.old-*`). The store holds derived data only, so even a
     botched swap recovers by re-feeding embeddings. Returns
     {"n_vectors": n, "sse_history": [...], "meta": new_meta}.
+
+    Concurrency contract (r11 advice): the retrain snapshots the live
+    vector file listing at read time and, just before the swap, folds
+    any files a concurrent writer appended in the meantime into the
+    staged store (re-assigned under the NEW centroids, id-deduped, with
+    a loud warning) — so a streaming sink's add_to_ivf_index racing the
+    retrain loses nothing in the common case. The guard shrinks the
+    lost-update window from the whole retrain to the instant between
+    the final listing diff and the rename; a STRICT no-loss guarantee
+    still requires single-writer discipline (pause index writers, or
+    run :func:`audit_ivf_coverage` with the fed ids after the swap and
+    re-feed the reported gaps).
     """
     import shutil
 
@@ -632,6 +656,11 @@ def retrain_ivf_index(
         # nothing to retrain — clean no-op, same shape as a real run
         return {"n_vectors": 0, "sse_history": [], "meta": meta}
     vecs = read_ivf_vectors(spark, path).select(id_col, vec_col)
+    # Snapshot the live file listing the retrain is about to read:
+    # the pre-swap diff against this set detects (and folds in)
+    # vectors a concurrent writer appends mid-retrain (docstring
+    # concurrency contract).
+    snapshot = set(_vector_files(path))
     # The whole retrain reads the LIVE files; everything below completes
     # before the swap, so no plan ever reads a half-swapped dir.
     _, sse_history, cents = kmeans_fit_full(
@@ -685,18 +714,75 @@ def retrain_ivf_index(
         )
         with open(_meta_path(staged), "w") as f:
             json.dump(new_meta, f)
+        # Lost-update guard (r11 advice): fold in any files a
+        # concurrent writer appended to the LIVE index since the
+        # snapshot read — without this, mid-retrain adds would be
+        # silently dropped by the rewrite. Late rows are id-deduped
+        # against the staged store (two-step broadcast probe: never
+        # shuffle the store to dedupe a small late batch) and assigned
+        # under the NEW centroids + code rule.
+        late = sorted(set(_vector_files(path)) - snapshot)
+        if late:
+            import warnings
+
+            late_vecs = spark.read.parquet(*late).select(id_col, vec_col)
+            late_ids = late_vecs.select(id_col).distinct()
+            hits = (
+                spark.read.parquet(f"{staged}/{VECTORS_SUBDIR}")
+                .select(id_col)
+                .join(F.broadcast(late_ids), id_col, "left_semi")
+            )
+            fresh = assign_cells(
+                late_vecs.join(F.broadcast(hits), id_col, "left_anti"),
+                cents, id_col, vec_col,
+            )
+            if "pq" in new_meta:
+                fresh = _with_codes(
+                    fresh, cents, new_meta["pq"]["codebooks"], vec_col
+                )
+            # eager materialization BEFORE the append: the plan reads
+            # the staged path the append writes to (house write rule)
+            fresh = fresh.localCheckpoint()
+            n_late = fresh.count()
+            if n_late:
+                _append_vectors(fresh, staged, mode="append")
+                n += n_late
+            warnings.warn(
+                f"retrain_ivf_index: {n_late} vectors were appended to "
+                "the live index during the retrain and folded into the "
+                "rewritten store under the new centroids; a writer can "
+                "still race the final swap — prefer single-writer "
+                "discipline or audit_ivf_coverage after the swap",
+                stacklevel=2,
+            )
         _swap_dirs(path, staged)
     finally:
         # Self-heal before cleanup: if the swap died BETWEEN its two
         # renames (live moved aside, replacement not yet in place) the
         # live path is missing and the staged dir holds the only
         # complete NEW index — finish the swap with the one remaining
-        # rename instead of deleting it (the old copy stays at
-        # <path>.old-* either way). Otherwise the rmtree is a no-op
-        # after success (staged was renamed away) and removes partial
-        # staging on an early failure.
+        # rename instead of deleting it. Otherwise the rmtree is a
+        # no-op after success (staged was renamed away) and removes
+        # partial staging on an early failure.
         if not os.path.exists(path) and os.path.isdir(staged):
+            import glob as _glob
+            import warnings
+
             os.rename(staged, path)
+            # the index WAS replaced even though the original swap
+            # error still propagates: say so (a retry would be a
+            # redundant full retrain, not a repair) and remove the
+            # half-swap's leaked <path>.old-* copy, which _swap_dirs
+            # never reached its own cleanup for (r11 advice)
+            warnings.warn(
+                "retrain_ivf_index: the staged->live rename completed "
+                "the swap after a mid-swap failure (self-heal) — the "
+                "index WAS replaced despite the propagating error; a "
+                "retry would be a redundant full retrain",
+                stacklevel=2,
+            )
+            for old in _glob.glob(path.rstrip("/") + ".old-*"):
+                shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
     return {"n_vectors": n, "sse_history": sse_history, "meta": new_meta}
 

@@ -7082,7 +7082,9 @@ def corpus_epoch_expand(spark, sf_dir):
     "centroids — null-safe recompute); sse_non_increasing (warm-start "
     "Lloyd's monotonicity, measured from the drifted assignment's own "
     "energy); energy_not_worse (total within-cell squared distance "
-    "from the swapped store <= the drifted store's — the retrain can "
+    "from the swapped store <= the drifted store's AND zero "
+    "unmeasurable null-energy rows on either side, so both totals "
+    "cover identical row sets — the retrain can "
     "provably never hurt the data it holds); skew_frac_sums_to_one "
     "(the stats report covers every stored row, before and after). "
     "Clustering itself is not SQL-replayable, so those surfaces are "
@@ -7118,14 +7120,20 @@ def ann_index_drift_report(spark, sf_dir):
         # a null mean_sq_dist marks an unmeasurable (corrupt-cell) row —
         # impossible for a store built through these APIs, but the audit
         # must not crash on the brokenness it exists to surface; the
-        # assign-consistency boolean below flags the same rows
+        # unmeasurable-row count is returned so energy_not_worse can
+        # require both totals to cover IDENTICAL row sets (r11 advice:
+        # excluding null cells from only one side would let the energy
+        # comparison pass vacuously over different subsets)
         energy = sum(
             r["n_vectors"] * r["mean_sq_dist"]
             for r in rows
             if r["mean_sq_dist"] is not None
         )
+        unmeasurable = sum(
+            r["n_vectors"] for r in rows if r["mean_sq_dist"] is None
+        )
         frac = sum(r["cell_frac"] for r in rows)
-        return n, energy, frac
+        return n, energy, frac, unmeasurable
 
     # every returned value is a DRIVER literal computed before the
     # finally, so removing the temp index is safe (bench runs this
@@ -7136,11 +7144,13 @@ def ann_index_drift_report(spark, sf_dir):
             iterations=2,
         )
         AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 4 != 0), root)
-        n_before, e_before, f_before = stats(
+        n_before, e_before, f_before, u_before = stats(
             AX.ivf_cell_stats(spark, root)
         )
         rep = AX.retrain_ivf_index(spark, root, iterations=3)
-        n_after, e_after, f_after = stats(AX.ivf_cell_stats(spark, root))
+        n_after, e_after, f_after, u_after = stats(
+            AX.ivf_cell_stats(spark, root)
+        )
         cents = AX.read_ivf_centroid_matrix(spark, root)
         n_bad = (
             AX.read_ivf_vectors(spark, root)
@@ -7164,9 +7174,16 @@ def ann_index_drift_report(spark, sf_dir):
         F.lit(bool(n_after == n_before)).alias("retrain_preserves_rows"),
         F.lit(bool(n_bad == 0)).alias("retrain_assign_consistent"),
         F.lit(bool(monotone)).alias("sse_non_increasing"),
-        F.lit(bool(e_after <= e_before * (1 + 1e-6) + 1e-6)).alias(
-            "energy_not_worse"
-        ),
+        # unmeasurable (null-energy) rows on EITHER side would make the
+        # two energy totals cover different row subsets — fold the
+        # counts into the boolean so it can never pass vacuously
+        F.lit(
+            bool(
+                e_after <= e_before * (1 + 1e-6) + 1e-6
+                and u_before == 0
+                and u_after == 0
+            )
+        ).alias("energy_not_worse"),
         F.lit(
             bool(abs(f_before - 1.0) < 1e-9 and abs(f_after - 1.0) < 1e-9)
         ).alias("skew_frac_sums_to_one"),

@@ -867,14 +867,30 @@ def _semantic_stage_drops(
         # would otherwise freeze a wrong quantizer dim into the store
         # forever, silently filtering every correctly-sized vector out
         # of judging and the index (r11 review). One tiny extra action,
-        # bootstrap-only; ties break to the smaller dim
-        # (deterministic).
-        dim_row = (
+        # bootstrap-only (result rows <= distinct sizes in the batch, a
+        # driver literal). Population ties break to the LARGER dim
+        # (r11 advice): a first batch evenly split between truncated/
+        # garbage short vectors and real embeddings must freeze the
+        # real dimension — real model embeddings are never shorter than
+        # their truncations. A dimension-mixed bootstrap batch is
+        # warned loudly either way, so the frozen choice is visible
+        # instead of silently fail-opening one group forever.
+        dim_rows = (
             clean.groupBy(F.size(vec).alias("__d"))
             .agg(F.count(F.lit(1)).alias("__n"))
-            .orderBy(F.col("__n").desc(), F.col("__d").asc())
-            .first()
+            .collect()
         )
+        dim_row = max(dim_rows, key=lambda r: (r["__n"], r["__d"]))
+        if len(dim_rows) > 1:
+            warnings.warn(
+                "semantic stage bootstrap batch is dimension-mixed "
+                f"({sorted((r['__d'], r['__n']) for r in dim_rows)} as "
+                f"(dim, count)); freezing quantizer dim "
+                f"{int(dim_row['__d'])} into the store permanently — "
+                "rows of every other dimension will fail open "
+                "(unjudged, unindexed) forever",
+                stacklevel=2,
+            )
         _, _, cents = kmeans_fit_full(
             clean.filter(F.size(vec) == int(dim_row["__d"])),
             k=n_cells, iterations=iterations, id_col=id_col,

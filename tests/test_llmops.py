@@ -1881,3 +1881,109 @@ def test_index_maintenance_noop_on_vectorless_index(spark, tmp_path):
         ),
         root,
     ) == 1
+
+
+def test_retrain_folds_in_concurrent_appends(spark, tmp_path):
+    """r11 advice: vectors appended to the LIVE index between the
+    retrain's snapshot read and the swap must not be silently dropped
+    by the rewrite — the pre-swap listing diff folds them into the
+    staged store (assigned under the NEW centroids) with a loud
+    warning. Simulated by injecting an add_to_ivf_index mid-retrain
+    (inside the Lloyd call, i.e. after the snapshot, before staging)."""
+    import warnings
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.operators import kmeans as KM
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "idx")
+    base = emb.filter(F.col("vec_id") < 400)
+    late = emb.filter(F.col("vec_id") >= 400).localCheckpoint()
+    AX.write_ivf_index(base, root, n_cells=4, iterations=2)
+    n_base = base.count()
+    n_late = late.count()
+    assert n_late > 0
+
+    real_fit = KM.kmeans_fit_full
+    fired = {}
+
+    def racing_fit(*args, **kwargs):
+        if "raced" not in fired:  # only the retrain's own call races
+            fired["raced"] = AX.add_to_ivf_index(late, root)
+        return real_fit(*args, **kwargs)
+
+    KM.kmeans_fit_full = racing_fit
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            rep = AX.retrain_ivf_index(spark, root, iterations=2)
+    finally:
+        KM.kmeans_fit_full = real_fit
+    assert fired["raced"] == n_late
+    assert any("folded into" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+    # nothing lost: the swapped store holds base + late rows exactly
+    assert rep["n_vectors"] == n_base + n_late
+    idx = AX.read_ivf_vectors(spark, root)
+    assert idx.count() == n_base + n_late
+    assert idx.select("vec_id").distinct().count() == n_base + n_late
+    # late rows obey the store invariant under the RETRAINED quantizer
+    cents = AX.read_ivf_centroid_matrix(spark, root)
+    bad = idx.filter(
+        ~F.col("cell").eqNullSafe(
+            argmin_index(F.col("embedding"), cents).cast("int")
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_retrain_self_heal_warns_and_cleans_old(spark, tmp_path):
+    """r11 advice: when the self-heal rename completes a half-swap, the
+    caller must LEARN the index was actually replaced (the original
+    exception still propagates — a blind retry would be a redundant
+    full retrain) and the leaked <path>.old-* copy must not
+    accumulate."""
+    import glob
+    import os
+    import warnings
+
+    import pytest
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.sinks import writers as W
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "idx")
+    AX.write_ivf_index(emb, root, n_cells=4, iterations=1)
+    n = emb.count()
+
+    def half_swap(live, staged):
+        # first rename succeeds, then the swap dies: live path missing,
+        # old copy leaked at <live>.old-*, staged still complete
+        import uuid
+
+        os.rename(live, live.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}")
+        raise OSError("injected mid-swap failure")
+
+    real_swap = W._swap_dirs
+    W._swap_dirs = half_swap
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            with pytest.raises(OSError, match="injected mid-swap"):
+                AX.retrain_ivf_index(spark, root, iterations=1)
+    finally:
+        W._swap_dirs = real_swap
+    assert any("self-heal" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+    # the swap WAS completed by the self-heal: live index is the new one
+    assert os.path.isdir(root)
+    assert AX.read_ivf_vectors(spark, root).count() == n
+    # and neither the .old-* half-swap leak nor the staging dir remain
+    assert glob.glob(root + ".old-*") == []
+    assert glob.glob(root + ".staged-*") == []

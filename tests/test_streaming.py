@@ -1778,3 +1778,45 @@ def test_semantic_bootstrap_trains_on_dominant_dim(spark, tmp_path):
     # the stage is ALIVE: a semantic dup of stored doc 1 is dropped
     pert = [x * 1.001 for x in v0]
     assert merge([(10, "mike november oscar papa", pert)]) == 0
+
+
+def test_semantic_bootstrap_dim_tie_breaks_larger(spark, tmp_path):
+    """r11 advice: a first batch evenly split between truncated/garbage
+    SHORT vectors and real embeddings must freeze the REAL (larger)
+    dimension — real model embeddings are never shorter than their
+    truncations — and the dimension-mixed bootstrap must warn loudly so
+    the frozen choice is visible."""
+    import warnings
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    schema = "doc_id long, text string, embedding array<double>"
+    rows = [
+        (0, "alpha bravo charlie delta", [1.0, 2.0]),      # truncated
+        (1, "echo foxtrot golf hotel", [9.0, 8.0]),        # truncated
+        (2, "india juliet kilo lima", [5.0, -3.0, 2.0, -1.0]),
+        (3, "mike november oscar papa", [-4.0, 2.0, -5.0, 3.0]),
+    ]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        n = merge_batch_neardup_into_corpus(
+            spark.createDataFrame(rows, schema), store,
+            embedding_col="embedding", semantic_cells=2, history=False,
+            band_buckets=4,
+        )
+    assert n == 4
+    # 2-vs-2 population tie: the LARGER dim is frozen into the store
+    assert AX.read_ivf_meta(vroot)["dim"] == 4
+    assert any(
+        "dimension-mixed" in str(x.message) for x in w
+    ), [str(x.message) for x in w]
+    # the short vectors are the documented fail-open set, visibly
+    store_ids = spark.read.parquet(store).select("doc_id")
+    missing = AX.audit_ivf_coverage(spark, store_ids, vroot, "doc_id")
+    assert {r["doc_id"] for r in missing.collect()} == {0, 1}
