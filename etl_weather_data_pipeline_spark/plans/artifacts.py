@@ -23,6 +23,16 @@ strict:
   winnow fingerprint df stop bounds, band tables, candidate joins)
   are NEVER memoized — each query recomputes them over its own input
   relation, exactly as before.
+- VECTOR-SIDE driver literals (r11 verdict directive #5): trained
+  k-means centroid matrices + SSE histories ARE memoized, under a
+  stricter rule than subset-stability — EXACT-INPUT sharing. A memo
+  entry is keyed by the full training spec (input relation name, k,
+  iterations), so a consumer hits it only when it would have run the
+  IDENTICAL deterministic training (lowest-id seeding, fixed
+  iterations — operators/kmeans.py has no RNG); sharing is therefore
+  bit-identical, not merely equivalent. Queries whose training IS
+  their scenario (the drift-report and semdedup-global builds train on
+  deliberate subsets and then retrain) never touch these memos.
 
 Lifecycle: keyed by (applicationId, sf_dir, artifact, params), persisted
 MEMORY_AND_DISK, at most TWO sf_dirs resident (the oracle-parity suite
@@ -48,6 +58,11 @@ from etl_weather_data_pipeline_spark.plans.catalog import load
 
 # key -> persisted DataFrame; key = (applicationId, sf_dir, name)
 _ARTIFACTS: dict[tuple, DataFrame] = {}
+# key -> driver literal (centroid matrices etc.); same key shape + LRU
+_DRIVER_ARTIFACTS: dict[tuple, object] = {}
+# name -> build count (the test pin that consumers share one training
+# pass: re-running a consumer must NOT bump its artifact's counter)
+_BUILD_COUNTS: dict[str, int] = {}
 # sf_dir LRU (most-recent last); at most _MAX_SF_DIRS resident
 _SF_LRU: list[tuple] = []
 _MAX_SF_DIRS = 2
@@ -63,6 +78,7 @@ def release_shared_artifacts() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+    _DRIVER_ARTIFACTS.clear()
     _SF_LRU.clear()
 
 
@@ -70,28 +86,52 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select("doc_id", "text")
 
 
-def _get(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    from pyspark import StorageLevel
-
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir, name)
+def _touch_lru(spark: SparkSession, sf_dir: str) -> tuple:
     # touch the LRU on EVERY access, not just builds — otherwise
     # eviction degenerates to build-order FIFO and a third sf_dir can
     # evict the one actively in use (r11 review)
-    sf_key = (app, sf_dir)
+    sf_key = (spark.sparkContext.applicationId, sf_dir)
     if sf_key in _SF_LRU:
         _SF_LRU.remove(sf_key)
     _SF_LRU.append(sf_key)
+    return sf_key
+
+
+def _evict_over_budget() -> None:
+    while len(_SF_LRU) > _MAX_SF_DIRS:
+        evict = _SF_LRU.pop(0)
+        for k in [k for k in _ARTIFACTS if k[:2] == evict]:
+            try:
+                _ARTIFACTS.pop(k).unpersist()
+            except Exception:
+                pass
+        for k in [k for k in _DRIVER_ARTIFACTS if k[:2] == evict]:
+            _DRIVER_ARTIFACTS.pop(k)
+
+
+def _get(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    from pyspark import StorageLevel
+
+    sf_key = _touch_lru(spark, sf_dir)
+    key = (*sf_key, name)
     if key not in _ARTIFACTS:
-        while len(_SF_LRU) > _MAX_SF_DIRS:
-            evict = _SF_LRU.pop(0)
-            for k in [k for k in _ARTIFACTS if k[:2] == evict]:
-                try:
-                    _ARTIFACTS.pop(k).unpersist()
-                except Exception:
-                    pass
+        _evict_over_budget()
+        _BUILD_COUNTS[name] = _BUILD_COUNTS.get(name, 0) + 1
         _ARTIFACTS[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
     return _ARTIFACTS[key]
+
+
+def _get_literal(spark: SparkSession, sf_dir: str, name: str, build):
+    """Memo for DRIVER-LITERAL artifacts (k×dim centroid matrices, SSE
+    histories) — same key shape and sf_dir LRU as :func:`_get`, no
+    persist (nothing executor-side to pin)."""
+    sf_key = _touch_lru(spark, sf_dir)
+    key = (*sf_key, name)
+    if key not in _DRIVER_ARTIFACTS:
+        _evict_over_budget()
+        _BUILD_COUNTS[name] = _BUILD_COUNTS.get(name, 0) + 1
+        _DRIVER_ARTIFACTS[key] = build()
+    return _DRIVER_ARTIFACTS[key]
 
 
 def shared_rolling_hashes(
@@ -144,6 +184,38 @@ def shared_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _get(
         spark, sf_dir, "token_sets",
         lambda: token_sets(_docs(spark, sf_dir)),
+    )
+
+
+def shared_kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int, iterations: int = 3
+) -> tuple[list[float], list[list[float]]]:
+    """(sse_history, centroids) from deterministic Lloyd over the raw
+    ``embeddings`` table (operators/kmeans.py kmeans_fit_full — lowest-id
+    seeding, fixed iterations, no RNG) — the vector-side analogue of
+    shared_minhash_sigs (r11 verdict directive #5). Consumers recompute
+    assignments MAP-SIDE via argmin_index over the returned matrix,
+    which is exactly the rule kmeans_fit_full's own final assignment
+    satisfies — so sharing replaces a per-query Lloyd run AND its
+    assignment join with one memoized literal + a codegen'd map.
+
+    Bench accounting note: no bench-headline query consumes these
+    memos today, so the cold Lloyd build is NOT charged to
+    corpus_artifacts_build (charging a build nothing in the timed set
+    uses would pad the total); each consumer self-charges on first use,
+    exactly once per session. If a centroid consumer joins the
+    headline, move its build here into build_all."""
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        kmeans_fit_full,
+    )
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        _, sse, cents = kmeans_fit_full(emb, k=k, iterations=iterations)
+        return (sse, cents)
+
+    return _get_literal(
+        spark, sf_dir, f"kmeans_centroids_k{k}_i{iterations}", build
     )
 
 

@@ -1365,7 +1365,9 @@ def embedding_neardup_pairs(spark, sf_dir):
 def embedding_semdedup_probe(spark, sf_dir):
     from pyspark import StorageLevel
 
-    from etl_weather_data_pipeline_spark.operators.kmeans import kmeans_fit
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        kmeans_fit_full,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     base = emb.select(
@@ -1399,14 +1401,33 @@ def embedding_semdedup_probe(spark, sf_dir):
     n_vec = n_union - n_pl
     k = max(8, -(-n_union // 150))  # ceil-div; SemDeDup: k grows with n
     pair_budget = 4 * n_union * n_union // k
-    asg, sse_hist = kmeans_fit(union, k=k, iterations=3)
+    # centroid memo (r11 directive #5): the union-with-planted input is
+    # a deterministic function of (sf_dir), so its trained centroids
+    # are exact-input memoizable like the raw-table ones — keyed by the
+    # data-dependent k so a corpus-size change can never hit a stale
+    # entry. Assignments recompute map-side (the training's own final
+    # assignment rule); the union join with asg disappears.
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
+    from etl_weather_data_pipeline_spark.plans.artifacts import (
+        _get_literal,
+    )
+
+    def _train():
+        _, sse, cents = kmeans_fit_full(union, k=k, iterations=3)
+        return (sse, cents)
+
+    sse_hist, cents = _get_literal(
+        spark, sf_dir, f"semdedup_probe_centroids_k{k}_i3", _train
+    )
     sse_monotone = all(
         later <= earlier * (1 + 1e-9) + 1e-9
         for earlier, later in zip(sse_hist, sse_hist[1:])
     )
-    clustered = union.join(asg, "vec_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    clustered = union.withColumn(
+        "cluster", argmin_index(F.col("embedding"), cents)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(clustered)
     left = clustered.select(
         F.col("vec_id").alias("id_a"),
@@ -1577,11 +1598,16 @@ def ann_ivf_topk(spark, sf_dir):
 def ann_ivf_trained_topk(spark, sf_dir):
     from pyspark import StorageLevel
 
+    from etl_weather_data_pipeline_spark.operators.kmeans import (
+        argmin_index,
+    )
     from etl_weather_data_pipeline_spark.operators.similarity import (
         brute_force_topk,
         cell_centroids,
         ivf_topk,
-        kmeans_cells,
+    )
+    from etl_weather_data_pipeline_spark.plans.artifacts import (
+        shared_kmeans_centroids,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1589,9 +1615,15 @@ def ann_ivf_trained_topk(spark, sf_dir):
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    cells = kmeans_cells(emb, k=8, iterations=3).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # trained quantizer from the session artifact store (r11 directive
+    # #5): identical deterministic Lloyd to the old inline kmeans_cells
+    # run, with the assignment join replaced by the map-side argmin the
+    # training's own final assignment satisfies — one less shuffle, no
+    # duplicate Lloyd across consumers/repeats.
+    _, cents8 = shared_kmeans_centroids(spark, sf_dir, k=8, iterations=3)
+    cells = emb.withColumn(
+        "cell", argmin_index(F.col("embedding"), cents8)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(cells)
     # cents is tiny (k rows) but feeds MANY separate driver actions
     # (both probe selections, the probe-cell recompute, the centroid

@@ -997,3 +997,50 @@ def test_r11_index_ops_plan_shapes(spark, tmp_path):
     assert n_nodes(p, "Scan parquet") == 0, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_kmeans_centroid_memo_shared_across_consumers(spark):
+    """r11 verdict directive #5: trained k-means centroids are
+    vector-side session artifacts. Pins: (1) one Lloyd training pass
+    per (k, iterations) key — re-running a consumer or running a second
+    consumer of the same key never bumps the build counter; (2) the
+    consumer plans are JOIN-FREE for assignment (map-side argmin over
+    the memoized literal — kmeans_cells' old assignment join is gone);
+    (3) results are the exact oracled shapes (parity is covered by the
+    suite; here we pin the sharing mechanics)."""
+    from etl_weather_data_pipeline_spark.plans import artifacts as AR
+
+    AR.release_shared_artifacts()
+    try:
+        REG["kmeans_clusters"].spark(spark, SF_SMOKE).collect()
+        n4 = AR._BUILD_COUNTS.get("kmeans_centroids_k4_i3", 0)
+        assert n4 >= 1
+        # same-key consumers: direct artifact access + query re-run
+        sse, cents = AR.shared_kmeans_centroids(
+            spark, SF_SMOKE, k=4, iterations=3
+        )
+        assert len(cents) == 4 and len(sse) == 3
+        REG["kmeans_clusters"].spark(spark, SF_SMOKE).collect()
+        assert AR._BUILD_COUNTS["kmeans_centroids_k4_i3"] == n4
+        # distinct key trains separately, exactly once
+        REG["ann_ivf_trained_topk"].spark(spark, SF_SMOKE).collect()
+        n8 = AR._BUILD_COUNTS.get("kmeans_centroids_k8_i3", 0)
+        assert n8 >= 1
+        REG["ann_ivf_trained_topk"].spark(spark, SF_SMOKE).collect()
+        assert AR._BUILD_COUNTS["kmeans_centroids_k8_i3"] == n8
+        assert AR._BUILD_COUNTS["kmeans_centroids_k4_i3"] == n4
+        # assignment is map-side: no join anywhere in kmeans_clusters
+        p = plan_of(spark, "kmeans_clusters")
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert j not in p, p
+        # driver literals ride the same sf_dir LRU as the DataFrames
+        AR.shared_kmeans_centroids(
+            spark, "/root/testdata/sf0.01", k=4, iterations=3
+        )
+        AR.shared_kmeans_centroids(
+            spark, "/root/testdata/sf0.1", k=4, iterations=3
+        )
+        dirs = {k[1] for k in AR._DRIVER_ARTIFACTS}
+        assert len(dirs) == 2 and SF_SMOKE not in dirs, dirs
+    finally:
+        AR.release_shared_artifacts()
