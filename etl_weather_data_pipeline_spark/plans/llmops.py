@@ -5934,6 +5934,218 @@ def corpus_funnel_merge_state(spark, sf_dir):
 
 
 @q(
+    "corpus_dedup_funnel_attached",
+    "The ATTACH path (r11 verdict directive #4): a READ-ONLY batch "
+    "funnel (streaming/corpus.py judge_batch_against_store) over a "
+    "POPULATED full-funnel store derives every store-side artifact "
+    "from the persisted tables — stage 1 probes the store's "
+    "fingerprint column, stage 2 the bucketed _bands table, stage 3 "
+    "the bucketed _winnow table; the only store text read is the "
+    "candidate-pruned verify fetch. Store = full-funnel merge of "
+    "doc_id%3==0; judged batch = the full overlapping feed. Exact "
+    "cross-checks (hash-fail on any admission drift): per-stage counts "
+    "n_batch / n_after_exact / n_after_neardup / n_survivors, each "
+    "replayed relationally (batch-1 three-stage curation, then exact "
+    "fp anti-join, cross-table LSH band probe + Jaccard verify, winnow "
+    "blocking with BOTH df stop bounds, gram-run passage verify). "
+    "Invariant booleans: judge_matches_merge (running the merge sink "
+    "on the same batch afterwards admits EXACTLY the judge's survivor "
+    "ids — the attach path and the production sink share stage code "
+    "and may never drift) and judge_wrote_nothing (store + side-table "
+    "file listings byte-identical across the judge). At 100 TB this is "
+    "the cross-session amortization story: periodic batch re-curation "
+    "is O(batch) probes against persisted artifacts, never a "
+    "store-wide re-hash.",
+    oracle=f"""
+    WITH b1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    f1 AS (SELECT doc_id, text, {O_FINGERPRINT} AS fp FROM b1),
+    s1a AS (
+      SELECT f.doc_id, f.text, f.fp FROM f1 f
+      JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM f1 GROUP BY 1) m
+        ON m.doc_id = f.doc_id),
+    {_o_lsh_ctes(8, 4, table="s1a", prefix="p1")},
+    t1 AS (SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM s1a),
+    drop1 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM p1cand c JOIN t1 l ON l.doc_id = c.id_a
+                    JOIN t1 r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    s1b AS MATERIALIZED (
+      SELECT * FROM s1a
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+    {_o_rolling(_WINNOW_K, table="s1b", prefix="w1")},
+    {_o_winnow_rows(_WINNOW_W, prefix="w1")},
+    bstop1 AS (
+      SELECT fingerprint FROM w1wf
+      GROUP BY 1 HAVING COUNT(*) > {_WINNOW_MAX_DF}),
+    w1fs AS (
+      SELECT * FROM w1wf WHERE fingerprint NOT IN
+        (SELECT fingerprint FROM bstop1)),
+    within1 AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM w1fs l JOIN w1fs r
+        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
+    texts1 AS (SELECT doc_id, text FROM s1b),
+    {_o_passage(table="texts1", cand="within1", prefix="q1")},
+    dropp1 AS (SELECT DISTINCT id_b AS doc_id FROM q1pr),
+    store1 AS MATERIALIZED (
+      SELECT * FROM s1b
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropp1)),
+    f2 AS (SELECT doc_id, text, {O_FINGERPRINT} AS fp FROM documents),
+    s2a AS (
+      SELECT f.doc_id, f.text, f.fp FROM f2 f
+      JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM f2 GROUP BY 1) m
+        ON m.doc_id = f.doc_id),
+    s2b AS MATERIALIZED (
+      SELECT * FROM s2a
+      WHERE fp NOT IN (SELECT fp FROM store1)),
+    {_o_lsh_ctes(8, 4, table="store1", prefix="st")},
+    {_o_lsh_ctes(8, 4, table="s2b", prefix="bb")},
+    cross_cand AS (
+      SELECT DISTINCT st.doc_id AS id_a, bb.doc_id AS id_b
+      FROM stbands st JOIN bbbands bb
+        ON st.band_idx = bb.band_idx AND st.band_val = bb.band_val),
+    cand2 AS (
+      SELECT id_a, id_b FROM bbcand
+      UNION SELECT id_a, id_b FROM cross_cand),
+    t2 AS (
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM store1
+      UNION ALL
+      SELECT doc_id, list_distinct({O_TOKS}) AS toks FROM s2b),
+    drop2 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand2 c JOIN t2 l ON l.doc_id = c.id_a
+                   JOIN t2 r ON r.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / (len(l.toks) + len(r.toks)
+                 - len(list_intersect(l.toks, r.toks))) >= 0.5),
+    surv2 AS MATERIALIZED (
+      SELECT * FROM s2b
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+    {_o_rolling(_WINNOW_K, table="store1", prefix="sw")},
+    {_o_winnow_rows(_WINNOW_W, prefix="sw")},
+    {_o_rolling(_WINNOW_K, table="surv2", prefix="bw")},
+    {_o_winnow_rows(_WINNOW_W, prefix="bw")},
+    stop3 AS (
+      SELECT fingerprint FROM swwf
+      GROUP BY 1 HAVING COUNT(*) > {_WINNOW_MAX_DF}),
+    bstop3 AS (
+      SELECT fingerprint FROM bwwf
+      GROUP BY 1 HAVING COUNT(*) > {_WINNOW_MAX_DF}),
+    bwfs AS (
+      SELECT * FROM bwwf WHERE fingerprint NOT IN
+        (SELECT fingerprint FROM bstop3)),
+    within3 AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bwfs l JOIN bwfs r
+        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
+    vs3 AS (
+      SELECT s.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT * FROM swwf WHERE fingerprint NOT IN
+              (SELECT fingerprint FROM stop3)) s
+      JOIN (SELECT * FROM bwfs b2 WHERE b2.fingerprint NOT IN
+              (SELECT fingerprint FROM stop3)) b
+        ON s.fingerprint = b.fingerprint
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}),
+    cand3 AS (
+      SELECT id_a, id_b FROM within3
+      UNION SELECT id_a, id_b FROM vs3),
+    texts3 AS (
+      SELECT doc_id, text FROM surv2
+      UNION ALL
+      SELECT doc_id, text FROM store1
+      WHERE doc_id IN (SELECT id_a FROM vs3)),
+    {_o_passage(table="texts3", cand="cand3", prefix="pg")},
+    drop3 AS (SELECT DISTINCT id_b AS doc_id FROM pgpr),
+    surv3 AS (
+      SELECT * FROM surv2
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop3))
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM s2b) AS BIGINT) AS n_after_exact,
+           CAST((SELECT COUNT(*) FROM surv2) AS BIGINT)
+             AS n_after_neardup,
+           CAST((SELECT COUNT(*) FROM surv3) AS BIGINT) AS n_survivors,
+           TRUE AS judge_matches_merge,
+           TRUE AS judge_wrote_nothing
+    """,
+)
+def corpus_dedup_funnel_attached(spark, sf_dir):
+    """Live attach-path twin (md5 family so DuckDB reproduces every
+    fingerprint, band value, and winnow/gram hash bit-for-bit).
+    Reference parity: the reference has no streaming/attach surface;
+    this extends its batch curation the way its load-history audit
+    extends loads (src/load.py provenance pattern)."""
+    import glob
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        bands_table_name,
+        judge_batch_against_store,
+        merge_batch_neardup_into_corpus,
+        winnow_table_name,
+    )
+
+    store = tempfile.mkdtemp(prefix="corpus_funnel_attach_") + "/store"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    try:
+        merge_batch_neardup_into_corpus(
+            docs.filter(F.col("doc_id") % 3 == 0), store,
+            hash_family="md5", band_buckets=8, passage_min_run=16,
+            history=False,
+        )
+
+        def state():
+            return sorted(
+                glob.glob(f"{store}/**/*.parquet", recursive=True)
+            )
+
+        before_files = state()
+        # ids_before materializes EAGERLY before the merge writes
+        # (recache-by-path: a lazy read would re-list post-append)
+        ids_before = (
+            spark.read.parquet(store).select("doc_id").localCheckpoint()
+        )
+        rep = judge_batch_against_store(
+            docs, store, hash_family="md5", band_buckets=8,
+            passage_min_run=16,
+        )
+        readonly_ok = state() == before_files
+        jids = rep["survivors"].select("doc_id")
+        n_merged = merge_batch_neardup_into_corpus(
+            docs, store, hash_family="md5", band_buckets=8,
+            passage_min_run=16, history=False,
+        )
+        appended = spark.read.parquet(store).select("doc_id").join(
+            ids_before, "doc_id", "left_anti"
+        )
+        n_extra = appended.join(jids, "doc_id", "left_anti").count()
+        n_missed = jids.join(appended, "doc_id", "left_anti").count()
+        matches = bool(
+            n_merged == rep["n_survivors"]
+            and n_extra == 0
+            and n_missed == 0
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
+        spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
+    return spark.range(1).select(
+        F.lit(rep["n_batch"]).cast("long").alias("n_batch"),
+        F.lit(rep["n_after_exact"]).cast("long").alias("n_after_exact"),
+        F.lit(rep["n_after_neardup"]).cast("long").alias(
+            "n_after_neardup"
+        ),
+        F.lit(rep["n_survivors"]).cast("long").alias("n_survivors"),
+        F.lit(matches).alias("judge_matches_merge"),
+        F.lit(bool(readonly_ok)).alias("judge_wrote_nothing"),
+    )
+
+
+@q(
     "dedup_recall_probe",
     "Planted-duplicate recall measurement for the near-dup pipeline — "
     "the calibration report a corpus team publishes alongside its dedup "

@@ -1820,3 +1820,110 @@ def test_semantic_bootstrap_dim_tie_breaks_larger(spark, tmp_path):
     store_ids = spark.read.parquet(store).select("doc_id")
     missing = AX.audit_ivf_coverage(spark, store_ids, vroot, "doc_id")
     assert {r["doc_id"] for r in missing.collect()} == {0, 1}
+
+
+def test_judge_batch_against_store_attaches_artifacts(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    """r11 verdict directive #4 — the attach path: a READ-ONLY batch
+    funnel over a populated store must (a) derive every store-side
+    signature/fingerprint from the persisted _bands/_winnow tables —
+    minhash_signatures runs ONCE (batch only) and rolling_hashes runs
+    twice (batch + candidate-pruned store texts, never the whole
+    store); (b) write nothing; (c) admit EXACTLY the docs the merge
+    sink subsequently admits (the judge and the sink share stage
+    code, so a drift here is a bug by construction)."""
+    import glob
+
+    from etl_weather_data_pipeline_spark.operators import dedup as D
+    from etl_weather_data_pipeline_spark.operators import passages as P
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.streaming import corpus as C
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    store = str(tmp_path / "corpus")
+    assert C.merge_batch_neardup_into_corpus(
+        docs.filter(F.col("doc_id") % 3 == 0), store,
+        history=False, band_buckets=8, passage_min_run=16,
+    ) > 0
+    n_store = spark.read.parquet(store).count()
+
+    def side_files():
+        return sorted(
+            glob.glob(f"{store}/_bands/**/*", recursive=True)
+            + glob.glob(f"{store}/_winnow/**/*", recursive=True)
+        )
+
+    before_files = side_files()
+    calls = {"sig": [], "rh": []}
+    real_sig, real_rh = D.minhash_signatures, P.rolling_hashes
+
+    def counting_sig(df, *a, **kw):
+        calls["sig"].append(df.count())
+        return real_sig(df, *a, **kw)
+
+    def counting_rh(df, *a, **kw):
+        calls["rh"].append(df.count())
+        return real_rh(df, *a, **kw)
+
+    D.minhash_signatures, P.rolling_hashes = counting_sig, counting_rh
+    try:
+        rep = C.judge_batch_against_store(
+            docs, store, band_buckets=8, passage_min_run=16
+        )
+    finally:
+        D.minhash_signatures, P.rolling_hashes = real_sig, real_rh
+    assert rep["n_batch"] == docs.count()
+    # exact stage dropped every doc already in the store
+    assert rep["n_after_exact"] <= rep["n_batch"] - n_store
+    assert (
+        rep["n_survivors"]
+        <= rep["n_after_neardup"]
+        <= rep["n_after_exact"]
+    )
+    # (a) no store-wide re-hash: ONE signature pass (batch survivors
+    # only — a second call would be the store rebuild), and the only
+    # store text rolling_hashes ever saw is the candidate-pruned fetch
+    assert len(calls["sig"]) == 1 and calls["sig"][0] == rep[
+        "n_after_exact"
+    ], calls
+    assert len(calls["rh"]) == 2, calls
+    assert calls["rh"][0] == rep["n_after_neardup"]
+    assert calls["rh"][1] < n_store, calls  # candidate-pruned, not store
+    # (b) read-only: side tables byte-identical, store row count flat
+    assert side_files() == before_files
+    assert spark.read.parquet(store).count() == n_store
+    # (c) the judge predicts the merge sink exactly: same batch through
+    # the sink admits exactly the judge's survivor ids
+    judged = {r["doc_id"] for r in rep["survivors"].select("doc_id").collect()}
+    ids_before = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    n_merged = C.merge_batch_neardup_into_corpus(
+        docs, store, history=False, band_buckets=8, passage_min_run=16
+    )
+    ids_after = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert n_merged == rep["n_survivors"]
+    assert ids_after - ids_before == judged
+
+
+def test_judge_batch_requires_side_tables(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    """The read-only judge must never rebuild a missing side table
+    (that IS the store-wide raw-text pass the attach avoids): a store
+    built by the exact-only sink raises with the remediation named."""
+    import pytest
+
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.streaming import corpus as C
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    store = str(tmp_path / "corpus")
+    assert C.merge_batch_into_corpus(
+        docs.filter(F.col("doc_id") % 3 == 0), store, history=False
+    ) > 0
+    with pytest.raises(RuntimeError, match="_bands"):
+        C.judge_batch_against_store(docs, store, band_buckets=8)
+    with pytest.raises(RuntimeError, match="no corpus store"):
+        C.judge_batch_against_store(docs, str(tmp_path / "nope"))
