@@ -1381,10 +1381,13 @@ def judge_batch_against_store(
     winnow_k: int = 8,
     winnow_w: int = 4,
     winnow_max_df: int = 50,
+    embedding_col: str | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_max_cell_df: int = 1000,
 ) -> dict:
     """READ-ONLY batch funnel over a POPULATED corpus store — the
     attach path (r11 verdict directive #4): runs exactly the merge
-    sink's admission stages 1-3 (same operators, same policies: store
+    sink's admission stages 1-4 (same operators, same policies: store
     wins, smaller id wins within a batch) but appends nothing, so a
     batch re-curation / what-if report over an existing store derives
     every store-side artifact from the persisted tables instead of
@@ -1396,7 +1399,15 @@ def judge_batch_against_store(
     - stage 2 probes the bucketed ``_bands`` table in place (no
       store-wide MinHash pass);
     - stage 3 probes the bucketed ``_winnow`` table (no store-wide
-      Rabin-Karp pass; `_passage_stage_drops`, both df stop bounds).
+      Rabin-Karp pass; `_passage_stage_drops`, both df stop bounds);
+    - stage 4 (OPT-IN via ``embedding_col``) judges against the
+      store's persisted IVF index (`_semantic_stage_drops` — map-only
+      assign to the FROZEN quantizer, partition-pruned store probe);
+      a missing ``_vectors_ivf`` index raises like the other side
+      tables — the read-only judge never bootstraps a quantizer (a
+      bootstrap would freeze batch-trained centroids the sink then
+      inherits; feeding embeddings through the merge sink is the only
+      index builder).
 
     The ONLY store text this function ever reads is the
     candidate-pruned (batch-bounded) rows the exact verifies fetch by
@@ -1442,6 +1453,20 @@ def judge_batch_against_store(
             "never rebuilds side tables (that would be the store-wide "
             "raw-text pass the attach exists to avoid)"
         )
+    if embedding_col is not None:
+        import os
+
+        from etl_weather_data_pipeline_spark.operators import (
+            ann_index as AX,
+        )
+
+        if not os.path.exists(AX._meta_path(f"{path}/{VECTORS_IVF_SUBDIR}")):
+            raise RuntimeError(
+                f"judge_batch_against_store: store at {path} has no "
+                f"{VECTORS_IVF_SUBDIR} index; the read-only judge never "
+                "bootstraps a quantizer — build it by feeding "
+                "embeddings through the merge sink's semantic stage"
+            )
     batch = batch_df.filter(F.col(text_col).isNotNull()).withColumn(
         "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
     )
@@ -1511,6 +1536,21 @@ def judge_batch_against_store(
         else:
             survivors = s2
             n_after_neardup = None
+        if embedding_col is not None:
+            # same checkpoint discipline as the sink: the semantic
+            # stage issues several actions over the survivor set
+            s3 = survivors.localCheckpoint()
+            if n_after_neardup is None:
+                n_after_neardup = s3.count()
+            sdrop, _ = _semantic_stage_drops(
+                spark, s3, path, id_col, embedding_col,
+                semantic_threshold, n_cells=8, iterations=2,
+                max_cell_df=semantic_max_cell_df,
+            )
+            survivors = (
+                s3 if sdrop is None
+                else s3.join(sdrop, id_col, "left_anti")
+            )
         out = survivors.localCheckpoint()
         n_survivors = out.count()
         if n_after_neardup is None:

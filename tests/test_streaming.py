@@ -2019,3 +2019,74 @@ def test_streaming_merge_per_batch_probe_volumes(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {C.bands_table_name(store)}")
         spark.sql(f"DROP TABLE IF EXISTS {C.winnow_table_name(store)}")
+
+
+def test_judge_batch_semantic_stage_against_persisted_index(
+    spark, tmp_path
+):
+    """Attach-path stage 4: the read-only judge assigns batch vectors
+    to the store's FROZEN quantizer and drops semantic dups exactly as
+    the sink would — and never bootstraps an index itself (a store
+    without _vectors_ivf raises)."""
+    import pytest
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        judge_batch_against_store,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    schema = "doc_id long, text string, embedding array<double>"
+    v0 = [5.0, -3.0, 2.0, -1.0]
+    v1 = [-4.0, 2.0, -5.0, 3.0]
+    assert merge_batch_neardup_into_corpus(
+        spark.createDataFrame(
+            [
+                (0, "alpha bravo charlie delta", v0),
+                (1, "echo foxtrot golf hotel", v1),
+            ],
+            schema,
+        ),
+        store, embedding_col="embedding", semantic_cells=2,
+        history=False, band_buckets=4,
+    ) == 2
+    # batch: one semantic dup of doc 0 (cosine ~1), one fresh direction
+    pert = [x * 1.001 for x in v0]
+    ortho = [1.0, 1.0, 1.0, 1.0]
+    batch = spark.createDataFrame(
+        [
+            (10, "india juliet kilo lima", pert),
+            (11, "mike november oscar papa", ortho),
+        ],
+        schema,
+    )
+    rep = judge_batch_against_store(
+        batch, store, band_buckets=4, embedding_col="embedding"
+    )
+    kept = {r["doc_id"] for r in rep["survivors"].select("doc_id").collect()}
+    assert kept == {11}, kept
+    assert rep["n_survivors"] == 1 and rep["n_after_neardup"] == 2
+    # the sink agrees (judge == merge), and the judge wrote nothing:
+    # doc 10 is still judged (and dropped) on the second pass too
+    n = merge_batch_neardup_into_corpus(
+        batch, store, embedding_col="embedding", semantic_cells=2,
+        history=False, band_buckets=4,
+    )
+    assert n == 1
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    } == {0, 1, 11}
+    # a store with no vector index: the read-only judge must refuse
+    store2 = str(tmp_path / "corpus2")
+    assert merge_batch_neardup_into_corpus(
+        spark.createDataFrame(
+            [(0, "alpha bravo charlie delta", v0)], schema
+        ),
+        store2, history=False, band_buckets=4,
+    ) == 1
+    with pytest.raises(RuntimeError, match="_vectors_ivf"):
+        judge_batch_against_store(
+            batch, store2, band_buckets=4, embedding_col="embedding"
+        )
