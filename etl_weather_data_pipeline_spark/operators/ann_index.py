@@ -50,6 +50,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_weather_data_pipeline_spark.functions.vector import double_array
 from etl_weather_data_pipeline_spark.operators.kmeans import (
     argmin_index,
     kmeans_fit_full,
@@ -201,7 +202,7 @@ def residual_codes_expr(
     so they cannot drift."""
     cent = None
     for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in c])
+        lit = double_array(c)
         cond = F.col(cell_col) == F.lit(i)
         cent = F.when(cond, lit) if cent is None else cent.when(cond, lit)
     res = F.zip_with(
@@ -545,7 +546,7 @@ def _sq_dist_to_centroid(vec_col: str, cell_col: str, centroids):
     minimizes (and retrain_ivf_index provably never worsens)."""
     cent = None
     for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in c])
+        lit = double_array(c)
         cond = F.col(cell_col) == F.lit(i)
         cent = F.when(cond, lit) if cent is None else cent.when(cond, lit)
     diff = F.zip_with(

@@ -16,10 +16,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_weather_data_pipeline_spark.functions.vector import (
+    double_array,
+    double_matrix,
+)
+
 
 def _sq_dist_to(vec_col: Column, centroid: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    diffs = F.zip_with(vec_col, lit, lambda a, b: a.cast("double") - b)
+    diffs = F.zip_with(
+        vec_col, double_array(centroid), lambda a, b: a.cast("double") - b
+    )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
 
 
@@ -29,15 +35,26 @@ def argmin_index(vec: Column, centroids: list[list[float]]) -> Column:
     operators/quantization.py for per-subspace code assignment and
     operators/ann_index.py for store-invariant recomputes).
 
-    Shape matters here: the obvious when-chain (least(d_0..d_k) then
-    k `d_i == best` branches) instantiates every distance expression
-    TWICE, and stacking several argmins in one plan (residual-PQ codes:
-    m argmins after a cell when-chain) ballooned codegen'd task
-    binaries past a 1 GB executor heap. This form evaluates each
-    distance ONCE into an array and takes array_position of the min —
-    identical semantics (array_position returns the FIRST match, i.e.
-    the lowest index on ties; 1-based, hence the -1)."""
-    dists = F.array(*[_sq_dist_to(vec, c) for c in centroids])
+    Shape matters here, twice over. (1) The obvious when-chain
+    (least(d_0..d_k) then k `d_i == best` branches) instantiates every
+    distance expression TWICE, and stacking several argmins in one plan
+    (residual-PQ codes: m argmins after a cell when-chain) ballooned
+    codegen'd task binaries past a 1 GB executor heap — so distances
+    evaluate ONCE into an array and array_position takes the min
+    (FIRST match = lowest index on ties; 1-based, hence the -1).
+    (2) The centroid matrix enters the plan as ONE parsed literal
+    (functions/vector.double_matrix) with a `transform` computing the
+    per-centroid distances — building it element-wise costs a py4j
+    round trip per float (k·dim ≈ 512 calls ≈ 1s at k=8/dim=64,
+    more than the job that consumes the plan; measured r12)."""
+    dists = F.transform(
+        double_matrix(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: a.cast("double") - b),
+            F.lit(0.0),
+            lambda acc, d: acc + d * d,
+        ),
+    )
     return (
         F.array_position(dists, F.array_min(dists)).cast("int") - 1
     )
@@ -74,9 +91,7 @@ def _centroids_of(
     )
     aggs = [F.avg("v").alias("c")]
     if old_centroids is not None:
-        mat = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in old_centroids]
-        )
+        mat = double_matrix(old_centroids)
         oc = F.element_at(
             F.element_at(mat, F.col("cluster") + 1), F.col("pos") + 1
         )

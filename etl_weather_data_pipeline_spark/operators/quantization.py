@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_weather_data_pipeline_spark.functions import vector as VX
 from etl_weather_data_pipeline_spark.operators.kmeans import (
     _centroids_of,
     argmin_index,
@@ -180,7 +181,7 @@ def pq_residual_frame(
     the label, the subtraction a zip_with — no join, no shuffle."""
     cent = None
     for lbl in sorted(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in centroids[lbl]])
+        lit = VX.double_array(centroids[lbl])
         cond = F.col(label_col) == F.lit(lbl)
         cent = F.when(cond, lit) if cent is None else cent.when(cond, lit)
     res = F.zip_with(
@@ -206,9 +207,7 @@ def pq_recon_sqerr(
     sd = len(codebooks[0][0])
     err = F.lit(0.0)
     for s, cb in enumerate(codebooks):
-        mat = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cb]
-        )
+        mat = VX.double_matrix(cb)
         chat = F.element_at(
             mat, F.element_at(F.col(codes_col), s + 1) + 1
         )
@@ -251,7 +250,7 @@ def pq_adc_topk_residual(
                 float(sum((a - b) ** 2 for a, b in zip(qs, c)))
                 for c in cb
             ]
-            lut = F.array(*[F.lit(x) for x in table])
+            lut = VX.double_array(table)
             cell_dist = cell_dist + F.element_at(
                 lut, F.element_at(F.col(codes_col), s + 1) + 1
             )
@@ -290,7 +289,7 @@ def pq_adc_topk(
         table = [
             float(sum((a - b) ** 2 for a, b in zip(qs, c))) for c in cb
         ]
-        lut = F.array(*[F.lit(x) for x in table])
+        lut = VX.double_array(table)
         dist = dist + F.element_at(
             lut, F.element_at(F.col(codes_col), s + 1) + 1
         )

@@ -22,7 +22,7 @@ from etl_weather_data_pipeline_spark.functions import vector as VX
 
 
 def _as_literal_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    return VX.double_array(vec)
 
 
 def _dround6(c: Column) -> Column:

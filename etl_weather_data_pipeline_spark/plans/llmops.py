@@ -1959,7 +1959,7 @@ def ann_pq_topk(spark, sf_dir):
     _CURATION_PERSISTED.append(enc)
     sl50 = pq_adc_topk(enc, codebooks, qv, k=50).select("vec_id")
     sl100 = pq_adc_topk(enc, codebooks, qv, k=100).select("vec_id")
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = VX.double_array(qv)
     exact10 = (
         emb.select(
             "vec_id",
@@ -2382,7 +2382,7 @@ def ann_ivfpq_topk(spark, sf_dir):
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = VX.double_array(qv)
     cents = cell_centroids(emb)
     # probe selection: cell id breaks similarity ties (determinism —
     # same rationale as ivf_topk)
@@ -2534,7 +2534,7 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = VX.double_array(qv)
     cents_map, res_codebooks, res_hists = _pq_residual_state(emb, sf_dir)
     sse_monotone = all(
         later <= earlier * (1 + 1e-9) + 1e-9
