@@ -668,3 +668,54 @@ def test_cdc_edit_locality():
     shared = sum((c1 & c2).values())
     # all but the edited chunk (+ at most its two neighbors) survive
     assert shared >= sum(c1.values()) - 3, (sum(c1.values()), shared)
+
+
+def test_double_literal_helpers_bit_exact(spark):
+    """functions/vector.double_array / double_matrix (r12): the
+    one-parse SQL literal path must hand back BIT-IDENTICAL doubles to
+    the per-element F.lit() construction it replaced — repr() is the
+    shortest exact round-trip form and Spark's literal parser returns
+    the nearest double, so equality is exact, not approximate. Random
+    doubles across the full exponent range plus the adversarial edge
+    set (subnormals, -0.0, huge/tiny exponents, integral reprs)."""
+    import math
+    import random
+    import struct
+
+    from etl_weather_data_pipeline_spark.functions.vector import (
+        double_array,
+        double_matrix,
+    )
+
+    rng = random.Random(0xD0B1E)
+    vals: list[float] = []
+    # full-range bit patterns (re-rolled away from NaN/Inf: the helpers
+    # handle them, but bitwise compare below wants comparable numbers)
+    while len(vals) < 200:
+        x = struct.unpack("<d", struct.pack("<Q", rng.getrandbits(64)))[0]
+        if math.isfinite(x):
+            vals.append(x)
+    vals += [
+        0.0, -0.0, 1.0, -1.0, 0.1 + 0.2, 5e-324, -5e-324,  # subnormals
+        2.2250738585072014e-308,  # smallest normal
+        1.7976931348623157e308, -1.7976931348623157e308,
+        1e16, -1e16, 123456789.0, 1e-7, 3.0,
+    ]
+    got = spark.range(1).select(
+        double_array(vals).alias("a"),
+        double_matrix([vals[:7], vals[7:19]]).alias("m"),
+        double_array([]).alias("e"),
+    ).first()
+    bits = lambda x: struct.pack("<d", x)
+    assert len(got["a"]) == len(vals)
+    for g, w in zip(got["a"], vals):
+        assert bits(g) == bits(w), (g, w)
+    assert [bits(x) for r in got["m"] for x in r] == [
+        bits(x) for x in vals[:19]
+    ]
+    assert got["e"] == []
+    # NaN / infinities take the CAST fallback path
+    spec = spark.range(1).select(
+        double_array([float("nan"), float("inf"), float("-inf")]).alias("s")
+    ).first()["s"]
+    assert math.isnan(spec[0]) and spec[1] == math.inf and spec[2] == -math.inf
