@@ -26,22 +26,84 @@ from pyspark.sql import functions as F
 from etl_weather_data_pipeline_spark.functions import text as TX
 
 
+def _rk_arrow_udf(k: int):
+    """Arrow-batched Rabin-Karp k-gram hasher over ALREADY-NORMALIZED
+    ([a-z0-9]*, hence ASCII) text — the vectorized twin of
+    TX.rolling_kgram_hashes_of, bit-identical by construction: the same
+    fold ``h = (h*B + code) % M`` runs k times over numpy int64 slices
+    (codes < 128 and h < M ≈ 2^31, so h*31 + 127 < 2^36 — exact in
+    int64, same arithmetic as the JVM fold). Nested def + in-body
+    imports (cloudpickle by-value; no module-level deps on workers);
+    annotations attached AFTER def — this repo's `from __future__
+    import annotations` stringifies inline hints (see
+    functions/vector.cosine_arrow)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B, M = TX.ROLL_BASE, TX.ROLL_MOD
+
+    def _rk(col):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for s in col:
+            if not s:  # None or empty -> empty array (HOF parity)
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            codes = np.frombuffer(
+                s.encode("ascii"), dtype=np.uint8
+            ).astype(np.int64)
+            n = codes.shape[0]
+            if n < k:  # short text hashes whole (HOF parity)
+                h = 0
+                for c in codes:
+                    h = (h * B + int(c)) % M
+                out.append(np.array([h], dtype=np.int64))
+                continue
+            m = n - k + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h = (h * B + codes[j : j + m]) % M
+            out.append(h)
+        return pd.Series(out)
+
+    _rk.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_rk, "array<long>")
+
+
 def rolling_hashes(
     docs: DataFrame,
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(doc_id, __h) — per-doc Rabin-Karp k-gram hash ARRAYS over
     alnum-normalized text. The shared upstream of both substring sketches:
     :func:`gram_positions` explodes it positionally, and the winnow
     fingerprint sketch takes per-window minima of the same arrays — a
     composition (sketch blocking -> exact verify) should evaluate this
-    ONE pass, persist it, and derive both tables from the cache. Each
-    chain stage projects a bound column (HOF re-eval trap — a nested
+    ONE pass, persist it, and derive both tables from the cache.
+
+    ``impl='arrow'`` (default) computes the arrays in ONE Arrow-batched
+    pandas_udf — the sanctioned escape hatch, swapped in after
+    measuring (r12): the pure-HOF chain is O(n·k) INTERPRETED
+    evaluation per doc (an inner `aggregate` of k element_at steps per
+    position — higher-order functions never enter whole-stage codegen),
+    ~1.3s per sf0.1 corpus pass vs 0.67s vectorized, and values are
+    bit-identical (cross-impl pin in tests + the full oracle parity
+    suite). ``impl='hof'`` keeps the JVM-side original: each chain
+    stage projects a bound column (HOF re-eval trap — a nested
     expression re-evaluates the whole chain per element; measured 100x
-    on this exact chain)."""
+    on this exact chain); it stays the reference implementation the
+    DuckDB oracles mirror and needs no Python workers."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    if impl == "arrow":
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            _rk_arrow_udf(k)(norm).alias("__h"),
+        )
     chars = docs.select(
         F.col(id_col).alias("doc_id"), TX.chars_of(norm).alias("__ch")
     )

@@ -719,3 +719,49 @@ def test_double_literal_helpers_bit_exact(spark):
         double_array([float("nan"), float("inf"), float("-inf")]).alias("s")
     ).first()["s"]
     assert math.isnan(spec[0]) and spec[1] == math.inf and spec[2] == -math.inf
+
+
+def test_rolling_hashes_arrow_matches_hof(spark):
+    """operators/passages.rolling_hashes impl='arrow' (r12 measured
+    swap) must be BIT-IDENTICAL to the JVM HOF reference implementation
+    the DuckDB oracles mirror — same fold, same modulus, exact in
+    int64. Adversarial edge texts (null, empty, all-punctuation → empty
+    after normalization, shorter-than-k, exactly-k, unicode stripped by
+    normalization, long repetitive) plus the smoke corpus."""
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        rolling_hashes,
+    )
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    edge = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "!!! ... ???"),          # normalizes to empty
+            (3, "aB c"),                 # shorter than k after norm
+            (4, "AbCdEfGh"),             # exactly k = 8
+            (5, "café touché 42"),  # unicode stripped
+            (6, "ab" * 500),             # long repetitive
+            (7, "The quick brown fox jumps over the lazy dog 123."),
+        ],
+        "doc_id long, text string",
+    )
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    for frame in (edge, docs):
+        a = rolling_hashes(frame, 8, impl="arrow")
+        h = rolling_hashes(frame, 8, impl="hof")
+        diff = (
+            a.alias("a")
+            .join(h.alias("b"), "doc_id", "full")
+            .filter("NOT (a.__h <=> b.__h)")
+            .count()
+        )
+        assert diff == 0
+    # the k < len guard: arrow short-text hash equals the HOF whole fold
+    row = (
+        rolling_hashes(edge, 8, impl="arrow")
+        .filter("doc_id = 3")
+        .first()
+    )
+    assert len(row["__h"]) == 1  # 'abc' -> one whole-text hash
