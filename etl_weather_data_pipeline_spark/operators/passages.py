@@ -245,12 +245,67 @@ def exact_passage_pairs(
     )
 
 
+def _cdc_arrow_udf(k: int, divisor: int):
+    """Arrow-batched CDC chunker over ALREADY-NORMALIZED text — the
+    vectorized twin of the HOF chain in :func:`cdc_chunks`, chunk-for-
+    chunk identical: same Rabin-Karp fold (exact in int64, see
+    _rk_arrow_udf), boundary after 1-based gram position p at char
+    offset p+k-1, spans kept iff end > start, Python slicing clamps the
+    short-text out-of-range cut to the whole string exactly like
+    Spark's substr. Nested def + in-body imports (cloudpickle
+    by-value); annotations attached after def (__future__ stringifies
+    inline hints)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B, M = TX.ROLL_BASE, TX.ROLL_MOD
+
+    def _chunks(col):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for s in col:
+            if not s:
+                out.append([])
+                continue
+            codes = np.frombuffer(
+                s.encode("ascii"), dtype=np.uint8
+            ).astype(np.int64)
+            n = codes.shape[0]
+            if n < k:
+                h = 0
+                for c in codes:
+                    h = (h * B + int(c)) % M
+                cuts = [k] if h % divisor == 0 else []
+            else:
+                m = n - k + 1
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    h = (h * B + codes[j : j + m]) % M
+                cuts = [
+                    int(j) + k for j in np.flatnonzero(h % divisor == 0)
+                ]
+            out.append(
+                [
+                    s[a:b]
+                    for a, b in zip([0] + cuts, cuts + [n])
+                    if b > a
+                ]
+            )
+        return pd.Series(out)
+
+    _chunks.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_chunks, "array<string>")
+
+
 def cdc_chunks(
     docs: DataFrame,
     k: int = 8,
     divisor: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(doc_id, chunk) content-defined chunks of the alnum-normalized
     text — gear/FastCDC-style chunking re-expressed relationally: a
@@ -272,8 +327,22 @@ def cdc_chunks(
     Simplification vs production FastCDC: no min/max chunk clamps and a
     single divisor (no normalized two-gear levels) — boundary density
     is then exactly geometric with mean ``divisor``; clamps would be
-    two extra filter conditions on the same positions array."""
+    two extra filter conditions on the same positions array.
+
+    ``impl='arrow'`` (default) computes the chunk arrays in one
+    Arrow-batched pandas_udf (the r12 measured swap — the HOF chain is
+    O(n·k) interpreted evaluation, 1.84s vs ~0.5s per sf0.1 corpus
+    pass; chunk-for-chunk identical, cross-impl pin in tests);
+    ``impl='hof'`` keeps the JVM-side relational original the DuckDB
+    oracle mirrors."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    if impl == "arrow":
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(
+                _cdc_arrow_udf(k, divisor)(norm)
+            ).alias("chunk"),
+        )
     b0 = docs.select(F.col(id_col).alias("doc_id"), norm.alias("__norm"))
     b1 = b0.select("doc_id", "__norm", TX.chars_of(F.col("__norm")).alias("__ch"))
     b2 = b1.select(
@@ -348,6 +417,42 @@ def cdc_chunks(
     )
 
 
+def _winnow_arrow_udf(w: int):
+    """Arrow-batched winnow sketch over the ``__h`` hash arrays — the
+    vectorized twin of TX.winnow_fingerprints_of: per-w-window minima
+    (windows = max(m-w+1, 1), the short-array window clamping exactly
+    as F.slice clamps), distinct preserving first occurrence
+    (pd.unique) — same SET per doc, which is all the exploded
+    fingerprint relation exposes. Nested def + in-body imports;
+    annotations attached after def."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fps(col):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for h in col:
+            if h is None or len(h) == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            a = np.asarray(h, dtype=np.int64)
+            m = a.shape[0]
+            if m <= w:
+                wins = a.min(keepdims=True)
+            else:
+                mm = m - w + 1
+                wins = a[:mm].copy()
+                for j in range(1, w):
+                    np.minimum(wins, a[j : j + mm], out=wins)
+            out.append(pd.unique(wins))
+        return pd.Series(out)
+
+    _fps.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_fps, "array<long>")
+
+
 def winnow_fingerprint_table(
     docs: DataFrame,
     k: int = 8,
@@ -355,19 +460,32 @@ def winnow_fingerprint_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     hashes: DataFrame | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(doc_id, fingerprint) winnowing sketch rows (MOSS local-similarity
     sketch): distinct per-w-window minima of the Rabin-Karp k-gram hash
     arrays. Any shared substring of >= k+w-1 normalized chars yields a
     shared fingerprint — the recall guarantee sketch blocking rests on.
     ``hashes``: optional precomputed :func:`rolling_hashes` result for
-    shared-pass compositions. Map-only; layered projections (HOF re-eval
+    shared-pass compositions. ``impl='arrow'`` (default) takes the
+    window minima in one Arrow-batched pandas_udf (r12 measured swap —
+    the HOF form is O(n·w) interpreted; set-identical rows, cross-impl
+    pin in tests); ``impl='hof'`` keeps the JVM-side original the
+    DuckDB oracles mirror (map-only; layered projections — HOF re-eval
     trap, see rolling_hashes)."""
     h = (
         hashes
         if hashes is not None
-        else rolling_hashes(docs, k, id_col, text_col)
+        else rolling_hashes(docs, k, id_col, text_col, impl=impl)
     )
+    if impl == "arrow":
+        fps = h.select(
+            "doc_id", _winnow_arrow_udf(w)(F.col("__h")).alias("__fps")
+        )
+        return fps.select(
+            "doc_id",
+            F.explode_outer(F.col("__fps")).alias("fingerprint"),
+        ).filter(F.col("fingerprint").isNotNull())
     fps = h.select(
         "doc_id",
         TX.winnow_fingerprints_of(F.col("__h"), w).alias("__fps"),

@@ -5300,10 +5300,16 @@ def _passage_stack(docs, hashes=None):
         _CURATION_PERSISTED.append(hs)
     # Sketch side: winnow fingerprints -> stop-fingerprint bound ->
     # self-join on fingerprint -> pairs sharing >= _WINNOW_MIN_SHARED.
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        _winnow_arrow_udf,
+    )
+
     fps = hs.select(
         "doc_id",
         F.explode_outer(
-            TX.winnow_fingerprints_of(F.col("__h"), _WINNOW_W)
+            # Arrow window-min twin of TX.winnow_fingerprints_of (r12
+            # measured swap; set-identical rows, cross-impl pinned)
+            _winnow_arrow_udf(_WINNOW_W)(F.col("__h"))
         ).alias("fingerprint"),
     ).filter(F.col("fingerprint").isNotNull())
     wkept = (
@@ -5558,10 +5564,16 @@ def corpus_dedup_funnel_blocked(spark, sf_dir):
         s2.select("doc_id"), "doc_id", "left_semi"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(hs)
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        _winnow_arrow_udf,
+    )
+
     fps = hs.select(
         "doc_id",
         F.explode_outer(
-            TX.winnow_fingerprints_of(F.col("__h"), _WINNOW_W)
+            # Arrow window-min twin of TX.winnow_fingerprints_of (r12
+            # measured swap; set-identical rows, cross-impl pinned)
+            _winnow_arrow_udf(_WINNOW_W)(F.col("__h"))
         ).alias("fingerprint"),
     ).filter(F.col("fingerprint").isNotNull())
     wkept = (

@@ -765,3 +765,52 @@ def test_rolling_hashes_arrow_matches_hof(spark):
         .first()
     )
     assert len(row["__h"]) == 1  # 'abc' -> one whole-text hash
+
+
+def test_cdc_and_winnow_arrow_match_hof(spark):
+    """r12 measured swaps: cdc_chunks impl='arrow' must be
+    chunk-for-chunk identical (as a multiset of (doc_id, chunk) rows,
+    null rows included) and winnow_fingerprint_table impl='arrow'
+    row-set identical to the JVM HOF originals the DuckDB oracles
+    mirror — edge texts plus the smoke corpus."""
+    from collections import Counter
+
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        cdc_chunks,
+        winnow_fingerprint_table,
+    )
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    edge = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "!!! ... ???"),
+            (3, "aB c"),                 # shorter than k
+            (4, "AbCdEfGh"),             # exactly k
+            (5, "ab" * 500),
+            (6, "The quick brown fox jumps over the lazy dog 123."),
+        ],
+        "doc_id long, text string",
+    )
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    for frame in (edge, docs):
+        a = Counter(
+            (r["doc_id"], r["chunk"])
+            for r in cdc_chunks(frame, k=8, divisor=64, impl="arrow").collect()
+        )
+        h = Counter(
+            (r["doc_id"], r["chunk"])
+            for r in cdc_chunks(frame, k=8, divisor=64, impl="hof").collect()
+        )
+        assert a == h
+        wa = Counter(
+            (r["doc_id"], r["fingerprint"])
+            for r in winnow_fingerprint_table(frame, 8, 4, impl="arrow").collect()
+        )
+        wh = Counter(
+            (r["doc_id"], r["fingerprint"])
+            for r in winnow_fingerprint_table(frame, 8, 4, impl="hof").collect()
+        )
+        assert wa == wh
