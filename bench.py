@@ -201,6 +201,17 @@ BENCH_CALLABLES = {
     "streaming_funnel_sink_2batch": _bench_streaming_funnel_2batch,
 }
 
+# Callables that get one UNTIMED warmup pass at the smallest SF before
+# the timed single shot. The r12 debutants' first-ever run pays ~7-12s
+# of codegen/classloading the HEADLINE warmup never exercises
+# (partitioned index writes, staged swaps, retrain plans) — measured
+# 22.0s cold vs 8.0/8.5s on the next two runs in one session — so the
+# unwarmed single shot was mostly measuring JVM state, not the
+# pipeline. The two LEGACY single-shots (artifacts build, funnel sink)
+# stay unwarmed: their r7-r11 artifact series was recorded that way
+# and a mid-series methodology change would read as a speedup.
+WARM_CALLABLES = ("ann_index_drift_retrain", "semdedup_global_audit")
+
 # Frozen like-for-like core (= the round-6 headline set, the baseline of
 # every cross-round comparison since): the FULL headline total grows as
 # headliners are added (47.6s -> 56.6s across r6->r7 reads as a
@@ -361,6 +372,9 @@ def main() -> None:
             registry[name].spark(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+        for name in WARM_CALLABLES:
+            if not subset or name in headline:
+                BENCH_CALLABLES[name](spark, warm_dir)
         release_curation_cache()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
