@@ -98,6 +98,7 @@ def rolling_hashes(
     expression re-evaluates the whole chain per element; measured 100x
     on this exact chain); it stays the reference implementation the
     DuckDB oracles mirror and needs no Python workers."""
+    assert impl in ("arrow", "hof"), impl
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     if impl == "arrow":
         return docs.select(
@@ -335,6 +336,7 @@ def cdc_chunks(
     pass; chunk-for-chunk identical, cross-impl pin in tests);
     ``impl='hof'`` keeps the JVM-side relational original the DuckDB
     oracle mirrors."""
+    assert impl in ("arrow", "hof"), impl
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     if impl == "arrow":
         return docs.select(
@@ -473,6 +475,7 @@ def winnow_fingerprint_table(
     pin in tests); ``impl='hof'`` keeps the JVM-side original the
     DuckDB oracles mirror (map-only; layered projections — HOF re-eval
     trap, see rolling_hashes)."""
+    assert impl in ("arrow", "hof"), impl
     h = (
         hashes
         if hashes is not None
