@@ -1779,99 +1779,108 @@ def ann_ivf_index_topk(spark, sf_dir):
         choose_probe_cells,
     )
 
-    root = tempfile.mkdtemp(prefix="ann_ivf_index_") + "/index"
-    emb = load(spark, sf_dir, "embeddings")
-    meta = AX.write_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), root, n_cells=8,
-        iterations=3, pq_m=4, pq_k=16, pq_iterations=2,
-    )
-    n_added = AX.add_to_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 1), root
-    )
-    idx = AX.read_ivf_vectors(spark, root)
-    cents = AX.read_ivf_centroid_matrix(spark, root)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
-    # ONE pass over the store: size + assignment-consistency + PQ-code
-    # consistency mismatches (both recomputes use the SHARED rules —
-    # argmin_index / residual_codes_expr — so a drifted build or add
-    # path flips a boolean here)
-    # eqNullSafe, not !=: a null-element vector (rejected at write time
-    # by assign_cells' guard, but conceivable in a hand-written store)
-    # nulls the recomputed argmin, and `cell != null` is null — F.count
-    # would silently skip exactly the broken rows (r10 advice). The
-    # null-safe negation counts them as inconsistent.
-    srow = idx.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(
-            F.when(
-                ~F.col("cell").eqNullSafe(
-                    argmin_index(F.col("embedding"), cents).cast("int")
-                ),
-                1,
-            )
-        ).alias("bad"),
-        F.count(
-            F.when(
-                ~F.col("codes").eqNullSafe(
-                    AX.residual_codes_expr(
-                        "embedding", "cell", cents, meta["pq"]["codebooks"]
-                    )
-                ),
-                1,
-            )
-        ).alias("badc"),
-    ).first()
-    n_vec, n_bad, n_badc = srow["n"], srow["bad"], srow["badc"]
-    exact = brute_force_topk(emb, qv, k=10).select("vec_id")
-    top3 = AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3)
-    top5 = AX.ivf_index_topk(spark, root, qv, k=10, n_probe=5)
-    h3 = top3.select("vec_id").join(exact, "vec_id").count()
-    h5 = top5.select("vec_id").join(exact, "vec_id").count()
-    # IVFADC: the codes-only probe's scan must NOT read the raw vector
-    # column (column pruning stacked on partition pruning); with a
-    # candidate-count rerank it must reproduce the exact probe
-    # bit-for-bit; with a 50-shortlist it must clear the recall floor
-    adc_plan = (
-        AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3, method="adc")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    rs = [ln for ln in adc_plan.splitlines() if "ReadSchema" in ln]
-    adc_codes_only = bool(rs) and all(
-        "codes" in ln and "embedding" not in ln for ln in rs
-    )
-    rr_all = AX.ivf_index_topk(
-        spark, root, qv, k=10, n_probe=3, method="adc", rerank=n_vec
-    )
-    rr_match = [tuple(r) for r in rr_all.collect()] == [
-        tuple(r) for r in top3.select("vec_id", "cosine").collect()
-    ]
-    rr50 = AX.ivf_index_topk(
-        spark, root, qv, k=10, n_probe=3, method="adc", rerank=50
-    )
-    h_rr = rr50.select("vec_id").join(exact, "vec_id").count()
-    # candidate volume of the 3-cell probe = rows in the probed files;
-    # the probe cells come from the SAME shared selection rule the
-    # probes above used (choose_probe_cells), so this is the true volume
-    probed_files = AX.probe_partition_files(
-        root,
-        [
-            int(c)
-            for c in choose_probe_cells(
-                AX.read_ivf_centroids(spark, root), qv, 3, "cell"
-            )
-        ],
-    )
-    # probed cells are the nearest to a query vector that IS in the
-    # index, so in practice they hold files — but an empty probed cell
-    # writes no dir, and read.parquet() with zero paths raises
-    cand3 = (
-        spark.read.parquet(*probed_files).count() if probed_files else 0
-    )
-    n_files_probed = len(probed_files)
-    n_files_all = len(AX.all_partition_files(root))
+    tmp = tempfile.mkdtemp(prefix="ann_ivf_index_")
+    root = tmp + "/index"
+    # every returned value is a DRIVER literal computed before the
+    # finally, so the temp index can be removed (r12 leak fix: this
+    # query used to leave one index dir behind per invocation)
+    import shutil
+
+    try:
+        emb = load(spark, sf_dir, "embeddings")
+        meta = AX.write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), root, n_cells=8,
+            iterations=3, pq_m=4, pq_k=16, pq_iterations=2,
+        )
+        n_added = AX.add_to_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1), root
+        )
+        idx = AX.read_ivf_vectors(spark, root)
+        cents = AX.read_ivf_centroid_matrix(spark, root)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        # ONE pass over the store: size + assignment-consistency + PQ-code
+        # consistency mismatches (both recomputes use the SHARED rules —
+        # argmin_index / residual_codes_expr — so a drifted build or add
+        # path flips a boolean here)
+        # eqNullSafe, not !=: a null-element vector (rejected at write time
+        # by assign_cells' guard, but conceivable in a hand-written store)
+        # nulls the recomputed argmin, and `cell != null` is null — F.count
+        # would silently skip exactly the broken rows (r10 advice). The
+        # null-safe negation counts them as inconsistent.
+        srow = idx.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    ~F.col("cell").eqNullSafe(
+                        argmin_index(F.col("embedding"), cents).cast("int")
+                    ),
+                    1,
+                )
+            ).alias("bad"),
+            F.count(
+                F.when(
+                    ~F.col("codes").eqNullSafe(
+                        AX.residual_codes_expr(
+                            "embedding", "cell", cents, meta["pq"]["codebooks"]
+                        )
+                    ),
+                    1,
+                )
+            ).alias("badc"),
+        ).first()
+        n_vec, n_bad, n_badc = srow["n"], srow["bad"], srow["badc"]
+        exact = brute_force_topk(emb, qv, k=10).select("vec_id")
+        top3 = AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3)
+        top5 = AX.ivf_index_topk(spark, root, qv, k=10, n_probe=5)
+        h3 = top3.select("vec_id").join(exact, "vec_id").count()
+        h5 = top5.select("vec_id").join(exact, "vec_id").count()
+        # IVFADC: the codes-only probe's scan must NOT read the raw vector
+        # column (column pruning stacked on partition pruning); with a
+        # candidate-count rerank it must reproduce the exact probe
+        # bit-for-bit; with a 50-shortlist it must clear the recall floor
+        adc_plan = (
+            AX.ivf_index_topk(spark, root, qv, k=10, n_probe=3, method="adc")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        rs = [ln for ln in adc_plan.splitlines() if "ReadSchema" in ln]
+        adc_codes_only = bool(rs) and all(
+            "codes" in ln and "embedding" not in ln for ln in rs
+        )
+        rr_all = AX.ivf_index_topk(
+            spark, root, qv, k=10, n_probe=3, method="adc", rerank=n_vec
+        )
+        rr_match = [tuple(r) for r in rr_all.collect()] == [
+            tuple(r) for r in top3.select("vec_id", "cosine").collect()
+        ]
+        rr50 = AX.ivf_index_topk(
+            spark, root, qv, k=10, n_probe=3, method="adc", rerank=50
+        )
+        h_rr = rr50.select("vec_id").join(exact, "vec_id").count()
+        # candidate volume of the 3-cell probe = rows in the probed files;
+        # the probe cells come from the SAME shared selection rule the
+        # probes above used (choose_probe_cells), so this is the true volume
+        probed_files = AX.probe_partition_files(
+            root,
+            [
+                int(c)
+                for c in choose_probe_cells(
+                    AX.read_ivf_centroids(spark, root), qv, 3, "cell"
+                )
+            ],
+        )
+        # probed cells are the nearest to a query vector that IS in the
+        # index, so in practice they hold files — but an empty probed cell
+        # writes no dir, and read.parquet() with zero paths raises
+        cand3 = (
+            spark.read.parquet(*probed_files).count() if probed_files else 0
+        )
+        n_files_probed = len(probed_files)
+        n_files_all = len(AX.all_partition_files(root))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.range(1).select(
         F.lit(10).cast("long").alias("k"),
         F.lit(n_vec).cast("long").alias("n_vectors"),
@@ -4152,26 +4161,37 @@ def corpus_merge_state(spark, sf_dir):
 
     md5 hash family so DuckDB reproduces the fingerprints bit-for-bit;
     production streams keep the xxhash64 default. The store lives in a
-    fresh tmpdir per invocation (the returned DataFrame stays lazy over
-    it, so it is NOT deleted here — gate-scale stores are tiny)."""
+    fresh tmpdir per invocation; the result is EAGER (localCheckpoint)
+    so the tmpdir is removed before returning — every invocation used
+    to leak a store dir (r12: 61 leaked dirs found on the build host
+    across the merge-state/export family)."""
+    import shutil
     import tempfile
 
     from etl_weather_data_pipeline_spark.streaming.corpus import (
         merge_batch_into_corpus,
     )
 
-    store = tempfile.mkdtemp(prefix="corpus_merge_state_") + "/store"
+    tmp = tempfile.mkdtemp(prefix="corpus_merge_state_")
+    store = tmp + "/store"
     docs = load(spark, sf_dir, "documents")
-    merge_batch_into_corpus(
-        docs.filter(F.col("doc_id") % 3 == 0), store, hash_family="md5"
-    )
-    merge_batch_into_corpus(docs, store, hash_family="md5")
-    replayed = merge_batch_into_corpus(docs, store, hash_family="md5")
-    if replayed:  # explicit raise: a bare assert vanishes under python -O
-        raise AssertionError(
-            f"replay appended {replayed} rows — not idempotent"
+    try:
+        merge_batch_into_corpus(
+            docs.filter(F.col("doc_id") % 3 == 0), store, hash_family="md5"
         )
-    return spark.read.parquet(store).select("doc_id", "lang", "fingerprint")
+        merge_batch_into_corpus(docs, store, hash_family="md5")
+        replayed = merge_batch_into_corpus(docs, store, hash_family="md5")
+        if replayed:  # explicit raise: bare assert vanishes under python -O
+            raise AssertionError(
+                f"replay appended {replayed} rows — not idempotent"
+            )
+        return (
+            spark.read.parquet(store)
+            .select("doc_id", "lang", "fingerprint")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @q(
@@ -4255,12 +4275,17 @@ def corpus_neardup_merge_state(spark, sf_dir):
         merge_batch_neardup_into_corpus,
     )
 
-    store = tempfile.mkdtemp(prefix="corpus_neardup_merge_") + "/store"
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="corpus_neardup_merge_")
+    store = tmp + "/store"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     # band_buckets=8: the store is a one-shot temp dir; production sizing
     # (64) would write 8x the files for zero benefit at this scale. The
     # catalog entry for the temp store's bucketed band table is dropped
-    # after the result materializes (metadata only — external table).
+    # after the result materializes (metadata only — external table),
+    # and the result is EAGER so the tmpdir itself is removed too
+    # (r12 leak fix).
     try:
         merge_batch_neardup_into_corpus(
             docs.filter(F.col("doc_id") % 3 == 0), store,
@@ -4276,13 +4301,14 @@ def corpus_neardup_merge_state(spark, sf_dir):
             raise AssertionError(
                 f"replay appended {replayed} rows — not idempotent"
             )
-        # The returned plan reads the store by PATH — dropping the band
-        # table's catalog entry below cannot invalidate it.
-        return spark.read.parquet(store).select(
-            "doc_id", "lang", "fingerprint"
+        return (
+            spark.read.parquet(store)
+            .select("doc_id", "lang", "fingerprint")
+            .localCheckpoint()
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @q(
@@ -4332,16 +4358,27 @@ def corpus_ingest_history_report(spark, sf_dir):
         merge_batch_into_corpus,
     )
 
-    store = tempfile.mkdtemp(prefix="corpus_ingest_report_") + "/store"
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="corpus_ingest_report_")
+    store = tmp + "/store"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    merge_batch_into_corpus(
-        docs.filter(F.col("doc_id") % 3 == 0), store, hash_family="md5"
-    )
-    merge_batch_into_corpus(docs, store, hash_family="md5")
-    merge_batch_into_corpus(docs, store, hash_family="md5")  # replay
-    return spark.read.parquet(f"{store}/{INGEST_HISTORY_SUBDIR}").select(
-        "n_batch", "n_exact_dropped", "n_neardup_dropped", "n_appended"
-    )
+    try:
+        merge_batch_into_corpus(
+            docs.filter(F.col("doc_id") % 3 == 0), store, hash_family="md5"
+        )
+        merge_batch_into_corpus(docs, store, hash_family="md5")
+        merge_batch_into_corpus(docs, store, hash_family="md5")  # replay
+        return (
+            spark.read.parquet(f"{store}/{INGEST_HISTORY_SUBDIR}")
+            .select(
+                "n_batch", "n_exact_dropped", "n_neardup_dropped",
+                "n_appended",
+            )
+            .localCheckpoint()  # eager: the tmpdir is removed below
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @q(
@@ -5916,7 +5953,10 @@ def corpus_funnel_merge_state(spark, sf_dir):
         winnow_table_name,
     )
 
-    store = tempfile.mkdtemp(prefix="corpus_funnel_merge_") + "/store"
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="corpus_funnel_merge_")
+    store = tmp + "/store"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     try:
         # store built stage-2-only: the passage-aware merge below then
@@ -5937,12 +5977,15 @@ def corpus_funnel_merge_state(spark, sf_dir):
             raise AssertionError(
                 f"replay appended {replayed} rows — not idempotent"
             )
-        return spark.read.parquet(store).select(
-            "doc_id", "lang", "fingerprint"
+        return (
+            spark.read.parquet(store)
+            .select("doc_id", "lang", "fingerprint")
+            .localCheckpoint()  # eager: the tmpdir is removed below
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
         spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @q(
@@ -7049,64 +7092,72 @@ def corpus_training_export(spark, sf_dir):
         .join(counts, "doc_id")
         .join(asg, "doc_id")
     )
-    root = tempfile.mkdtemp(prefix="corpus_training_export_") + "/shards"
-    export_training_shards(
-        export_df,
-        root,
-        n_shards=8,
-        key_col="doc_id",
-        hash_family="md5",
-        checksum_col="text",
-        files_per_shard=2,
-    )
-    # everything below reads the WRITTEN store — the export is the
-    # thing verified, not the plan that produced it
-    store = spark.read.parquet(root).persist(StorageLevel.MEMORY_AND_DISK)
-    _CURATION_PERSISTED.append(store)
-    manifest = spark.read.parquet(f"{root}/_manifest")
-    # sequence grain first (pack feasibility), then shard rollup
-    seqv = (
-        store.groupBy("shard", "pack_group", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("n_bpe_tokens").alias("__tot"),
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="corpus_training_export_")
+    root = tmp + "/shards"
+    # the result is verified FROM the written store, then returned
+    # EAGERLY so the store itself can be removed (r12 leak fix)
+    try:
+        export_training_shards(
+            export_df,
+            root,
+            n_shards=8,
+            key_col="doc_id",
+            hash_family="md5",
+            checksum_col="text",
+            files_per_shard=2,
         )
-        .groupBy("shard")
-        .agg(
-            F.min(
-                (F.col("__n") == 1) | (F.col("__tot") <= budget)
-            ).alias("pack_fits_budget")
+        # everything below reads the WRITTEN store — the export is the
+        # thing verified, not the plan that produced it
+        store = spark.read.parquet(root).persist(StorageLevel.MEMORY_AND_DISK)
+        _CURATION_PERSISTED.append(store)
+        manifest = spark.read.parquet(f"{root}/_manifest")
+        # sequence grain first (pack feasibility), then shard rollup
+        seqv = (
+            store.groupBy("shard", "pack_group", "seq_id")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum("n_bpe_tokens").alias("__tot"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.min(
+                    (F.col("__n") == 1) | (F.col("__tot") <= budget)
+                ).alias("pack_fits_budget")
+            )
         )
-    )
-    per_shard = store.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_words").cast("long").alias("n_words"),
-        F.min(F.pmod(F.col("pack_group"), F.lit(8)) == F.col("shard"))
-        .alias("shards_align_pack_groups"),
-        F.sum("n_bpe_tokens").cast("long").alias("__bpe"),
-        F.bit_xor(F.xxhash64(F.col("text"))).alias("__ck"),
-    )
-    g = Window.partitionBy()
-    return (
-        per_shard.join(seqv, "shard")
-        .join(F.broadcast(manifest), "shard")
-        .select(
-            F.col("shard").cast("long").alias("shard"),
-            "n_docs",
-            "n_words",
-            "pack_fits_budget",
-            "shards_align_pack_groups",
-            (F.col("n_rows") == F.col("n_docs")).alias(
-                "manifest_counts_ok"
-            ),
-            (F.col("content_checksum") == F.col("__ck")).alias(
-                "manifest_checksum_ok"
-            ),
-            (
-                F.sum("__bpe").over(g) == F.lit(final_total)
-            ).alias("bpe_total_conserved"),
+        per_shard = store.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.min(F.pmod(F.col("pack_group"), F.lit(8)) == F.col("shard"))
+            .alias("shards_align_pack_groups"),
+            F.sum("n_bpe_tokens").cast("long").alias("__bpe"),
+            F.bit_xor(F.xxhash64(F.col("text"))).alias("__ck"),
         )
-    )
+        g = Window.partitionBy()
+        return (
+            per_shard.join(seqv, "shard")
+            .join(F.broadcast(manifest), "shard")
+            .select(
+                F.col("shard").cast("long").alias("shard"),
+                "n_docs",
+                "n_words",
+                "pack_fits_budget",
+                "shards_align_pack_groups",
+                (F.col("n_rows") == F.col("n_docs")).alias(
+                    "manifest_counts_ok"
+                ),
+                (F.col("content_checksum") == F.col("__ck")).alias(
+                    "manifest_checksum_ok"
+                ),
+                (
+                    F.sum("__bpe").over(g) == F.lit(final_total)
+                ).alias("bpe_total_conserved"),
+            )
+        ).localCheckpoint()  # eager: the shard dir is removed below
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # Shared mixture-rate derivation: ONE source of truth for the planning

@@ -919,8 +919,32 @@ def test_training_export_plan_shape(spark):
     # aggregates from cache (two-branch re-evaluation trap); the tiny
     # 8-row manifest/seq frames broadcast; the packer's applyInPandas
     # ran during the export write, so the verification plan itself is
-    # pure JVM — no Python worker, no sort-merge join, no cartesian
-    p = plan_of(spark, "corpus_training_export")
+    # pure JVM — no Python worker, no sort-merge join, no cartesian.
+    # The query now returns an EAGER localCheckpoint so its temp shard
+    # store can be removed (r12 leak fix) — capture the PRE-checkpoint
+    # verification plan through the checkpoint call itself.
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    captured: list[str] = []
+    orig = CDF.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(
+            spark._jvm.PythonSQLUtils.explainString(
+                self._jdf.queryExecution(), "formatted"
+            )
+        )
+        return orig(self, eager)
+
+    CDF.localCheckpoint = capturing
+    try:
+        REG["corpus_training_export"].spark(spark, SF_SMOKE).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    finally:
+        CDF.localCheckpoint = orig
+    assert captured, "query no longer checkpoints its result?"
+    p = captured[-1]  # the result frame's checkpoint is the last one
     assert n_nodes(p, "InMemoryTableScan") >= 2, p
     assert n_nodes(p, "BatchEvalPython") == 0
     assert n_nodes(p, "SortMergeJoin") == 0, p
