@@ -6145,7 +6145,10 @@ def corpus_dedup_funnel_attached(spark, sf_dir):
         winnow_table_name,
     )
 
-    store = tempfile.mkdtemp(prefix="corpus_funnel_attach_") + "/store"
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="corpus_funnel_attach_")
+    store = tmp + "/store"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     try:
         merge_batch_neardup_into_corpus(
@@ -6188,6 +6191,7 @@ def corpus_dedup_funnel_attached(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
         spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
+        shutil.rmtree(tmp, ignore_errors=True)  # r12 leak fix
     return spark.range(1).select(
         F.lit(rep["n_batch"]).cast("long").alias("n_batch"),
         F.lit(rep["n_after_exact"]).cast("long").alias("n_after_exact"),
