@@ -32,3 +32,17 @@ def test_property_invariants_at_bench_sf(spark):
     results = bench.check_invariants(spark, build_registry(), SF_BENCH)
     release_curation_cache()
     assert results == {n: "ok" for n in bench.PROPERTY_QUERIES}
+
+
+def test_bench_name_sets_consistent():
+    """Static bench-config invariants: every warmed callable, core
+    member, and property query must resolve — a rename that orphans a
+    bench name would otherwise surface only as a KeyError mid-bench."""
+    reg = build_registry()
+    assert set(bench.WARM_CALLABLES) <= set(bench.BENCH_CALLABLES)
+    assert set(bench.RAISE_INVARIANT_QUERIES) <= set(
+        bench.PROPERTY_QUERIES
+    )
+    for name in bench.PROPERTY_QUERIES + bench.CORE_R6 + bench.HEADLINE:
+        if name not in bench.BENCH_CALLABLES:
+            assert name in reg, name
