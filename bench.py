@@ -11,6 +11,8 @@ $SPARK_GRAFT_RUNS (default 3) back-to-back runs after a JVM warmup pass:
 a 3-run variance study on identical code measured 47% peak-to-trough
 host noise on single-shot timings (README "Benchmark comparability
 across rounds"), so cross-round totals are only signal on minima.
+BENCH_CALLABLES are timed single-shot; the WARM_CALLABLES subset gets
+one untimed sf0.001 pass first (see the WARM_CALLABLES comment).
 
 The line also carries "core_r6_value": the total over the FROZEN
 round-6 31-query core — the like-for-like number across rounds (the
