@@ -51,9 +51,15 @@ def _rk_arrow_udf(k: int):
             if not s:  # None or empty -> empty array (HOF parity)
                 out.append(np.empty(0, dtype=np.int64))
                 continue
-            codes = np.frombuffer(
-                s.encode("ascii"), dtype=np.uint8
-            ).astype(np.int64)
+            try:
+                raw = s.encode("ascii")
+            except UnicodeEncodeError as e:  # precondition, not a bug
+                raise ValueError(
+                    "_rk_arrow_udf requires [a-z0-9]-normalized ASCII "
+                    "input (rolling_hashes normalizes before calling); "
+                    f"got non-ASCII text {s[:40]!r}..."
+                ) from e
+            codes = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
             n = codes.shape[0]
             if n < k:  # short text hashes whole (HOF parity)
                 h = 0
@@ -270,9 +276,15 @@ def _cdc_arrow_udf(k: int, divisor: int):
             if not s:
                 out.append([])
                 continue
-            codes = np.frombuffer(
-                s.encode("ascii"), dtype=np.uint8
-            ).astype(np.int64)
+            try:
+                raw = s.encode("ascii")
+            except UnicodeEncodeError as e:  # precondition, not a bug
+                raise ValueError(
+                    "_cdc_arrow_udf requires [a-z0-9]-normalized ASCII "
+                    "input (cdc_chunks normalizes before calling); "
+                    f"got non-ASCII text {s[:40]!r}..."
+                ) from e
+            codes = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
             n = codes.shape[0]
             if n < k:
                 h = 0

@@ -7102,6 +7102,7 @@ def corpus_training_export(spark, sf_dir):
     root = tmp + "/shards"
     # the result is verified FROM the written store, then returned
     # EAGERLY so the store itself can be removed (r12 leak fix)
+    store = None
     try:
         export_training_shards(
             export_df,
@@ -7161,6 +7162,16 @@ def corpus_training_export(spark, sf_dir):
             )
         ).localCheckpoint()  # eager: the shard dir is removed below
     finally:
+        # The store cache reads the tmpdir being removed: drop it from
+        # the registry IN the same finally (r12 advice) — a lingering
+        # entry could be recomputed (or recache-by-path re-built) from
+        # a deleted path long after this query returned.
+        if store is not None:
+            store.unpersist()
+            try:
+                _CURATION_PERSISTED.remove(store)
+            except ValueError:
+                pass  # bounded registry already evicted it
         shutil.rmtree(tmp, ignore_errors=True)
 
 

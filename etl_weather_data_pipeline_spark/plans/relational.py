@@ -280,38 +280,47 @@ def global_order_metrics(spark, sf_dir):
 
 
 @q(
-    "customers_with_big_orders",
-    "Left-semi join (EXISTS): customers having at least one order > 400k.",
+    "customer_semi_anti_battery",
+    "Existence-join battery — left-semi (EXISTS: customers having at "
+    "least one order > 400k) and left-anti (NOT EXISTS: customers with "
+    "no orders at all), labeled per op in one result (consolidates the "
+    "r13 rotation-debt directive's single-operator rows "
+    "customers_with_big_orders / customers_without_orders into one "
+    "driver slot; operator coverage unchanged — both JOIN strategies "
+    "stay real left_semi / left_anti nodes). Each branch re-scans the "
+    "two column-pruned projections — deliberately cheap enough that a "
+    "shared persist would cost more than the narrow scans it saves "
+    "(the nation_set_ops_battery rationale).",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT 'semi_big_orders' AS op, c_custkey, c_name, c_mktsegment
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
-    """,
-)
-def customers_with_big_orders(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-@q(
-    "customers_without_orders",
-    "Left-anti join (NOT EXISTS): customers with no orders at all.",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti_no_orders' AS op, c_custkey, c_name, c_mktsegment
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def customers_without_orders(spark, sf_dir):
+def customer_semi_anti_battery(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    big = o.filter(F.col("o_totalprice") > 400000)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select(
+            F.lit("semi_big_orders").alias("op"),
+            "c_custkey", "c_name", "c_mktsegment",
+        )
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.lit("anti_no_orders").alias("op"),
+            "c_custkey", "c_name", "c_mktsegment",
+        )
+    )
+    return semi.unionByName(anti)
 
 
 @q(

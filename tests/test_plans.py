@@ -944,7 +944,13 @@ def test_training_export_plan_shape(spark):
     finally:
         CDF.localCheckpoint = orig
     assert captured, "query no longer checkpoints its result?"
-    p = captured[-1]  # the result frame's checkpoint is the last one
+    # Select the RESULT frame's plan by content, not position (r12
+    # advice): only the verification frame joins the broadcast shard
+    # _manifest, so a future internal checkpoint added after it cannot
+    # silently re-point the pin at the wrong plan.
+    cands = [p for p in captured if "_manifest" in p]
+    assert cands, "no captured checkpoint contains the manifest join"
+    p = cands[-1]
     assert n_nodes(p, "InMemoryTableScan") >= 2, p
     assert n_nodes(p, "BatchEvalPython") == 0
     assert n_nodes(p, "SortMergeJoin") == 0, p
