@@ -106,6 +106,15 @@ HEADLINE = [
     # round-8: v2 of the curation flagship (dedup -> near-dup -> LM
     # band -> fitted-classifier filter)
     "corpus_curation_pipeline_v2",
+    # round-13: trained-IVF probe — one of the two timed consumers of
+    # the session centroid memo (plans/artifacts.py
+    # shared_kmeans_centroids k=8 i=3; the other is the
+    # semantic_attach_judge callable below). The Lloyd build itself is
+    # charged once inside corpus_artifacts_build, so this entry times
+    # the INCREMENTAL probe cost given the memo — the build-counter pin
+    # (tests/test_plans.py) proves both consumers share one training
+    # pass.
+    "ann_ivf_trained_topk",
 ]
 
 
@@ -193,6 +202,30 @@ def _bench_semdedup_global_audit(spark, sf_dir):
     assert row["planted_recall_floor_ok"], row
 
 
+def _bench_semantic_attach_judge(spark, sf_dir):
+    """Semantic-attach lifecycle timing (r12 verdict directives #2/#6):
+    the full read-only re-curation shape — store build through the
+    4-stage merge sink with the memoized offline quantizer frozen in,
+    judge_batch_against_store with the semantic stage active (map-only
+    assign to the frozen cells + partition-pruned index probe), then
+    the judge==merge equivalence merge. Runs the registry query (bench
+    and gate measure the same code) and asserts its invariants; the
+    second timed consumer of the k=8 centroid memo (with
+    ann_ivf_trained_topk in HEADLINE) — the Lloyd build is charged
+    once inside corpus_artifacts_build."""
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        corpus_attach_judge_semantic,
+    )
+
+    row = corpus_attach_judge_semantic(spark, sf_dir).first()
+    assert (
+        row["judge_matches_merge"]
+        and row["judge_wrote_nothing"]
+        and row["planted_recall_floor_ok"]
+        and row["centroids_from_memo"]
+    ), row
+
+
 # Timed callables that are not registry queries (side-effecting sinks /
 # store builds) plus action-performing maintenance pipelines.
 # Single-shot (not min-of-N) — noted per entry.
@@ -200,6 +233,7 @@ BENCH_CALLABLES = {
     "corpus_artifacts_build": _bench_corpus_artifacts_build,
     "ann_index_drift_retrain": _bench_ann_index_drift_retrain,
     "semdedup_global_audit": _bench_semdedup_global_audit,
+    "semantic_attach_judge": _bench_semantic_attach_judge,
     "streaming_funnel_sink_2batch": _bench_streaming_funnel_2batch,
 }
 
@@ -212,7 +246,11 @@ BENCH_CALLABLES = {
 # pipeline. The two LEGACY single-shots (artifacts build, funnel sink)
 # stay unwarmed: their r7-r11 artifact series was recorded that way
 # and a mid-series methodology change would read as a speedup.
-WARM_CALLABLES = ("ann_index_drift_retrain", "semdedup_global_audit")
+WARM_CALLABLES = (
+    "ann_index_drift_retrain",
+    "semdedup_global_audit",
+    "semantic_attach_judge",
+)
 
 # Frozen like-for-like core (= the round-6 headline set, the baseline of
 # every cross-round comparison since): the FULL headline total grows as
@@ -286,6 +324,7 @@ PROPERTY_QUERIES = [
     "corpus_neardup_merge_state",
     "corpus_funnel_merge_state",
     "corpus_dedup_funnel_attached",
+    "corpus_attach_judge_semantic",
     "doc_minhash_lsh_pairs_xxh",
 ]
 
@@ -369,15 +408,30 @@ def main() -> None:
     )
 
     warm_dir = "/root/testdata/sf0.001"
+    # Names that actually received an untimed warmup pass this run —
+    # emitted in the JSON line (r12 verdict directive #5 + r12 advice):
+    # a WARM_CALLABLES entry timed with the warmup silently skipped
+    # (missing warm_dir, or benching AT the warm SF) pays the ~7-12s
+    # cold codegen/classloading penalty, and without the field such a
+    # cold reading is indistinguishable from a warmed one.
+    warmed: list[str] = []
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in [n for n in headline if n not in BENCH_CALLABLES]:
             registry[name].spark(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+            warmed.append(name)
         for name in WARM_CALLABLES:
             if not subset or name in headline:
                 BENCH_CALLABLES[name](spark, warm_dir)
+                warmed.append(name)
         release_curation_cache()
+    else:
+        print(
+            f"bench: warmup pass SKIPPED (warm_dir={warm_dir} missing "
+            "or == sf_dir) — all entries below are COLD readings",
+            file=sys.stderr,
+        )
 
     n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     # Multi-second queries get two EXTRA runs beyond $SPARK_GRAFT_RUNS
@@ -457,6 +511,15 @@ def main() -> None:
                 "single_shot": [
                     n for n in timings if n in BENCH_CALLABLES
                 ],
+                # per-entry methodology (r12 verdict directive #5):
+                # timed entries that received an untimed warmup pass
+                # this run. A single_shot entry NOT listed here was
+                # timed cold (~7-12s codegen penalty on its first-ever
+                # plans) — compare cross-round numbers accordingly.
+                # The legacy single-shots (artifacts build, funnel
+                # sink) are unwarmed BY DESIGN to preserve their
+                # r7-r12 series.
+                "warmed": [n for n in timings if n in warmed],
             }
         )
     )

@@ -139,103 +139,102 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-12 rotation
-# (executes the r11 verdict directive #1 name-for-name): (1) the FULL
-# 46-row r9-vintage cohort (last green = CORRECTNESS_r09, age 3 at r12),
-# JVM-only plans first, the heavyweight merge-state/funnel pipelines
-# late, and the lone Python-worker consumer (multimodal_frame_stats,
-# mapInPandas) at the cohort tail (a worker death late in the window
-# costs the fewest rows); (2) the standing canaries kmeans_clusters +
-# corpus_merge_state (r11 verdict directive #8 names this pair
-# explicitly; the r11 comment block had penciled corpus_curation_pipeline
-# as second canary — it is r10-vintage, banks until r13 where it is due
-# anyway and opens the r13 window) and the reference-parity core
-# weather_pipeline_e2e; (3) the round's ONE debutant dead-LAST
-# (corpus_dedup_funnel_attached — the attach-path funnel, r11 verdict
-# directive #4). 46+3+1 = exactly 50 slots.
-# Rotation-debt policy (r11 verdict directive #2, stated in COVERAGE.md):
-# 50 slots/round − 3 fixed (canaries + e2e) = 47 rotating slots/round =
-# 141 rotating rows per 3-round full-coverage cycle. Registry is capped
-# at 141 (138 rotating + 3 fixed), leaving slack 3 per cycle = at most
-# ONE debutant per round, sustainably. r12 enforces the cap by
-# consolidation: nationkeys_union + nations_intersect +
-# customer_only_nations -> nation_set_ops_battery, and orders_cube +
-# orders_grouping_sets -> orders_grouping_battery (identical operator
-# coverage, 5 rows -> 2); registry 143 − 5 + 2 + 1 debutant = 141.
-# Banking plan (r13, pre-planned per directive #2): the r10-vintage
-# cohort (47 rows green r10, age 3 at r13) loses its 5 retired rows =
-# 42 rows MUST open the r13 window; + the 2 consolidation batteries
-# (first driver check — their constituents retired with green-r10
-# evidence and the batteries are parity-exact this session) + canaries
-# (kmeans_clusters, corpus_merge_state) + weather_pipeline_e2e = 47
-# slots -> r13 debutant budget = 1, with 2 spare slots for early pulls
-# from the r11 vintage (suggested: top_revenue_orders, nation_revenue —
-# the cheapest r11 rows — to smooth r14, which otherwise needs all 47
-# r11-vintage rows). r12's own window (this list) banks until r15.
-# Changed-code note (r12): kmeans_clusters, ann_ivf_trained_topk, and
-# embedding_semdedup_probe were rewired onto the centroid memo
-# (plans/artifacts.py shared_kmeans_centroids) and ann_index_drift_report
-# gained the null-energy accounting — all four sit in THIS window
-# (canary slot / r9 cohort / debutant-adjacent), so every rewire gets
-# its driver re-check this round; interim exact evidence = the green
-# tests/test_oracle_parity.py legs (both gate SFs, stricter than the
-# driver's hash compare).
+# file holds exactly the first 50 registry entries). Round-13 rotation
+# (executes the r12 verdict directive #1 name-for-name): (1) the
+# r10-vintage cohort (last green = CORRECTNESS_r10, age 3 at r13) — 47
+# rotating rows minus the 5 rows retired into the r12 consolidation
+# batteries minus the 2 rows retired into THIS round's battery (see cap
+# math below) = 40 rows, JVM-only plans first, the heavyweight
+# curation/export pipelines at the cohort tail (a worker death late in
+# the window costs the fewest rows); (2) the three consolidation
+# batteries' FIRST driver checks (nation_set_ops_battery +
+# orders_grouping_battery from r12, customer_semi_anti_battery from
+# r13 — constituents retired with green-r10 evidence, batteries
+# parity-exact in the green suite); (3) three EARLY PULLS from the
+# r11 vintage to smooth r14 (the r12 pre-plan's suggested pulls
+# top_revenue_orders/nation_revenue are in fact r10-vintage — already
+# due — so the cheapest true r11 rows pull instead:
+# orders_monthly_growth, source_quality_stats, corpus_length_histogram);
+# (4) the standing canaries kmeans_clusters + corpus_merge_state and
+# the reference-parity core weather_pipeline_e2e; (5) the round's ONE
+# debutant dead-LAST (corpus_attach_judge_semantic — stage 4 of the
+# attach judge, r12 verdict directive #2). 40+3+3+3+1 = exactly 50.
+# Rotation-debt policy (standing, r11 directive #2): 50 slots/round − 3
+# fixed (canaries + e2e) = 47 rotating slots/round = 141 rotating rows
+# per 3-round cycle. Registry capped at 141 (138 rotating + 3 fixed) =
+# at most ONE debutant per round, funded by consolidation. r13 cap
+# math: 141 − 2 (customers_with_big_orders + customers_without_orders
+# -> customer_semi_anti_battery, identical left_semi/left_anti
+# coverage) + 1 (battery) + 1 (debutant) = 141. Cap held.
+# Banking plan (r14, pre-planned): the r11-vintage cohort (47 rotating
+# rows green r11) minus the 3 early pulls above = 44 rows MUST open the
+# r14 window; + canaries + e2e = 47 slots -> r14 budget = 1 debutant +
+# 2 early pulls from the r12 vintage (suggested: global_order_metrics,
+# top_orders_per_customer — the cheapest r12 rows). r13's own window
+# (this list) banks until r16.
+# Changed-code note (r13): merge_batch_neardup_into_corpus gained the
+# optional semantic_bootstrap_centroids pass-through (default None =
+# unchanged batch-trained bootstrap; exercised only by the debutant,
+# which sits in this window) and corpus_training_export's finally now
+# releases its temp-store cache (the query sits in this window's
+# cohort tail, so the change gets its driver re-check this round).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- the 46-row r9-vintage cohort (age 3 at r12), JVM-only first ---
-    "global_order_metrics",
-    "top_orders_per_customer",
-    "user_running_value",
-    "customer_running_spend",
-    "events_enriched",
-    "events_filtered_scored",
-    "events_json_props",
-    "median_value_by_type",
-    "value_percentiles_by_type",
-    "event_type_rollup",
-    "daily_quality_summary",
-    "type_value_buckets",
-    "sliding_window_counts",
-    "session_window_stats",
-    "events_asof_orders",
-    "events_range_join",
-    "order_rankings",
-    "skewed_type_stats",
-    "approx_aggregates",
-    "doc_fingerprints",
-    "doc_token_counts",
-    "doc_unigram_logprob",
-    "doc_gopher_quality_flags",
-    "doc_minhash_lsh_pairs",
-    "doc_minhash_lsh_pairs_xxh",
-    "doc_incremental_dedup",
-    "doc_neardup_clusters",
-    "doc_winnow_fingerprints",
-    "doc_ngram_novelty",
-    "doc_exact_passage_pairs",
-    "source_token_kl",
-    "source_boilerplate_ngrams",
-    "dsir_importance_weights",
-    "corpus_dataset_card",
-    "embedding_dim_stats",
-    "embedding_semdedup_keep",
-    "embedding_semdedup_probe",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    # cohort late block: heavyweight funnel/merge-state pipelines
-    "corpus_dedup_funnel",
-    "corpus_dedup_funnel_blocked",
-    "corpus_dedup_funnel_incremental",
-    "corpus_neardup_merge_state",
-    "corpus_funnel_merge_state",
-    # cohort tail: the Python-worker consumer (worker-risk tail)
-    "multimodal_frame_stats",
+    # --- the 40-row r10-vintage cohort (age 3 at r13), JVM-light first
+    "top_revenue_orders",
+    "nation_revenue",
+    "segment_order_stats",
+    "brand_part_stats",
+    "user_sessions",
+    "latest_event_per_user",
+    "dedup_events_hourly",
+    "daily_event_type_pivot",
+    "customer_string_battery",
+    "conditional_aggs",
+    "daily_counts_unpivot",
+    "events_anomaly_zscore",
+    "events_mad_outliers",
+    "events_mad_outliers_approx",
+    "events_zorder_layout",
+    "weather_daily_summary",
+    "weather_latest",
+    "weather_seasonal_trends",
+    "weather_quality_metrics",
+    "doc_dedup_exact",
+    "doc_duplicate_groups",
+    "doc_minhash_signatures",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_winnow_overlap_pairs",
+    "doc_passage_pairs_blocked",
+    "dedup_recall_probe",
+    "passage_recall_probe",
+    "corpus_ingest_history_report",
+    "corpus_mixture_plan",
+    "neardup_cluster_keep",
+    "corpus_curriculum_stages",
+    "corpus_epoch_expand",
+    "neardup_transitivity_stats",
+    "corpus_pack_intact",
+    "corpus_pack_stats",
+    "ann_ivf_index_topk",
+    "corpus_bpe_merges",
+    # cohort tail: heavyweight flagship + Python-worker consumer
+    "corpus_curation_pipeline",
+    "corpus_training_export",
+    # --- consolidation batteries' FIRST driver checks ---
+    "nation_set_ops_battery",
+    "orders_grouping_battery",
+    "customer_semi_anti_battery",
+    # --- early pulls from the r11 vintage (smooth r14) ---
+    "orders_monthly_growth",
+    "source_quality_stats",
+    "corpus_length_histogram",
     # --- standing canaries + reference-parity core ---
     "kmeans_clusters",
     "corpus_merge_state",
     "weather_pipeline_e2e",
-    # --- r12 debutant dead-LAST (attach-path funnel, directive #4) ---
-    "corpus_dedup_funnel_attached",
+    # --- r13 debutant dead-LAST (semantic-attach judge, directive #2)
+    "corpus_attach_judge_semantic",
 )
 
 

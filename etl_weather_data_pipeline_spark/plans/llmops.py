@@ -6205,6 +6205,206 @@ def corpus_dedup_funnel_attached(spark, sf_dir):
 
 
 @q(
+    "corpus_attach_judge_semantic",
+    "Stage 4 of the ATTACH path (r12 verdict directive #2 — the "
+    "semantic-attach judge): judge_batch_against_store with "
+    "embedding_col= runs a READ-ONLY re-curation over a populated "
+    "store INCLUDING SemDeDup judgment against the store's persisted "
+    "_vectors_ivf index — batch vectors assign map-only to the FROZEN "
+    "quantizer and compare within-cell against the partition-pruned "
+    "store vectors. The store's quantizer comes from the session "
+    "centroid memo (plans/artifacts.py shared_kmeans_centroids k=8 "
+    "i=3, the OFFLINE-trained production shape, routed via "
+    "semantic_bootstrap_centroids — r12 directive #6), shared "
+    "bit-identical with ann_ivf_trained_topk. Scenario: docs with "
+    "vectors (doc_id = vec_id) merge doc_id%3==0 into a fresh store "
+    "with the semantic stage ON; the judged batch is the full "
+    "overlapping feed plus PLANTED semantic twins (every 15th doc, "
+    "disjoint-token texts so stages 1-2 pass them, embedding scaled "
+    "1.001 — cosine ~1 vs the store twin). Exact cross-checks: "
+    "n_docs_with_vectors, n_planted, n_batch. Invariant booleans: "
+    "judge_matches_merge (running the production sink on the same "
+    "batch afterwards admits EXACTLY the judge's survivor ids — all "
+    "four stages, shared code may never drift), judge_wrote_nothing "
+    "(recursive store file listing byte-identical across the judge, "
+    "_vectors_ivf included), planted_recall_floor_ok (>=90% of "
+    "planted twins whose target is in the index are semantically "
+    "dropped), centroids_from_memo (the store's frozen matrix equals "
+    "the memoized Lloyd result bit-for-bit). Clustering internals are "
+    "not SQL-replayable; the oracle cross-checks the exact columns. "
+    "At 100 TB this closes the last attach gap: periodic semantic "
+    "re-curation is O(batch) map-side assigns + partition-pruned "
+    "probes against the persisted index, never a store-wide re-embed "
+    "or re-cluster.",
+    oracle="""
+    WITH base AS (
+      SELECT d.doc_id FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id),
+    p AS (SELECT COUNT(*) AS n_planted FROM base WHERE doc_id % 15 = 0)
+    SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT)
+             AS n_docs_with_vectors,
+           CAST((SELECT n_planted FROM p) AS BIGINT) AS n_planted,
+           CAST((SELECT COUNT(*) FROM base) + (SELECT n_planted FROM p)
+                AS BIGINT) AS n_batch,
+           TRUE AS judge_matches_merge,
+           TRUE AS judge_wrote_nothing,
+           TRUE AS planted_recall_floor_ok,
+           TRUE AS centroids_from_memo
+    """,
+)
+def corpus_attach_judge_semantic(spark, sf_dir):
+    """Live semantic-attach twin. Reference parity: the reference has
+    no vector/streaming surface; this extends its batch curation the
+    way src/load.py's provenance auditing extends loads."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        bands_table_name,
+        judge_batch_against_store,
+        merge_batch_neardup_into_corpus,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="corpus_attach_sem_")
+    store = tmp + "/store"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings")
+    base = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    # planted semantic twins: texts are disjoint-token by construction
+    # (the id is embedded in every non-shared token, pairwise Jaccard
+    # ~1/15) so stages 1-3 pass them; the 1.001-scaled embedding keeps
+    # the direction (cosine ~1) and, away from cell boundaries, the
+    # argmin cell — the recall floor (not an all-dropped claim)
+    # absorbs boundary flips, exactly like corpus_semdedup_global.
+    planted_id = F.when(
+        F.col("doc_id") < 1000000, F.col("doc_id") + 1000000
+    ).otherwise(
+        F.raise_error(
+            F.lit("corpus_attach_judge_semantic: doc_id >= 1e6 collides "
+                  "with the planted-id space; raise the offset")
+        )
+    )
+    targets = base.filter(F.col("doc_id") % 15 == 0)
+    planted = targets.select(
+        planted_id.alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("planted"),
+            *[
+                F.concat(
+                    F.lit(f"w{j}x"), F.col("doc_id").cast("string")
+                )
+                for j in range(7)
+            ],
+        ).alias("text"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * F.lit(1.001)).cast("float"),
+        ).alias("embedding"),
+    )
+    batch = base.unionByName(planted)
+    # the memoized offline quantizer (one Lloyd per session, shared
+    # bit-identical with ann_ivf_trained_topk — r12 directive #6)
+    _, cents = AR.shared_kmeans_centroids(spark, sf_dir, k=8, iterations=3)
+    cfg = dict(
+        band_buckets=8, history=False, embedding_col="embedding",
+        semantic_cells=8, semantic_max_cell_df=10**6,
+    )
+    try:
+        merge_batch_neardup_into_corpus(
+            base.filter(F.col("doc_id") % 3 == 0), store,
+            semantic_bootstrap_centroids=cents, **cfg,
+        )
+        frozen = AX.read_ivf_centroid_matrix(
+            spark, f"{store}/{VECTORS_IVF_SUBDIR}"
+        )
+        memo_ok = frozen == [[float(x) for x in c] for c in cents]
+        # which planted targets actually reached the index (a target
+        # dropped by the store build's own stages 2/4 has no indexed
+        # vector to witness its twin) — the recall denominator
+        indexed = AX.read_ivf_vectors(
+            spark, f"{store}/{VECTORS_IVF_SUBDIR}"
+        ).select("doc_id")  # the sink indexes under its own id_col
+        n_targets_indexed = targets.select("doc_id").join(
+            F.broadcast(indexed), "doc_id", "left_semi"
+        ).count()
+
+        def state():
+            return sorted(
+                (p, os.path.getsize(p))
+                for p in glob.glob(f"{store}/**/*", recursive=True)
+                if os.path.isfile(p)
+            )
+
+        before_files = state()
+        ids_before = (
+            spark.read.parquet(store).select("doc_id").localCheckpoint()
+        )
+        rep = judge_batch_against_store(
+            batch, store, band_buckets=8, embedding_col="embedding",
+            semantic_max_cell_df=10**6,
+        )
+        readonly_ok = state() == before_files
+        surv = rep["survivors"].select("doc_id")
+        # recall numerator: planted ids (>= 1e6) whose indexed target
+        # exists and which the judge dropped
+        planted_kept = surv.filter(F.col("doc_id") >= 1000000).count()
+        n_planted = targets.count()
+        n_dropped_planted_with_target = (
+            targets.select((F.col("doc_id") + 1000000).alias("doc_id"))
+            .join(surv, "doc_id", "left_anti")
+            .join(
+                F.broadcast(
+                    indexed.select(
+                        (F.col("doc_id") + 1000000).alias("doc_id")
+                    )
+                ),
+                "doc_id",
+                "left_semi",
+            )
+            .count()
+        )
+        recall_ok = bool(
+            n_targets_indexed > 0
+            and n_dropped_planted_with_target >= 0.9 * n_targets_indexed
+        )
+        n_merged = merge_batch_neardup_into_corpus(
+            batch, store, semantic_bootstrap_centroids=cents, **cfg
+        )
+        appended = spark.read.parquet(store).select("doc_id").join(
+            ids_before, "doc_id", "left_anti"
+        )
+        n_extra = appended.join(surv, "doc_id", "left_anti").count()
+        n_missed = surv.join(appended, "doc_id", "left_anti").count()
+        matches = bool(
+            n_merged == rep["n_survivors"]
+            and n_extra == 0
+            and n_missed == 0
+        )
+        n_base = base.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert planted_kept + n_dropped_planted_with_target <= n_planted
+    return spark.range(1).select(
+        F.lit(n_base).cast("long").alias("n_docs_with_vectors"),
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.lit(rep["n_batch"]).cast("long").alias("n_batch"),
+        F.lit(matches).alias("judge_matches_merge"),
+        F.lit(bool(readonly_ok)).alias("judge_wrote_nothing"),
+        F.lit(recall_ok).alias("planted_recall_floor_ok"),
+        F.lit(bool(memo_ok)).alias("centroids_from_memo"),
+    )
+
+
+@q(
     "dedup_recall_probe",
     "Planted-duplicate recall measurement for the near-dup pipeline — "
     "the calibration report a corpus team publishes alongside its dedup "

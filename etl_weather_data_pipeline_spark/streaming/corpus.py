@@ -796,6 +796,7 @@ def _semantic_stage_drops(
     n_cells: int,
     iterations: int,
     max_cell_df: int = 1000,
+    bootstrap_centroids: list[list[float]] | None = None,
 ):
     """Stage 4 of the streaming funnel (OPT-IN via ``embedding_col``):
     SemDeDup-style semantic dedup — k-means cells bound the pairwise
@@ -858,6 +859,18 @@ def _semantic_stage_drops(
     index_exists = _os.path.exists(AX._meta_path(vroot))
     if index_exists:
         cents = AX.read_ivf_centroid_matrix(spark, vroot)
+    elif bootstrap_centroids is not None:
+        # Caller-supplied OFFLINE-TRAINED quantizer (r12 verdict
+        # directive #6 routing): production pipelines train the coarse
+        # quantizer once on a representative sample (this repo: the
+        # session centroid memo, plans/artifacts.py
+        # shared_kmeans_centroids) and freeze it into every store,
+        # instead of letting the first micro-batch's survivors pick the
+        # cells forever. The batch-trained bootstrap below remains the
+        # default for sinks with no offline artifact.
+        if clean.isEmpty():
+            return None, None
+        cents = [[float(x) for x in c] for c in bootstrap_centroids]
     else:
         if clean.isEmpty():
             return None, None
@@ -990,6 +1003,7 @@ def merge_batch_neardup_into_corpus(
     semantic_cells: int = 8,
     semantic_iterations: int = 2,
     semantic_max_cell_df: int = 1000,
+    semantic_bootstrap_centroids: list[list[float]] | None = None,
 ) -> int:
     """Near-dup-aware merge: append only batch docs that are neither
     exact NOR near duplicates of the store (or of a surviving smaller-id
@@ -1033,7 +1047,11 @@ def merge_batch_neardup_into_corpus(
        SemDeDup at per-batch cadence: batch vectors assign map-only to
        the FROZEN k-means cells of the store's persisted IVF index
        (``<path>/_vectors_ivf``, operators/ann_index.py — trained once
-       on the first vector-bearing batch), within-cell cosine >=
+       on the first vector-bearing batch, or frozen from a caller's
+       OFFLINE-trained matrix via ``semantic_bootstrap_centroids`` —
+       the production shape: one representative-sample training pass
+       shared across stores instead of per-store batch-trained cells),
+       within-cell cosine >=
        ``semantic_threshold`` drops the batch doc (store wins; smaller
        id wins within a batch). The store's vector table is read
        partition-pruned to the batch's occupied cells with the batch
@@ -1225,6 +1243,7 @@ def merge_batch_neardup_into_corpus(
                 spark, s3, path, id_col, embedding_col,
                 semantic_threshold, semantic_cells, semantic_iterations,
                 max_cell_df=semantic_max_cell_df,
+                bootstrap_centroids=semantic_bootstrap_centroids,
             )
             survivors = (
                 s3 if sdrop is None

@@ -1074,3 +1074,34 @@ def test_kmeans_centroid_memo_shared_across_consumers(spark):
         assert len(dirs) == 2 and SF_SMOKE not in dirs, dirs
     finally:
         AR.release_shared_artifacts()
+
+
+def test_centroid_memo_timed_consumers_share_one_training_pass(spark):
+    """r12 verdict directive #6: the centroid memo's Lloyd-dedup claim
+    must be visible in a TIMED path. Bench accounting (bench.py):
+    corpus_artifacts_build runs plans.artifacts.build_all, which now
+    charges the (k=8, i=3) Lloyd build once; the two timed consumers —
+    ann_ivf_trained_topk (HEADLINE) and corpus_attach_judge_semantic
+    (the semantic_attach_judge callable, which freezes the memoized
+    matrix into its store's quantizer) — must then consume that ONE
+    build without retraining. Pin: after a cold build_all, both
+    consumers run end-to-end and the k8 build counter stays exactly
+    where build_all left it."""
+    from etl_weather_data_pipeline_spark.plans import artifacts as AR
+
+    AR.release_shared_artifacts()
+    try:
+        out = AR.build_all(spark, SF_SMOKE, k=8)
+        assert out["kmeans_centroids"] == 8
+        n8 = AR._BUILD_COUNTS.get("kmeans_centroids_k8_i3", 0)
+        assert n8 >= 1
+        REG["ann_ivf_trained_topk"].spark(spark, SF_SMOKE).collect()
+        rows = REG["corpus_attach_judge_semantic"].spark(
+            spark, SF_SMOKE
+        ).collect()
+        assert rows[0]["centroids_from_memo"] is True, rows
+        assert AR._BUILD_COUNTS["kmeans_centroids_k8_i3"] == n8, (
+            "a timed consumer retrained instead of hitting the memo"
+        )
+    finally:
+        AR.release_shared_artifacts()

@@ -2090,3 +2090,54 @@ def test_judge_batch_semantic_stage_against_persisted_index(
         judge_batch_against_store(
             batch, store2, band_buckets=4, embedding_col="embedding"
         )
+
+
+def test_merge_semantic_bootstrap_centroids_freeze_offline_quantizer(
+    spark, tmp_path
+):
+    """semantic_bootstrap_centroids (r13): a caller-supplied
+    OFFLINE-trained matrix freezes into the store's _vectors_ivf index
+    bit-for-bit instead of the first batch training its own quantizer —
+    the production shape where one representative-sample Lloyd run is
+    shared across stores (routed from the session centroid memo by the
+    corpus_attach_judge_semantic query). Semantic admissions judge
+    against the SUPPLIED cells, and an existing index always wins over
+    the parameter (frozen means frozen)."""
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+    schema = "doc_id long, text string, embedding array<double>"
+    cents = [[4.0, -2.0, 1.5, -0.5], [-3.0, 1.0, -4.0, 2.5]]
+    v0 = [5.0, -3.0, 2.0, -1.0]  # cell 0 under cents
+    assert merge_batch_neardup_into_corpus(
+        spark.createDataFrame(
+            [(0, "alpha bravo charlie delta", v0)], schema
+        ),
+        store, embedding_col="embedding", history=False, band_buckets=4,
+        semantic_bootstrap_centroids=cents,
+    ) == 1
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    assert AX.read_ivf_centroid_matrix(spark, vroot) == cents
+    # a later batch: semantic dup of doc 0 drops against the supplied
+    # cells; a DIFFERENT centroid arg is ignored (index already frozen)
+    pert = [x * 1.001 for x in v0]
+    n = merge_batch_neardup_into_corpus(
+        spark.createDataFrame(
+            [
+                (10, "india juliet kilo lima", pert),
+                (11, "mike november oscar papa", [1.0, 1.0, 1.0, 1.0]),
+            ],
+            schema,
+        ),
+        store, embedding_col="embedding", history=False, band_buckets=4,
+        semantic_bootstrap_centroids=[[9.9, 9.9, 9.9, 9.9]] * 2,
+    )
+    assert n == 1
+    assert AX.read_ivf_centroid_matrix(spark, vroot) == cents
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    } == {0, 11}
