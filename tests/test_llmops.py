@@ -1857,6 +1857,82 @@ def test_cdc_chunk_dedup_volume_metrics(spark):
     assert out == agg["c"]
 
 
+def test_jaccard_pairs_volume_metrics(spark):
+    """r12 verdict directive #3: doc_jaccard_pairs drew a x1.32
+    cross-session flag on UNCHANGED code at r12 — like the cdc pin
+    above, this records the query's WORK VOLUMES (pure functions of
+    the data) so the next flag auto-adjudicates from volumes +
+    unchanged code alone. Pinned (smoke SF): LSH candidate pairs and
+    verified output pairs. Session record for the bench SF (sf0.1):
+    candidates=635, verified=561 — r13 builder session, wall-clock
+    0.35-0.52s across sessions (the flagged swing lives entirely in
+    the documented ±30-47% sub-second noise band; the volumes did not
+    move). A testdata regeneration legitimately changes the constants.
+    Internal consistency: verified pairs are a subset of candidates,
+    tying the volume record to the hash-verified output."""
+    from etl_weather_data_pipeline_spark.plans import artifacts as AR
+    from etl_weather_data_pipeline_spark.plans.catalog import (
+        build_registry,
+    )
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        minhash_lsh_pairs,
+        release_curation_cache,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4,
+        signatures=AR.shared_minhash_sigs(spark, SF_SMOKE),
+    ).persist()
+    n_cand = cand.count()
+    ver = build_registry()["doc_jaccard_pairs"].spark(spark, SF_SMOKE)
+    ver_pairs = ver.select("id_a", "id_b").persist()
+    n_ver = ver_pairs.count()
+    n_outside = ver_pairs.join(cand, ["id_a", "id_b"], "left_anti").count()
+    cand.unpersist()
+    ver_pairs.unpersist()
+    release_curation_cache()
+    assert (n_cand, n_ver, n_outside) == (34, 30, 0)
+
+
+def test_dsir_importance_volume_metrics(spark):
+    """r12 verdict directive #3: dsir_importance_weights drew a x1.35
+    cross-session flag on UNCHANGED code at r12 — volume pin, same
+    rationale as the jaccard/cdc pins. Pinned (smoke SF): exploded
+    token rows, distinct (doc, token) rows crossing the pre-aggregate
+    (the shuffle the r6 rework exists to shrink), and the vocab size.
+    Session record for the bench SF (sf0.1): tokens=270704,
+    doc_token_rows=116231, vocab=31 — r13 builder session, wall-clock
+    0.65-1.29s across sessions on identical volumes (noise band).
+    Internal consistency: the hash-verified n_tokens output column
+    must sum back to the exploded token count."""
+    from etl_weather_data_pipeline_spark.functions import text as TX
+    from etl_weather_data_pipeline_spark.plans.catalog import (
+        build_registry,
+    )
+    from etl_weather_data_pipeline_spark.plans.llmops import (
+        release_curation_cache,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).persist()
+    n_tok = tok.count()
+    n_tokc = tok.groupBy("doc_id", "token").count().count()
+    n_vocab = tok.select("token").distinct().count()
+    tok.unpersist()
+    assert (n_tok, n_tokc, n_vocab) == (27939, 11743, 31)
+    out_sum = (
+        build_registry()["dsir_importance_weights"]
+        .spark(spark, SF_SMOKE)
+        .agg(F.sum("n_tokens").alias("t"))
+        .first()["t"]
+    )
+    release_curation_cache()
+    assert out_sum == n_tok
+
+
 def test_index_maintenance_noop_on_vectorless_index(spark, tmp_path):
     """r11 review: an ensure_ivf_index bootstrap (meta + centroids, no
     vectors/ dir yet — the streaming stage's legitimate first state)
