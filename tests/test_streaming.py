@@ -1106,6 +1106,60 @@ def test_winnow_probe_and_stop_bound_read_store_in_place(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
+def test_passage_stage_single_winnow_scan_per_merge(spark, tmp_path):
+    """r12 verdict directive #4 (the per-merge fixed floor): the stage-3
+    store probe must read the _winnow side table in ONE batch-pruned
+    pass — the old shape scanned the corpus-sized table twice per merge
+    (store-wide stop-df aggregate + probe join). Pin: the blocking
+    plan's NUMBERED nodes contain exactly one parquet scan of the
+    winnow table (echoes inside InMemoryRelation cached-plan sections
+    are unnumbered), and the pruned slice reaches it through a
+    broadcast semi-join on the batch's fingerprint set. Admissions
+    equivalence is gated separately (corpus_funnel_merge_state's
+    relational replay hashes every stop bound)."""
+    import re
+
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        _passage_stage_drops,
+        bands_table_name,
+        merge_batch_neardup_into_corpus,
+        winnow_table_name,
+    )
+
+    store = str(tmp_path / "corpus")
+    b = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert merge_batch_neardup_into_corpus(
+        b, store, band_buckets=4, passage_min_run=16
+    ) == 10
+    s2 = spark.createDataFrame(
+        [(100 + i, " ".join(f"q{i}y{j}" for j in range(30)))
+         for i in range(3)],
+        "doc_id long, text string",
+    ).localCheckpoint()
+    persists: list = []
+    try:
+        pdrop, _ = _passage_stage_drops(
+            spark, s2, spark.read.parquet(store), store, "text",
+            "doc_id", 16, 8, 8, 4, 50, 4, persists=persists,
+        )
+        p = spark._jvm.PythonSQLUtils.explainString(
+            pdrop._jdf.queryExecution(), "formatted"
+        )
+        wtbl = winnow_table_name(store).split(".")[-1]
+        scans = re.findall(
+            rf"^\(\d+\) Scan parquet .*{wtbl}", p, re.M
+        )
+        assert len(scans) == 1, (scans, p)
+    finally:
+        for c in persists:
+            c.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
+        spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
+
+
 def test_side_table_bucket_count_mismatch_rewrites(spark, tmp_path):
     """r7 ADVICE (medium): a _bands dir written with FEWER buckets than
     the requested count must NOT be re-attached as-is — an 8-bucket
@@ -1303,9 +1357,13 @@ def test_funnel_merge_action_discipline(spark, tmp_path, monkeypatch):
     as FEW times as possible. Pin the structure: per steady-state merge
     with the passage stage on, exactly 4 localCheckpoints (the stage-2
     lineage cut, the survivor set, band rows, winnow rows) and exactly
-    5 persists (fresh, bands table bt, and the passage stage's shared
-    rolling-hash / winnow-fingerprint / gram frames) — a regression to
-    the count-then-checkpoint-from-cache shape shows up as extra
+    7 persists (the fingerprinted batch — history=True only, r13: the
+    history count now warms the cache the fresh probe reads instead of
+    re-hashing the input; fresh; bands table bt; and the passage
+    stage's shared rolling-hash / winnow-fingerprint / pruned-store-
+    winnow-slice / gram frames — the pruned slice is the r13
+    single-scan store probe) — a regression to the
+    count-then-checkpoint-from-cache shape shows up as extra
     checkpoints; a dropped lineage cut as a missing one."""
     from pyspark.sql.classic.dataframe import DataFrame
 
@@ -1345,7 +1403,7 @@ def test_funnel_merge_action_discipline(spark, tmp_path, monkeypatch):
     ) == 1
     monkeypatch.undo()
     assert len(ckpts) == 4, [c.columns for c in ckpts]
-    assert len(persists) == 5, [p.columns for p in persists]
+    assert len(persists) == 7, [p.columns for p in persists]
 
 
 def test_semantic_stage_drops_embedding_neardups(spark, tmp_path):
