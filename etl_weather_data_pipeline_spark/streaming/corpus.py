@@ -721,6 +721,7 @@ def _passage_stage_drops(
         .select("id_a", "id_b")
     )
     cand = within
+    store_cand_texts = None
     if store_docs is not None:
         wname = _side_table_name(path, _WINNOW_SPEC)
         tbl = _ensure_side_table(spark, path, _WINNOW_SPEC, n_buckets)
@@ -770,20 +771,32 @@ def _passage_stage_drops(
         sw = sw_pruned.join(
             F.broadcast(stop), "fingerprint", "left_anti"
         ).select(F.col("doc_id").alias("id_a"), "fingerprint")
-        rbf = rb.join(F.broadcast(stop), "fingerprint", "left_anti")
-        vs_store = (
-            sw.join(rbf, "fingerprint")
-            .groupBy("id_a", "id_b")
+        # ONE blocking join for both candidate kinds (the sink's r13
+        # fused stage-2 shape): the store side is already store-stop
+        # filtered, so joining it with the UNFILTERED batch side rb is
+        # identical to the old sw ⋈ (rb minus store-stop) — a joined
+        # row's fingerprint comes from sw and can never be a stop
+        # fingerprint. Pairs cannot mix branches (globally unique ids:
+        # id_a determines store-or-batch), so the per-pair shared-
+        # fingerprint counts and the flag survive one groupBy intact.
+        lb_all = lb.withColumn("__store", F.lit(False)).unionByName(
+            sw.withColumn("__store", F.lit(True))
+        )
+        cand_flagged = (
+            lb_all.join(rb, "fingerprint")
+            .filter(F.col("__store") | (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b", "__store")
             .agg(F.count(F.lit(1)).alias("__shared"))
             .filter(F.col("__shared") >= min_shared)
-            .select("id_a", "id_b")
         )
-        cand = within.unionByName(vs_store).distinct()
+        cand = cand_flagged.select("id_a", "id_b")
         store_cand_texts = store_docs.select(
             F.col(id_col), F.col(text_col)
         ).join(
             F.broadcast(
-                vs_store.select(F.col("id_a").alias(id_col)).distinct()
+                cand_flagged.filter(F.col("__store"))
+                .select(F.col("id_a").alias(id_col))
+                .distinct()
             ),
             id_col,
             "left_semi",
