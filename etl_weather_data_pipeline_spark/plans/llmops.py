@@ -6313,6 +6313,11 @@ def corpus_attach_judge_semantic(spark, sf_dir):
     # the memoized offline quantizer (one Lloyd per session, shared
     # bit-identical with ann_ivf_trained_topk — r12 directive #6)
     _, cents = AR.shared_kmeans_centroids(spark, sf_dir, k=8, iterations=3)
+    # max_cell_df stays a HARD bound (the standing self-join rule) but
+    # is sized so no testdata cell can trip it (embeddings <= 2k rows
+    # at bench SF -> cells <= |batch|): a fail-open skip would admit a
+    # planted twin unjudged and flip planted_recall_floor_ok scale-
+    # dependently. Production sinks keep the tight default (1000).
     cfg = dict(
         band_buckets=8, history=False, embedding_col="embedding",
         semantic_cells=8, semantic_max_cell_df=10**6,
