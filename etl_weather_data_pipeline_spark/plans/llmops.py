@@ -6217,9 +6217,10 @@ def corpus_dedup_funnel_attached(spark, sf_dir):
     "i=3, the OFFLINE-trained production shape, routed via "
     "semantic_bootstrap_centroids — r12 directive #6), shared "
     "bit-identical with ann_ivf_trained_topk. Scenario: docs with "
-    "vectors (doc_id = vec_id) merge doc_id%3==0 into a fresh store "
-    "with the semantic stage ON; the judged batch is the full "
-    "overlapping feed plus PLANTED semantic twins (every 15th doc, "
+    "vectors (doc_id = vec_id) merge doc_id%6==0 into a fresh store "
+    "with the semantic stage ON; the judged batch is the overlapping "
+    "doc_id%2==0 half-feed plus PLANTED semantic twins (every 30th "
+    "doc — guaranteed store-resident since 30 divides by 6, "
     "disjoint-token texts so stages 1-2 pass them, embedding scaled "
     "1.001 — cosine ~1 vs the store twin). Exact cross-checks: "
     "n_docs_with_vectors, n_planted, n_batch. Invariant booleans: "
@@ -6240,12 +6241,12 @@ def corpus_dedup_funnel_attached(spark, sf_dir):
     WITH base AS (
       SELECT d.doc_id FROM documents d
       JOIN embeddings e ON e.vec_id = d.doc_id),
-    p AS (SELECT COUNT(*) AS n_planted FROM base WHERE doc_id % 15 = 0)
+    p AS (SELECT COUNT(*) AS n_planted FROM base WHERE doc_id % 30 = 0)
     SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT)
              AS n_docs_with_vectors,
            CAST((SELECT n_planted FROM p) AS BIGINT) AS n_planted,
-           CAST((SELECT COUNT(*) FROM base) + (SELECT n_planted FROM p)
-                AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM base WHERE doc_id % 2 = 0)
+                + (SELECT n_planted FROM p) AS BIGINT) AS n_batch,
            TRUE AS judge_matches_merge,
            TRUE AS judge_wrote_nothing,
            TRUE AS planted_recall_floor_ok,
@@ -6291,7 +6292,7 @@ def corpus_attach_judge_semantic(spark, sf_dir):
                   "with the planted-id space; raise the offset")
         )
     )
-    targets = base.filter(F.col("doc_id") % 15 == 0)
+    targets = base.filter(F.col("doc_id") % 30 == 0)
     planted = targets.select(
         planted_id.alias("doc_id"),
         F.concat_ws(
@@ -6309,7 +6310,12 @@ def corpus_attach_judge_semantic(spark, sf_dir):
             lambda x: (x.cast("double") * F.lit(1.001)).cast("float"),
         ).alias("embedding"),
     )
-    batch = base.unionByName(planted)
+    # judged batch = the %2==0 half-feed (the store slice %6==0 is a
+    # subset, so stage-1 overlap is real) + the planted twins; slicing
+    # halves the judge's and the equivalence merge's data-dependent
+    # cost without touching any invariant (r13: the bench entry was
+    # floor x3 + full-feed passes = 27s at sf0.1)
+    batch = base.filter(F.col("doc_id") % 2 == 0).unionByName(planted)
     # the memoized offline quantizer (one Lloyd per session, shared
     # bit-identical with ann_ivf_trained_topk — r12 directive #6)
     _, cents = AR.shared_kmeans_centroids(spark, sf_dir, k=8, iterations=3)
@@ -6324,7 +6330,7 @@ def corpus_attach_judge_semantic(spark, sf_dir):
     )
     try:
         merge_batch_neardup_into_corpus(
-            base.filter(F.col("doc_id") % 3 == 0), store,
+            base.filter(F.col("doc_id") % 6 == 0), store,
             semantic_bootstrap_centroids=cents, **cfg,
         )
         frozen = AX.read_ivf_centroid_matrix(
