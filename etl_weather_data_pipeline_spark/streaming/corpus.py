@@ -1214,26 +1214,14 @@ def merge_batch_neardup_into_corpus(
                     band_buckets,
                 )
             store_bands = spark.table(bands_name)
-            # ONE probe join for both candidate kinds (r13 floor work):
-            # the within-batch self-join and the vs-store probe share
-            # the identical batch side `r`, so the two left sides union
-            # under a store flag and probe once — one join + one
-            # distinct where the old shape paid two joins and three
-            # distincts (two extra exchanges of per-merge fixed cost).
-            # The candidate SET is identical: ids are globally unique
-            # across the feed, so (id_a, id_b) determines the branch
-            # and the flag survives the distinct unchanged. vs-store
-            # pairs keep (id_a = store doc, id_b = batch doc) — store
-            # always wins, so a verified pair drops id_b.
-            l_all = l.withColumn("__store", F.lit(False)).unionByName(
+            # vs-store candidates: (id_a = store doc, id_b = batch doc)
+            # — store always wins, so a verified pair drops id_b
+            vs_store = (
                 store_bands.select(
                     F.col("doc_id").alias("id_a"), "band_idx", "band_val"
-                ).withColumn("__store", F.lit(True))
-            )
-            cand_flagged = (
-                l_all.join(r, ["band_idx", "band_val"])
-                .filter(F.col("__store") | (F.col("id_a") < F.col("id_b")))
-                .select("id_a", "id_b", "__store")
+                )
+                .join(r, ["band_idx", "band_val"])
+                .select("id_a", "id_b")
                 .distinct()
             )
             # verify needs both texts: batch side from fresh, store side
@@ -1246,15 +1234,15 @@ def merge_batch_neardup_into_corpus(
                 F.col(id_col), F.col(text_col)
             ).join(
                 F.broadcast(
-                    cand_flagged.filter(F.col("__store"))
-                    .select(F.col("id_a").alias(id_col))
-                    .distinct()
+                    vs_store.select(
+                        F.col("id_a").alias(id_col)
+                    ).distinct()
                 ),
                 id_col,
                 "left_semi",
             )
             texts = texts.unionByName(store_cand_texts)
-            cand = cand_flagged.select("id_a", "id_b")
+            cand = within.unionByName(vs_store).distinct()
         dropped = (
             jaccard_verify(
                 texts, cand, text_col, id_col, jaccard_threshold
@@ -1592,27 +1580,24 @@ def judge_batch_against_store(
         persists.append(bt)
         l = bt.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
         r = bt.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
-        # one probe join for both candidate kinds, exactly the sink's
-        # r13 fused shape (ids globally unique -> the flag survives the
-        # distinct; candidate set identical to the two-join form)
-        l_all = l.withColumn("__store", F.lit(False)).unionByName(
+        within = (
+            l.join(r, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        vs_store = (
             arts["bands"]
             .select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
-            .withColumn("__store", F.lit(True))
-        )
-        cand_flagged = (
-            l_all.join(r, ["band_idx", "band_val"])
-            .filter(F.col("__store") | (F.col("id_a") < F.col("id_b")))
-            .select("id_a", "id_b", "__store")
+            .join(r, ["band_idx", "band_val"])
+            .select("id_a", "id_b")
             .distinct()
         )
         store_cand_texts = store_docs.select(
             F.col(id_col), F.col(text_col)
         ).join(
             F.broadcast(
-                cand_flagged.filter(F.col("__store"))
-                .select(F.col("id_a").alias(id_col))
-                .distinct()
+                vs_store.select(F.col("id_a").alias(id_col)).distinct()
             ),
             id_col,
             "left_semi",
@@ -1620,7 +1605,7 @@ def judge_batch_against_store(
         texts = fresh.select(F.col(id_col), F.col(text_col)).unionByName(
             store_cand_texts
         )
-        cand = cand_flagged.select("id_a", "id_b")
+        cand = within.unionByName(vs_store).distinct()
         dropped = (
             jaccard_verify(texts, cand, text_col, id_col, jaccard_threshold)
             .select(F.col("id_b").alias(id_col))
