@@ -754,7 +754,14 @@ def _passage_stage_drops(
         # slice is bounded by the store occurrences of batch
         # fingerprints — boilerplate rows above max_df are dropped
         # right after the aggregate, and the persist spills to disk if
-        # a template-heavy batch drags a wide slice in.
+        # a template-heavy batch drags a wide slice in. Locality
+        # contract preserved: the broadcast semi-join streams the
+        # bucketed scan against the (batch-bounded) key set — the
+        # store still never shuffles. Operating envelope: the
+        # broadcast is the batch's DISTINCT fingerprint set (~100/doc
+        # -> ~1e9 keys only past ~10M-doc batches); foreachBatch
+        # micro-batches are trigger-bounded far below that, and a
+        # batch that large should be split upstream anyway.
         sw_pruned = _p(
             store_w.join(
                 F.broadcast(rb.select("fingerprint").distinct()),
