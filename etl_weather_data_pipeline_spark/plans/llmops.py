@@ -6339,13 +6339,11 @@ def corpus_attach_judge_semantic(spark, sf_dir):
         memo_ok = frozen == [[float(x) for x in c] for c in cents]
         # which planted targets actually reached the index (a target
         # dropped by the store build's own stages 2/4 has no indexed
-        # vector to witness its twin) — the recall denominator
+        # vector to witness its twin) — the recall denominator; counted
+        # in the fused audit aggregate after the judge below
         indexed = AX.read_ivf_vectors(
             spark, f"{store}/{VECTORS_IVF_SUBDIR}"
         ).select("doc_id")  # the sink indexes under its own id_col
-        n_targets_indexed = targets.select("doc_id").join(
-            F.broadcast(indexed), "doc_id", "left_semi"
-        ).count()
 
         def state():
             return sorted(
@@ -6364,24 +6362,51 @@ def corpus_attach_judge_semantic(spark, sf_dir):
         )
         readonly_ok = state() == before_files
         surv = rep["survivors"].select("doc_id")
-        # recall numerator: planted ids (>= 1e6) whose indexed target
-        # exists and which the judge dropped
-        planted_kept = surv.filter(F.col("doc_id") >= 1000000).count()
-        n_planted = targets.count()
-        n_dropped_planted_with_target = (
-            targets.select((F.col("doc_id") + 1000000).alias("doc_id"))
-            .join(surv, "doc_id", "left_anti")
+        # Fused planted-recall audit — ONE action instead of four
+        # (multi-action pipelines pay the per-action driver planning
+        # tax even over checkpointed frames; r13 floor profile). Every
+        # planted id in surv is targets+1e6 by construction (all batch
+        # ids >= 1e6 ARE the planted twins), so counting kept twins
+        # through the targets join equals the old surv-side filter
+        # count; n_dropped counts twins whose target reached the index
+        # (the recall denominator n_targets_indexed) and which the
+        # judge dropped — identical to the old anti/semi-join pair.
+        audit = (
+            targets.select("doc_id")
             .join(
                 F.broadcast(
-                    indexed.select(
-                        (F.col("doc_id") + 1000000).alias("doc_id")
+                    indexed.distinct().withColumn("__idx", F.lit(True))
+                ),
+                "doc_id",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    surv.filter(F.col("doc_id") >= 1000000).select(
+                        (F.col("doc_id") - 1000000).alias("doc_id"),
+                        F.lit(True).alias("__kept"),
                     )
                 ),
                 "doc_id",
-                "left_semi",
+                "left",
             )
-            .count()
+            .agg(
+                F.count(F.lit(1)).alias("n_planted"),
+                F.count("__idx").alias("n_targets_indexed"),
+                F.count("__kept").alias("planted_kept"),
+                F.sum(
+                    (
+                        F.col("__idx").isNotNull()
+                        & F.col("__kept").isNull()
+                    ).cast("long")
+                ).alias("n_dropped"),
+            )
+            .first()
         )
+        n_planted = audit["n_planted"]
+        n_targets_indexed = audit["n_targets_indexed"]
+        planted_kept = audit["planted_kept"]
+        n_dropped_planted_with_target = audit["n_dropped"] or 0
         recall_ok = bool(
             n_targets_indexed > 0
             and n_dropped_planted_with_target >= 0.9 * n_targets_indexed
@@ -6392,8 +6417,24 @@ def corpus_attach_judge_semantic(spark, sf_dir):
         appended = spark.read.parquet(store).select("doc_id").join(
             ids_before, "doc_id", "left_anti"
         )
-        n_extra = appended.join(surv, "doc_id", "left_anti").count()
-        n_missed = surv.join(appended, "doc_id", "left_anti").count()
+        # judge==merge symmetric difference in ONE action: a full-outer
+        # join of the appended ids with the judge's survivors — a null
+        # flag on either side is a divergence (old shape: two anti-join
+        # counts over the same pair of frames).
+        em = (
+            appended.withColumn("__a", F.lit(True))
+            .join(
+                surv.withColumn("__s", F.lit(True)),
+                "doc_id",
+                "full_outer",
+            )
+            .agg(
+                F.sum(F.col("__s").isNull().cast("long")).alias("x"),
+                F.sum(F.col("__a").isNull().cast("long")).alias("m"),
+            )
+            .first()
+        )
+        n_extra, n_missed = em["x"] or 0, em["m"] or 0
         matches = bool(
             n_merged == rep["n_survivors"]
             and n_extra == 0
@@ -7804,16 +7845,29 @@ def corpus_semdedup_global(spark, sf_dir):
             (F.col("id_b") >= 1000000)
             & (F.col("id_a") == F.col("id_b") - 1000000)
         ).count()
-        n_base = emb.count()
-        n_planted = emb.filter(F.col("vec_id") % 10 == 0).count()
+        # fused scans (one action apiece, r13: per-action planning tax)
+        base_row = emb.agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum((F.col("vec_id") % 10 == 0).cast("long")).alias("n_p"),
+        ).first()
+        n_base, n_planted = base_row["n_base"], base_row["n_p"] or 0
         cents = AX.read_ivf_centroid_matrix(spark, root)
-        idx = AX.read_ivf_vectors(spark, root)
-        n_bad = idx.filter(
-            ~F.col("cell").eqNullSafe(
-                argmin_index(F.col("embedding"), cents).cast("int")
-            )
-        ).count()
-        n_planted_indexed = idx.filter(F.col("vec_id") >= 1000000).count()
+        idx_row = AX.read_ivf_vectors(spark, root).agg(
+            F.sum(
+                (
+                    ~F.col("cell").eqNullSafe(
+                        argmin_index(F.col("embedding"), cents).cast(
+                            "int"
+                        )
+                    )
+                ).cast("long")
+            ).alias("n_bad"),
+            F.sum((F.col("vec_id") >= 1000000).cast("long")).alias(
+                "n_pi"
+            ),
+        ).first()
+        n_bad = idx_row["n_bad"] or 0
+        n_planted_indexed = idx_row["n_pi"] or 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.range(1).select(

@@ -2063,3 +2063,54 @@ def test_retrain_self_heal_warns_and_cleans_old(spark, tmp_path):
     # and neither the .old-* half-swap leak nor the staging dir remain
     assert glob.glob(root + ".old-*") == []
     assert glob.glob(root + ".staged-*") == []
+
+
+def test_lifecycle_query_audit_action_counts(spark, monkeypatch):
+    """r13 audit-action fusion: the two lifecycle queries with fused
+    driver audits — corpus_attach_judge_semantic (planted-recall audit
+    4 actions -> 1, judge==merge symmetric difference 2 -> 1) and
+    corpus_semdedup_global (base/planted counts 2 -> 1, index
+    consistency counts 2 -> 1) — must keep issuing exactly THREE
+    top-level driver actions each (one recall/audit aggregate, one
+    equivalence/index aggregate, one base count). Every action re-plans
+    its analyzed tree on the driver (the measured r9/r13 per-action
+    planning tax), so un-fusing shows up here as a count regression
+    long before it shows on a wall clock. Only actions issued from
+    plans/llmops.py frames count: the merges/judge/index internals pin
+    their own discipline elsewhere (test_funnel_merge_action_discipline
+    and the ann_index suite)."""
+    import sys
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from etl_weather_data_pipeline_spark.plans.catalog import (
+        build_registry,
+    )
+
+    reg = build_registry()
+    counts: list[str] = []
+    orig = {
+        n: getattr(DataFrame, n) for n in ("first", "count", "collect")
+    }
+
+    def make_spy(name):
+        def spy(self, *a, **kw):
+            caller = sys._getframe(1).f_code.co_filename
+            if caller.endswith("plans/llmops.py"):
+                counts.append(name)
+            return orig[name](self, *a, **kw)
+
+        return spy
+
+    for n in orig:
+        monkeypatch.setattr(DataFrame, n, make_spy(n))
+    try:
+        for qname in (
+            "corpus_attach_judge_semantic",
+            "corpus_semdedup_global",
+        ):
+            counts.clear()
+            reg[qname].spark(spark, SF_SMOKE).collect()
+            assert len(counts) == 3, (qname, counts)
+    finally:
+        monkeypatch.undo()
