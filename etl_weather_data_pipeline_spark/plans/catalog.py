@@ -171,7 +171,14 @@ def o_dround(x: str, n: int) -> str:
 # r14 window; + canaries + e2e = 47 slots -> r14 budget = 1 debutant +
 # 2 early pulls from the r12 vintage (suggested: global_order_metrics,
 # top_orders_per_customer — the cheapest r12 rows). r13's own window
-# (this list) banks until r16.
+# (this list) banks until r16. Suggested r14 debutant: a
+# property-oracled STORE-MAINTENANCE lifecycle query over
+# backfill_winnow_fingerprints + compact_corpus_side_tables
+# (streaming/corpus.py — live-tested, no driver surface yet): build a
+# store with stage 3 off, backfill its _winnow table, compact both
+# side tables, and pin probe-equivalence (same admissions before/after
+# compaction) + exact row counts; pairs with one consolidation to hold
+# the 141 cap.
 # Changed-code note (r13): merge_batch_neardup_into_corpus gained the
 # optional semantic_bootstrap_centroids pass-through (default None =
 # unchanged batch-trained bootstrap; exercised only by the debutant,
