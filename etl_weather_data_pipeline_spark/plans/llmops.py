@@ -6274,9 +6274,28 @@ def corpus_attach_judge_semantic(spark, sf_dir):
     store = tmp + "/store"
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load(spark, sf_dir, "embeddings")
+    # Collision guard on EVERY base row, not just the planted targets:
+    # a real doc_id >= 1e6 anywhere in the feed would be misread as a
+    # planted twin by the id-keyed audit joins (deflating n_dropped /
+    # flipping the recall floor) with no diagnostic — so the whole
+    # query refuses such data loudly instead.
     base = docs.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
         "doc_id",
+    ).select(
+        F.when(F.col("doc_id") < 1000000, F.col("doc_id"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "corpus_attach_judge_semantic: doc_id >= 1e6 "
+                    "collides with the planted-id space; raise the "
+                    "offset"
+                )
+            )
+        )
+        .alias("doc_id"),
+        "text",
+        "embedding",
     )
     # planted semantic twins: texts are disjoint-token by construction
     # (the id is embedded in every non-shared token, pairwise Jaccard
@@ -6284,17 +6303,9 @@ def corpus_attach_judge_semantic(spark, sf_dir):
     # the direction (cosine ~1) and, away from cell boundaries, the
     # argmin cell — the recall floor (not an all-dropped claim)
     # absorbs boundary flips, exactly like corpus_semdedup_global.
-    planted_id = F.when(
-        F.col("doc_id") < 1000000, F.col("doc_id") + 1000000
-    ).otherwise(
-        F.raise_error(
-            F.lit("corpus_attach_judge_semantic: doc_id >= 1e6 collides "
-                  "with the planted-id space; raise the offset")
-        )
-    )
     targets = base.filter(F.col("doc_id") % 30 == 0)
     planted = targets.select(
-        planted_id.alias("doc_id"),
+        (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat_ws(
             " ",
             F.lit("planted"),

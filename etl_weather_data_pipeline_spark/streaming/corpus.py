@@ -712,15 +712,15 @@ def _passage_stage_drops(
     bstopped = bfps.join(F.broadcast(batch_stop), "fingerprint", "left_anti")
     rb = bstopped.select(F.col("doc_id").alias("id_b"), "fingerprint")
     lb = bstopped.select(F.col("doc_id").alias("id_a"), "fingerprint")
-    within = (
-        lb.join(rb, "fingerprint")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__shared"))
-        .filter(F.col("__shared") >= min_shared)
-        .select("id_a", "id_b")
-    )
-    cand = within
+    # The within-batch candidate rule (smaller id wins, >= min_shared
+    # shared fingerprints) has ONE definition: the flagged join below
+    # runs it for both the store and no-store paths — the store path
+    # unions the pruned store winnow slice onto the left side with
+    # __store=True (the r13 stage-3 fusion), and a literal-False flag
+    # degenerates to the plain self-join. Keeping a separate `within`
+    # frame for the no-store path left a dead duplicate of the rule
+    # that the store path silently ignored.
+    lb_all = lb.withColumn("__store", F.lit(False))
     store_cand_texts = None
     if store_docs is not None:
         wname = _side_table_name(path, _WINNOW_SPEC)
@@ -786,17 +786,16 @@ def _passage_stage_drops(
         # fingerprint. Pairs cannot mix branches (globally unique ids:
         # id_a determines store-or-batch), so the per-pair shared-
         # fingerprint counts and the flag survive one groupBy intact.
-        lb_all = lb.withColumn("__store", F.lit(False)).unionByName(
-            sw.withColumn("__store", F.lit(True))
-        )
-        cand_flagged = (
-            lb_all.join(rb, "fingerprint")
-            .filter(F.col("__store") | (F.col("id_a") < F.col("id_b")))
-            .groupBy("id_a", "id_b", "__store")
-            .agg(F.count(F.lit(1)).alias("__shared"))
-            .filter(F.col("__shared") >= min_shared)
-        )
-        cand = cand_flagged.select("id_a", "id_b")
+        lb_all = lb_all.unionByName(sw.withColumn("__store", F.lit(True)))
+    cand_flagged = (
+        lb_all.join(rb, "fingerprint")
+        .filter(F.col("__store") | (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "__store")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+    )
+    cand = cand_flagged.select("id_a", "id_b")
+    if store_docs is not None:
         store_cand_texts = store_docs.select(
             F.col(id_col), F.col(text_col)
         ).join(
@@ -1148,31 +1147,37 @@ def merge_batch_neardup_into_corpus(
         "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
     )
     batch_cached = None
-    if history:
-        # The history count is the only consumer that forces the
-        # fingerprinted batch twice (its own count + the fresh-probe
-        # materialization re-scanned and re-hashed the input — measured
-        # ~2s apiece on a full sf0.1 batch, r12 verdict directive #4).
-        # Persist so the count warms the cache the probe then reads;
-        # released in the finally with the other per-batch caches.
-        batch_cached = batch = batch.persist()
-    n_batch = batch.count() if history else 0
-    rn = F.row_number().over(
-        Window.partitionBy("fingerprint").orderBy(F.col(id_col))
-    )
-    batch = (
-        batch.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
-    )
-    store_docs = _read_parquet_if_exists(spark, path)
-    if store_docs is not None:
-        # zero store-side shuffle; store stays the idempotency truth
-        fresh = _probe_fresh(batch, store_docs.select("fingerprint"))
-    else:
-        fresh = batch
-    fresh = fresh.persist()
     bt = None
+    fresh = None
     extra_persists: list[DataFrame] = []
     try:
+        if history:
+            # The history count is the only consumer that forces the
+            # fingerprinted batch twice (its own count + the fresh-probe
+            # materialization re-scanned and re-hashed the input —
+            # measured ~2s apiece on a full sf0.1 batch, r12 verdict
+            # directive #4). Persist so the count warms the cache the
+            # probe then reads; released in the finally with the other
+            # per-batch caches — the count ACTION runs inside this try
+            # so a failed first job cannot leak the cached plan across
+            # foreachBatch retries.
+            batch_cached = batch = batch.persist()
+        n_batch = batch.count() if history else 0
+        rn = F.row_number().over(
+            Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+        )
+        batch = (
+            batch.withColumn("__rn", rn)
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        store_docs = _read_parquet_if_exists(spark, path)
+        if store_docs is not None:
+            # zero store-side shuffle; store is the idempotency truth
+            fresh = _probe_fresh(batch, store_docs.select("fingerprint"))
+        else:
+            fresh = batch
+        fresh = fresh.persist()
         n_after_exact = fresh.count() if history else 0
         # --- near-dup stage over the exact-stage survivors ---
         sig = minhash_signatures(
@@ -1421,10 +1426,9 @@ def merge_batch_neardup_into_corpus(
         # cached plan per failed batch for the session's lifetime.
         # (survivors/s2 are eager checkpoints now, not persists — their
         # blocks release when the micro-batch's RDDs are GC'd.)
-        for cached in (bt, batch_cached, *extra_persists):
+        for cached in (bt, batch_cached, fresh, *extra_persists):
             if cached is not None:
                 cached.unpersist()
-        fresh.unpersist()
     if history:
         _append_ingest_history(
             spark, path, n_batch, n_batch - n_after_exact,
