@@ -778,9 +778,14 @@ def _passage_stage_drops(
         sw = sw_pruned.join(
             F.broadcast(stop), "fingerprint", "left_anti"
         ).select(F.col("doc_id").alias("id_a"), "fingerprint")
-        # ONE blocking join for both candidate kinds (the sink's r13
-        # fused stage-2 shape): the store side is already store-stop
-        # filtered, so joining it with the UNFILTERED batch side rb is
+        # ONE blocking join for both candidate kinds (the r13 STAGE-3
+        # fusion — the analogous stage-2 band-probe fusion was REVERTED
+        # on scale review, see COVERAGE.md: unioning with the
+        # corpus-sized band table erased its bucketed partitioning;
+        # HERE the store side is the batch-pruned winnow slice, so no
+        # corpus-sized relation enters the join): the store side is
+        # already store-stop filtered, so joining it with the
+        # UNFILTERED batch side rb is
         # identical to the old sw ⋈ (rb minus store-stop) — a joined
         # row's fingerprint comes from sw and can never be a stop
         # fingerprint. Pairs cannot mix branches (globally unique ids:
