@@ -308,10 +308,9 @@ PROPERTY_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_ivf_index_topk",
-    "ann_pq_topk",
+    "ann_pq_topk_battery",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
-    "ann_pq_multi_topk",
     "corpus_bpe_merges",
     "corpus_bpe_apply",
     "corpus_training_export",
@@ -325,6 +324,7 @@ PROPERTY_QUERIES = [
     "corpus_funnel_merge_state",
     "corpus_dedup_funnel_attached",
     "corpus_attach_judge_semantic",
+    "corpus_store_maintenance",
     "doc_minhash_lsh_pairs_xxh",
 ]
 

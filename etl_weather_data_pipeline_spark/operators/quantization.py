@@ -72,7 +72,7 @@ def pq_fit(
     Returns ``(codebooks, sse_histories)`` where ``codebooks[s][j]`` is
     centroid j of subspace s and ``sse_histories[s]`` is that
     subspace's within-cluster SSE per Lloyd round (non-increasing —
-    the ann_pq_topk property oracle asserts it).
+    the ann_pq_topk_battery property oracle asserts it).
 
     ``sample_fraction`` / ``max_train`` are the 100 TB path: codebooks
     need a representative sample, not the corpus (the driver-side state

@@ -167,18 +167,22 @@ def o_dround(x: str, n: int) -> str:
 # -> customer_semi_anti_battery, identical left_semi/left_anti
 # coverage) + 1 (battery) + 1 (debutant) = 141. Cap held.
 # Banking plan (r14, pre-planned): the r11-vintage cohort (47 rotating
-# rows green r11) minus the 3 early pulls above = 44 rows MUST open the
-# r14 window; + canaries + e2e = 47 slots -> r14 budget = 1 debutant +
-# 2 early pulls from the r12 vintage (suggested: global_order_metrics,
-# top_orders_per_customer — the cheapest r12 rows). r13's own window
-# (this list) banks until r16. Suggested r14 debutant: a
-# property-oracled STORE-MAINTENANCE lifecycle query over
-# backfill_winnow_fingerprints + compact_corpus_side_tables
-# (streaming/corpus.py — live-tested, no driver surface yet): build a
-# store with stage 3 off, backfill its _winnow table, compact both
-# side tables, and pin probe-equivalence (same admissions before/after
-# compaction) + exact row counts; pairs with one consolidation to hold
-# the 141 cap.
+# rows green r11) minus the 3 early pulls above minus the 2 rows
+# retired into the r14-funding battery (ann_pq_topk + ann_pq_multi_topk
+# -> ann_pq_topk_battery — identical PQ operator surface, labeled
+# branches, ONE shared encode pass where the two rows each paid their
+# own) = 42 rows MUST open the r14 window; + the battery's FIRST
+# driver check + canaries + e2e = 46 slots -> r14 budget = the
+# PRE-BUILT debutant corpus_store_maintenance dead-last
+# (backfill_winnow_fingerprints + compact_corpus_side_tables lifecycle
+# — the r13 pre-plan's nomination, built/parity-exact/invariant-green
+# at sf0.1 within r13) + 3 early pulls from the r12 vintage
+# (suggested: global_order_metrics, top_orders_per_customer,
+# user_running_value — the cheapest r12 rows). r13's own window (this
+# list) banks until r16. Cap math (held): 141 - 2 (PQ rows) + 1
+# (battery) + 1 (corpus_store_maintenance) = 141; both new rows sit
+# BELOW the first-50 boundary so the pre-planned r13 window above is
+# untouched.
 # Changed-code note (r13): merge_batch_neardup_into_corpus gained the
 # optional semantic_bootstrap_centroids pass-through (default None =
 # unchanged batch-trained bootstrap; exercised only by the debutant,

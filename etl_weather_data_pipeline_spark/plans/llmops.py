@@ -1917,39 +1917,59 @@ def _pq_codebooks(emb, sf_dir):
 
 
 @q(
-    "ann_pq_topk",
-    "Product-quantization ANN (Jegou et al. 2011) as a self-checking "
-    "recall query — the memory-side half of 100 TB ANN (IVF prunes "
-    "WHICH rows scan; PQ shrinks WHAT scans per row, 64 floats -> 4 "
-    "byte-codes here = 64x, FAISS IVF-PQ stacks both): per-subspace "
-    "Lloyd codebooks (deterministic lowest-id seeding), map-only "
-    "encoding, asymmetric-distance shortlist from m table lookups per "
-    "row (the m x k exact query->centroid table travels as plan "
-    "literals), then the production composition — exact re-rank of the "
-    "ADC-100 shortlist. Invariants emitted as booleans: re-ranked "
-    "recall@10 clears a 0.3 tripwire floor (synthetic embeddings are "
-    "near-random, the distance-concentration worst case: measured "
-    "0.9/1.0/0.6 across the three SFs), shortlist recall is MONOTONE "
-    "in shortlist size (ADC-100's id set provably contains ADC-50's: "
-    "same deterministic ordering, longer prefix), every code lies in "
-    "[0,16), and every subspace's Lloyd SSE is non-increasing. Exact "
-    "cross-check: n_vectors. Encoded table persists once (four "
-    "consumers — the two-branch re-evaluation trap).",
+    "ann_pq_topk_battery",
+    "Product-quantization ANN battery (Jegou et al. 2011) — the "
+    "consolidation of ann_pq_topk + ann_pq_multi_topk into one driver "
+    "slot (identical operator surface, labeled branches, the "
+    "set-op/grouping-battery pattern; registry cap policy). Branch "
+    "'single' is the memory-side half of 100 TB ANN (IVF prunes WHICH "
+    "rows scan; PQ shrinks WHAT scans per row, 64 floats -> 4 "
+    "byte-codes = 64x, FAISS IVF-PQ stacks both): per-subspace Lloyd "
+    "codebooks (deterministic lowest-id seeding), map-only encoding, "
+    "asymmetric-distance shortlist from m table lookups per row (the "
+    "m x k exact query->centroid table travels as plan literals), then "
+    "the production composition — exact re-rank of the ADC-100 "
+    "shortlist. Branch 'multi' is batch ADC serving (the PQ twin of "
+    "ann_multi_query_topk's exact broadcast join): the 3-query set "
+    "broadcasts, each subspace's 16-entry distance table is built "
+    "IN-PLAN from the query-vector column against the literal "
+    "codebook (one codegen'd expression serves every query), and a "
+    "per-query window takes the shortlist — the codes table never "
+    "shuffles before the top-k. The encoded table persists ONCE and "
+    "feeds BOTH branches' six consumers (as separate queries each "
+    "branch paid its own encode pass — the consolidation deletes one "
+    "full PQ-encode of the corpus). Invariant booleans, 'single' row: "
+    "re-ranked recall@10 clears the 0.3 tripwire floor (synthetic "
+    "embeddings are near-random, the distance-concentration worst "
+    "case: measured 0.9/1.0/0.6 across the three SFs), shortlist "
+    "recall MONOTONE in shortlist size (ADC-100's id set provably "
+    "contains ADC-50's: same deterministic ordering, longer prefix), "
+    "every code in [0,16), every subspace's Lloyd SSE non-increasing. "
+    "'multi' rows, PER QUERY: the ADC-50 shortlist recalls >= 3 of "
+    "that query's exact L2 top-10 (measured minima 5/6/4 across the "
+    "three SFs) and shortlist recall is monotone 50 vs 25. Exact "
+    "cross-check: n_vectors on every row. Codebooks shared via the "
+    "deterministic per-table memo.",
     oracle="""
-    SELECT CAST(10 AS BIGINT) AS k,
-           COUNT(*) AS n_vectors,
-           TRUE AS recall_floor_ok,
-           TRUE AS shortlist_recall_monotone,
-           TRUE AS codes_in_range,
-           TRUE AS sse_monotone
-    FROM embeddings
+    WITH n AS (SELECT COUNT(*) AS n_vectors FROM embeddings)
+    SELECT 'single' AS branch, CAST(0 AS BIGINT) AS q_id,
+           CAST(10 AS BIGINT) AS k, n.n_vectors,
+           TRUE AS recall_floor_ok, TRUE AS shortlist_recall_monotone,
+           TRUE AS codes_in_range, TRUE AS sse_monotone
+    FROM n
+    UNION ALL
+    SELECT 'multi', CAST(u.q AS BIGINT), CAST(10 AS BIGINT),
+           n.n_vectors, TRUE, TRUE, TRUE, TRUE
+    FROM n, unnest([0, 1, 2]) AS u(q)
     """,
 )
-def ann_pq_topk(spark, sf_dir):
+def ann_pq_topk_battery(spark, sf_dir):
     from pyspark import StorageLevel
+    from pyspark.sql.window import Window
 
     from etl_weather_data_pipeline_spark.operators.quantization import (
         pq_adc_topk,
+        pq_adc_topk_join,
         pq_encode,
     )
 
@@ -1966,6 +1986,7 @@ def ann_pq_topk(spark, sf_dir):
     )
     enc = pq_encode(emb, codebooks).persist(StorageLevel.MEMORY_AND_DISK)
     _CURATION_PERSISTED.append(enc)
+    # --- branch 'single': ADC shortlists + the exact re-rank read path
     sl50 = pq_adc_topk(enc, codebooks, qv, k=50).select("vec_id")
     sl100 = pq_adc_topk(enc, codebooks, qv, k=100).select("vec_id")
     qlit = VX.double_array(qv)
@@ -1978,7 +1999,6 @@ def ann_pq_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id")
     )
-    # the production read path: exact re-rank of the ADC shortlist only
     rerank10 = (
         sl100.join(emb, "vec_id")
         .select(
@@ -2003,11 +2023,13 @@ def ann_pq_topk(spark, sf_dir):
             & (F.min(F.array_min("codes")) >= F.lit(0))
         ).alias("codes_in_range"),
     )
-    return (
+    single = (
         stats.crossJoin(h_rr)
         .crossJoin(h50)
         .crossJoin(h100)
         .select(
+            F.lit("single").alias("branch"),
+            F.lit(0).cast("long").alias("q_id"),
             F.lit(10).cast("long").alias("k"),
             "n_vectors",
             (F.col("__hrr") >= F.lit(3)).alias("recall_floor_ok"),
@@ -2018,6 +2040,62 @@ def ann_pq_topk(spark, sf_dir):
             F.lit(bool(sse_monotone)).alias("sse_monotone"),
         )
     )
+    # --- branch 'multi': batch ADC over the broadcast 3-query set ---
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    msl25 = pq_adc_topk_join(enc, codebooks, qs, k=25).select(
+        "q_id", "vec_id"
+    )
+    msl50 = pq_adc_topk_join(enc, codebooks, qs, k=50).select(
+        "q_id", "vec_id"
+    )
+    exw = Window.partitionBy("q_id").orderBy("__d", "vec_id")
+    mex10 = (
+        emb.crossJoin(F.broadcast(qs))
+        .select(
+            "q_id",
+            "vec_id",
+            VX.l2_distance(F.col("embedding"), F.col("q_vec")).alias(
+                "__d"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(exw))
+        .filter(F.col("__rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    mh25 = (
+        msl25.join(mex10, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("__h25"))
+    )
+    mh50 = (
+        msl50.join(mex10, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("__h50"))
+    )
+    multi = (
+        qs.select("q_id")
+        .join(mh50, "q_id", "left")
+        .join(mh25, "q_id", "left")
+        .crossJoin(stats)
+        .select(
+            F.lit("multi").alias("branch"),
+            F.col("q_id").cast("long").alias("q_id"),
+            F.lit(10).cast("long").alias("k"),
+            "n_vectors",
+            (F.coalesce(F.col("__h50"), F.lit(0)) >= F.lit(3)).alias(
+                "recall_floor_ok"
+            ),
+            (
+                F.coalesce(F.col("__h50"), F.lit(0))
+                >= F.coalesce(F.col("__h25"), F.lit(0))
+            ).alias("shortlist_recall_monotone"),
+            "codes_in_range",
+            F.lit(bool(sse_monotone)).alias("sse_monotone"),
+        )
+    )
+    return single.unionByName(multi)
 
 
 _QUALITY_FCOLS = ["f_sw", "f_dr", "f_len"]
@@ -2657,92 +2735,6 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
             (F.col("__err_res") < F.col("__err_whole")).alias(
                 "residual_tighter_codes"
             ),
-        )
-    )
-
-
-@q(
-    "ann_pq_multi_topk",
-    "Batch ADC serving — PQ for MANY queries at once (the PQ twin of "
-    "ann_multi_query_topk's exact broadcast join): the 3-query set "
-    "broadcasts, each subspace's 16-entry distance table is built "
-    "IN-PLAN from the query-vector column against the literal codebook "
-    "(one codegen'd expression serves every query), candidates cost m "
-    "lookups, and a per-query window takes the shortlist — the codes "
-    "table never shuffles before the top-k. Invariant booleans PER "
-    "QUERY: the exact re-ranked ADC-50 shortlist recalls >= 3 of that "
-    "query's exact L2 top-10 (measured minima 5/6/4 across the three "
-    "SFs), and shortlist recall is monotone 50 vs 25 (same "
-    "deterministic ordering, longer prefix). Codebooks shared with "
-    "ann_pq_topk via the deterministic per-table memo.",
-    oracle="""
-    SELECT CAST(u.q AS BIGINT) AS q_id,
-           CAST(10 AS BIGINT) AS k,
-           TRUE AS recall_floor_ok,
-           TRUE AS shortlist_recall_monotone
-    FROM unnest([0, 1, 2]) AS u(q)
-    """,
-)
-def ann_pq_multi_topk(spark, sf_dir):
-    from pyspark import StorageLevel
-    from pyspark.sql.window import Window
-
-    from etl_weather_data_pipeline_spark.operators.quantization import (
-        pq_adc_topk_join,
-        pq_encode,
-    )
-
-    emb = load(spark, sf_dir, "embeddings")
-    codebooks, _ = _pq_codebooks(emb, sf_dir)
-    enc = pq_encode(emb, codebooks).persist(StorageLevel.MEMORY_AND_DISK)
-    _CURATION_PERSISTED.append(enc)
-    qs = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    sl25 = pq_adc_topk_join(enc, codebooks, qs, k=25).select(
-        "q_id", "vec_id"
-    )
-    sl50 = pq_adc_topk_join(enc, codebooks, qs, k=50).select(
-        "q_id", "vec_id"
-    )
-    exw = Window.partitionBy("q_id").orderBy("__d", "vec_id")
-    ex10 = (
-        emb.crossJoin(F.broadcast(qs))
-        .select(
-            "q_id",
-            "vec_id",
-            VX.l2_distance(F.col("embedding"), F.col("q_vec")).alias(
-                "__d"
-            ),
-        )
-        .withColumn("__rn", F.row_number().over(exw))
-        .filter(F.col("__rn") <= 10)
-        .select("q_id", "vec_id")
-    )
-    h25 = (
-        sl25.join(ex10, ["q_id", "vec_id"])
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("__h25"))
-    )
-    h50 = (
-        sl50.join(ex10, ["q_id", "vec_id"])
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("__h50"))
-    )
-    return (
-        qs.select("q_id")
-        .join(h50, "q_id", "left")
-        .join(h25, "q_id", "left")
-        .select(
-            "q_id",
-            F.lit(10).cast("long").alias("k"),
-            (F.coalesce(F.col("__h50"), F.lit(0)) >= F.lit(3)).alias(
-                "recall_floor_ok"
-            ),
-            (
-                F.coalesce(F.col("__h50"), F.lit(0))
-                >= F.coalesce(F.col("__h25"), F.lit(0))
-            ).alias("shortlist_recall_monotone"),
         )
     )
 
@@ -6464,6 +6456,289 @@ def corpus_attach_judge_semantic(spark, sf_dir):
         F.lit(bool(readonly_ok)).alias("judge_wrote_nothing"),
         F.lit(recall_ok).alias("planted_recall_floor_ok"),
         F.lit(bool(memo_ok)).alias("centroids_from_memo"),
+    )
+
+
+@q(
+    "corpus_store_maintenance",
+    "STORE-MAINTENANCE lifecycle (the r13 pre-plan's nominated "
+    "debutant): backfill_winnow_fingerprints + "
+    "compact_corpus_side_tables over a store with a REAL stage-3 "
+    "coverage gap — the operational scenario the backfill exists for: "
+    "a full-funnel merge (doc_id%6==0, passage stage ON) creates the "
+    "bucketed _winnow table, then a second merge (doc_id%6==3, "
+    "passage_min_run=None) appends survivors that get NO fingerprint "
+    "rows, so stage-3 passage blocking is silently blind to them. The "
+    "probe that proves it: passage-copies of the 10 longest "
+    "stage-3-off feed docs (admission-independent choice, so n_probe "
+    "is SQL-exact) — full source text verbatim plus more unique "
+    "filler tokens than the source has distinct tokens, which pins "
+    "token-set Jaccard vs ANY doc under 0.5 (stage-2-immune by "
+    "construction) while the verbatim region keeps the winnow sketch "
+    "shared. The READ-ONLY attach judge runs three times: before "
+    "backfill (blind — gap-doc copies admitted), after an explicit "
+    "backfill, and after compaction (which re-runs backfill: 0 rows "
+    "at steady state, and rewrites _bands/_winnow through the "
+    "bucketed stager to one file per non-empty bucket plus the "
+    "ingest history byte-targeted). Invariant booleans: "
+    "backfill_appended_rows (>0 — the gap was real), "
+    "second_backfill_zero (compaction's embedded backfill found "
+    "nothing left), winnow_matches_rebuild (the maintained table "
+    "EXACTLY equals winnow_fingerprint_table recomputed from every "
+    "store doc — maintenance converges the incremental table to the "
+    "from-scratch result; full-outer multiplicity-checked symdiff "
+    "== 0), probe_stable_across_compaction (judge survivors and "
+    "per-stage counts identical across the side-table rewrite — "
+    "compaction may change LAYOUT, never admissions), "
+    "blocking_restored_ok (>=90% of copies that were admitted while "
+    "blind, whose source is store-resident with >=12 unstopped "
+    "fingerprints, are dropped once the gap closes — a floor: the "
+    "sketch-tail junction and gram max_occ pathologies absorb like "
+    "the other planted-recall floors), side_files_bounded (both "
+    "bucketed tables land at <= bucket-count files without growing), "
+    "history_compacted (exactly 2 merge audit files -> 1). Exact "
+    "cross-checks: n_feed_full / n_feed_stage3_off / n_probe. At "
+    "100 TB this is the maintenance story: closing a blocking gap is "
+    "one anti-join + append over the gap docs (never a store-wide "
+    "re-sketch), and compaction is a zero-shuffle per-bucket rewrite "
+    "that the per-batch probe plans never notice.",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 6 = 0)
+             AS BIGINT) AS n_feed_full,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 6 = 3)
+             AS BIGINT) AS n_feed_stage3_off,
+           CAST(LEAST(10, (SELECT COUNT(*) FROM documents
+                           WHERE doc_id % 6 = 3)) AS BIGINT) AS n_probe,
+           TRUE AS backfill_appended_rows,
+           TRUE AS second_backfill_zero,
+           TRUE AS winnow_matches_rebuild,
+           TRUE AS probe_stable_across_compaction,
+           TRUE AS blocking_restored_ok,
+           TRUE AS side_files_bounded,
+           TRUE AS history_compacted
+    """,
+)
+def corpus_store_maintenance(spark, sf_dir):
+    """Live maintenance-lifecycle twin. Reference parity: the reference
+    has no streaming/store surface; this extends its batch curation the
+    way src/load.py's index DDL + load-history auditing maintain its
+    warehouse tables."""
+    import shutil
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.operators.passages import (
+        winnow_fingerprint_table,
+    )
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        backfill_winnow_fingerprints,
+        bands_table_name,
+        compact_corpus_side_tables,
+        judge_batch_against_store,
+        merge_batch_neardup_into_corpus,
+        winnow_table_name,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="corpus_store_maint_")
+    store = tmp + "/store"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feed_full = docs.filter(F.col("doc_id") % 6 == 0)
+    feed_off = docs.filter(F.col("doc_id") % 6 == 3)
+    try:
+        merge_batch_neardup_into_corpus(
+            feed_full, store, band_buckets=8, passage_min_run=16
+        )
+        merge_batch_neardup_into_corpus(
+            feed_off, store, band_buckets=8, passage_min_run=None
+        )
+        # Probe: passage-copies of the 10 longest stage-3-off docs.
+        # Collision guard on the source ids (a real doc_id >= 1e6 would
+        # be misread by the id-keyed audit joins — refuse loudly).
+        sources = (
+            feed_off.orderBy(F.length("text").desc(), "doc_id")
+            .limit(10)
+            .select(
+                F.when(F.col("doc_id") < 1000000, F.col("doc_id"))
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "corpus_store_maintenance: doc_id >= 1e6 "
+                            "collides with the planted-id space; "
+                            "raise the offset"
+                        )
+                    )
+                )
+                .alias("doc_id"),
+                "text",
+            )
+        )
+        # filler count = distinct-token count + 10: J(copy, x) <=
+        # |toks(src)| / (|toks(src)| + n_fill) < 1/2 vs EVERY doc, so
+        # stages 1-2 can never drop a copy; the verbatim source prefix
+        # keeps the winnow sketch (only the last w windows can
+        # re-select across the text||filler junction).
+        n_fill = F.size(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ) + F.lit(10)
+        probe = sources.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), n_fill),
+                        lambda i: F.concat(
+                            F.lit("zq"),
+                            i.cast("string"),
+                            F.lit("x"),
+                            F.col("doc_id").cast("string"),
+                        ),
+                    ),
+                ),
+            ).alias("text"),
+        ).localCheckpoint()  # eager: three judge consumers + the audit
+        jargs = dict(band_buckets=8, passage_min_run=16)
+        rep_before = judge_batch_against_store(probe, store, **jargs)
+        backfilled = backfill_winnow_fingerprints(spark, store, n_buckets=8)
+        rep_mid = judge_batch_against_store(probe, store, **jargs)
+        comp = compact_corpus_side_tables(spark, store, band_buckets=8)
+        rep_after = judge_batch_against_store(probe, store, **jargs)
+        # --- fused audit: ONE collected action (lifecycle discipline).
+        # (a) winnow == from-scratch rebuild, multiplicity-checked;
+        # (b) probe spine left-joins every flag, one aggregate.
+        wt = spark.table(winnow_table_name(store)).groupBy(
+            "doc_id", "fingerprint"
+        ).agg(F.count(F.lit(1)).alias("__ct"))
+        rebuild = winnow_fingerprint_table(
+            spark.read.parquet(store).select("doc_id", "text")
+        )
+        rb = rebuild.groupBy("doc_id", "fingerprint").agg(
+            F.count(F.lit(1)).alias("__cr")
+        )
+        wmism = (
+            wt.join(rb, ["doc_id", "fingerprint"], "full_outer")
+            .agg(
+                F.sum(
+                    (~F.col("__ct").eqNullSafe(F.col("__cr"))).cast(
+                        "long"
+                    )
+                ).alias("n_winnow_mismatch")
+            )
+        )
+        spine = probe.select(
+            "doc_id", (F.col("doc_id") - 1000000).alias("src_id")
+        )
+        src_keys = F.broadcast(
+            spine.select(F.col("src_id").alias("doc_id"))
+        )
+        resident = (
+            spark.read.parquet(store)
+            .select("doc_id")
+            .join(src_keys, "doc_id", "left_semi")
+            .select(
+                F.col("doc_id").alias("src_id"),
+                F.lit(True).alias("__res"),
+            )
+        )
+        # "rich" = the source keeps >= 12 fingerprints that survive the
+        # judge's STORE-side df stop bound (>= min_shared 8 + the w=4
+        # junction margin), computed from the post-maintenance table
+        # content (== rebuild, the frame the mid/after judges probed)
+        fdf = rebuild.groupBy("fingerprint").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        rich = (
+            rebuild.join(src_keys, "doc_id", "left_semi")
+            .join(fdf.filter(F.col("__df") <= _WINNOW_MAX_DF), "fingerprint")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("__nfp"))
+            .filter(F.col("__nfp") >= _WINNOW_MIN_SHARED + 4)
+            .select(
+                F.col("doc_id").alias("src_id"),
+                F.lit(True).alias("__rich"),
+            )
+        )
+
+        def _flag(rep, name):
+            return F.broadcast(
+                rep["survivors"].select(
+                    "doc_id", F.lit(True).alias(name)
+                )
+            )
+
+        flippable = F.col("__b").isNotNull() & F.col("__res").isNotNull() & F.col(
+            "__rich"
+        ).isNotNull()
+        audit = (
+            spine.join(_flag(rep_before, "__b"), "doc_id", "left")
+            .join(_flag(rep_mid, "__m"), "doc_id", "left")
+            .join(_flag(rep_after, "__a"), "doc_id", "left")
+            .join(F.broadcast(resident), "src_id", "left")
+            .join(F.broadcast(rich), "src_id", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_probe"),
+                F.sum(
+                    (~F.col("__m").eqNullSafe(F.col("__a"))).cast("long")
+                ).alias("n_unstable"),
+                F.sum(flippable.cast("long")).alias("n_flippable"),
+                F.sum(
+                    (flippable & F.col("__a").isNull()).cast("long")
+                ).alias("n_flipped"),
+            )
+        )
+        feeds = docs.agg(
+            F.sum((F.col("doc_id") % 6 == 0).cast("long")).alias(
+                "n_feed_full"
+            ),
+            F.sum((F.col("doc_id") % 6 == 3).cast("long")).alias(
+                "n_feed_stage3_off"
+            ),
+        )
+        row = feeds.crossJoin(wmism).crossJoin(audit).first()
+        stable = bool(
+            row["n_unstable"] == 0
+            and rep_mid["n_batch"] == rep_after["n_batch"]
+            and rep_mid["n_after_exact"] == rep_after["n_after_exact"]
+            and rep_mid["n_after_neardup"] == rep_after["n_after_neardup"]
+            and rep_mid["n_survivors"] == rep_after["n_survivors"]
+        )
+        restored = bool(
+            row["n_flippable"] >= 1
+            and (row["n_flipped"] or 0) >= 0.9 * row["n_flippable"]
+        )
+        files_ok = bool(
+            all(
+                comp[t]["files_after"] <= 8
+                and comp[t]["files_after"] <= comp[t]["files_before"]
+                for t in ("bands", "winnow")
+            )
+        )
+        hist_ok = bool(
+            comp["ingest_history"]["files_before"] == 2
+            and comp["ingest_history"]["files_after"] == 1
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
+        spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(row["n_feed_full"]).cast("long").alias("n_feed_full"),
+        F.lit(row["n_feed_stage3_off"])
+        .cast("long")
+        .alias("n_feed_stage3_off"),
+        F.lit(row["n_probe"]).cast("long").alias("n_probe"),
+        F.lit(bool(backfilled >= 1)).alias("backfill_appended_rows"),
+        F.lit(bool(comp["winnow"]["backfilled_rows"] == 0)).alias(
+            "second_backfill_zero"
+        ),
+        F.lit(bool(row["n_winnow_mismatch"] == 0)).alias(
+            "winnow_matches_rebuild"
+        ),
+        F.lit(stable).alias("probe_stable_across_compaction"),
+        F.lit(restored).alias("blocking_restored_ok"),
+        F.lit(files_ok).alias("side_files_bounded"),
+        F.lit(hist_ok).alias("history_compacted"),
     )
 
 

@@ -1231,7 +1231,7 @@ def test_pq_fit_sampled_training_keeps_recall_floor(spark):
     deterministic hash-sample, not the corpus. Sampled codebooks must
     (a) be run-to-run deterministic, (b) keep Lloyd SSE non-increasing,
     and (c) keep the production read path (ADC-100 shortlist -> exact
-    re-rank@10) at ann_pq_topk's recall tripwire floor (>= 3/10) at
+    re-rank@10) at ann_pq_topk_battery's recall tripwire floor (>= 3/10) at
     BOTH gate SFs. max_train converts to the same hash-bucket filter
     via one count job and composes with sample_fraction (tighter
     wins)."""
@@ -2072,7 +2072,9 @@ def test_lifecycle_query_audit_action_counts(spark, monkeypatch):
     corpus_semdedup_global (base/planted counts 2 -> 1, index
     consistency counts 2 -> 1) — must keep issuing exactly THREE
     top-level driver actions each (one recall/audit aggregate, one
-    equivalence/index aggregate, one base count). Every action re-plans
+    equivalence/index aggregate, one base count); corpus_store_maintenance
+    (born fused) exactly ONE (feeds x winnow-symdiff x probe-flags in a
+    single crossJoined aggregate). Every action re-plans
     its analyzed tree on the driver (the measured r9/r13 per-action
     planning tax), so un-fusing shows up here as a count regression
     long before it shows on a wall clock. Only actions issued from
@@ -2105,12 +2107,13 @@ def test_lifecycle_query_audit_action_counts(spark, monkeypatch):
     for n in orig:
         monkeypatch.setattr(DataFrame, n, make_spy(n))
     try:
-        for qname in (
-            "corpus_attach_judge_semantic",
-            "corpus_semdedup_global",
+        for qname, expected in (
+            ("corpus_attach_judge_semantic", 3),
+            ("corpus_semdedup_global", 3),
+            ("corpus_store_maintenance", 1),
         ):
             counts.clear()
             reg[qname].spark(spark, SF_SMOKE).collect()
-            assert len(counts) == 3, (qname, counts)
+            assert len(counts) == expected, (qname, counts)
     finally:
         monkeypatch.undo()

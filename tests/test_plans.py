@@ -649,19 +649,23 @@ def test_neardup_cluster_keep_plan_shape(spark):
     assert n_nodes(p, "Exchange") == 1, p
 
 
-def test_pq_topk_plan_shape(spark):
+def test_pq_topk_battery_plan_shape(spark):
     from etl_weather_data_pipeline_spark.plans.llmops import (
         release_curation_cache,
     )
 
-    # PQ query: the encoded codes table persists once and feeds all four
-    # consumers (two ADC shortlists, the codes-range aggregate, the
-    # count); ADC scoring is table lookups in codegen — no Python
-    # workers anywhere; the only joins are tiny id-set intersections and
-    # the 1-row boolean crossJoins
-    p = plan_of(spark, "ann_pq_topk")
-    assert n_nodes(p, "InMemoryTableScan") >= 3, p
+    # PQ battery: ONE encoded codes table persists and feeds BOTH
+    # branches' consumers (single: two ADC shortlists + the codes-range
+    # aggregate + the count; multi: two join-shortlists) — as separate
+    # queries each branch paid its own encode pass; ADC scoring is
+    # table lookups in codegen — no Python workers anywhere; the only
+    # joins are tiny id-set intersections, the broadcast 3-query set
+    # (BroadcastNestedLoopJoin is the intended crossJoin there), and
+    # the 1-row boolean crossJoins — no unbroadcast cartesian
+    p = plan_of(spark, "ann_pq_topk_battery")
+    assert n_nodes(p, "InMemoryTableScan") >= 5, p
     assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
     release_curation_cache()
 
 
@@ -826,22 +830,6 @@ def test_epoch_expand_plan_shape(spark):
     assert n_nodes(p, "Generate") == 1, p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
-
-
-def test_pq_multi_topk_plan_shape(spark):
-    from etl_weather_data_pipeline_spark.plans.llmops import (
-        release_curation_cache,
-    )
-
-    # batch ADC: the codes table persists once (both shortlists); the
-    # query set broadcasts (BroadcastNestedLoopJoin on the 3-row side is
-    # the intended crossJoin); one window shuffle per shortlist; no
-    # Python workers, no unbroadcast cartesian
-    p = plan_of(spark, "ann_pq_multi_topk")
-    assert n_nodes(p, "InMemoryTableScan") >= 2, p
-    assert "CartesianProduct" not in p
-    assert "BatchEvalPython" not in p
-    release_curation_cache()
 
 
 def test_ivf_trained_topk_plan_shape(spark):
