@@ -228,26 +228,29 @@ def minhash_values(text: Column, num_hashes: int = 4, k: int = 3) -> Column:
     form used on the hot path, which this family matches exactly).
     md5-based so the DuckDB oracle reproduces it bit-for-bit; at scale
     swap for xxhash64 with the same structure.
+
+    Implementation note: the hash index is captured via a closure
+    FACTORY, never the ``lambda s, i=i:`` default-arg idiom —
+    ``F.transform`` dispatches on lambda ARITY, so a two-parameter
+    lambda is called as (element, index) and ``i`` silently rebinds to
+    the element-index Column (TypeError here; silent wrong hashes in
+    expressions where ``Column`` operations happen to be valid).
     """
     sh = word_shingles(text, k)
+
+    def word(i):
+        return lambda s: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i // 4}:"), s)),
+                8 * (i % 4) + 1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s, i=i: F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{i // 4}:"), s)),
-                            8 * (i % 4) + 1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, word(i))) for i in range(num_hashes)]
     )
 
 

@@ -2117,3 +2117,55 @@ def test_lifecycle_query_audit_action_counts(spark, monkeypatch):
             assert len(counts) == expected, (qname, counts)
     finally:
         monkeypatch.undo()
+
+
+def test_minhash_values_matches_signature_operator(spark):
+    """functions/text.minhash_values (the nested-HOF convenience/spec
+    form) and operators/dedup.minhash_signatures (the exploded hot-path
+    form) claim the SAME md5 hash family bit-for-bit — pin cross-impl
+    identity so the readable spec and the production operator can never
+    drift (the Arrow-twin discipline applied to MinHash)."""
+    from etl_weather_data_pipeline_spark.functions import text as TX
+    from etl_weather_data_pipeline_spark.functions.text import token_count
+    from etl_weather_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .filter(token_count(F.col("text")) >= 3)  # >=1 shingle: the
+        .limit(50)  # exploded form emits no row for shingle-less docs
+    )
+    spec = docs.select(
+        "doc_id",
+        TX.minhash_values(F.col("text"), num_hashes=8, k=3).alias("sa"),
+    )
+    hot = minhash_signatures(docs, num_hashes=8).select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(8)]).alias("sb"),
+    )
+    joined = spec.join(hot, "doc_id")
+    n = joined.count()
+    assert n == 50
+    assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
+
+
+def test_jaccard_tokens_known_values(spark):
+    """Exact Jaccard fractions on hand-checked token sets."""
+    from etl_weather_data_pipeline_spark.functions.text import (
+        jaccard_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a b c", "b c d", 0.5),  # inter 2 / union 4
+            ("same tokens here", "same tokens here", 1.0),
+            ("left only", "right other", 0.0),
+            ("a a b", "a b", 1.0),  # distinct sets equal
+        ],
+        "ta string, tb string, expected double",
+    )
+    bad = df.filter(
+        jaccard_tokens(F.col("ta"), F.col("tb")) != F.col("expected")
+    )
+    assert bad.count() == 0

@@ -1093,3 +1093,38 @@ def test_centroid_memo_timed_consumers_share_one_training_pass(spark):
         )
     finally:
         AR.release_shared_artifacts()
+
+
+def test_salted_broadcast_join_matches_plain_join(spark):
+    """Skew operator (operators/skew.py salted_broadcast_join): salting
+    the big side and exploding the broadcast small side once per salt
+    must be row-for-row identical to the plain equi-join, keep a
+    BroadcastHashJoin (the big side never shuffles), and leave no salt
+    column in the output."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators.skew import (
+        salted_broadcast_join,
+    )
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+
+    big = load(spark, SF_SMOKE, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nationkey")
+    )
+    small = load(spark, SF_SMOKE, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    got = salted_broadcast_join(big, small, "nationkey", n_salts=4)
+    assert "__salt" not in got.columns
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    expected = big.join(small, "nationkey")
+    exp_rows = sorted(
+        map(repr, (tuple(r) for r in expected.select(sorted(expected.columns)).collect()))
+    )
+    got_rows = sorted(
+        map(repr, (tuple(r) for r in got.select(sorted(expected.columns)).collect()))
+    )
+    assert got_rows == exp_rows

@@ -196,3 +196,50 @@ def test_read_jsonl_corpus_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(rows) == 3 and len(bad) == 1
     assert bad[0]["_corrupt_record"].startswith("{this")
+
+
+def test_write_csv_json_sinks_round_trip(spark, tmp_path, clean_raw):
+    """K1/K2 — the CSV and JSON-lines sinks round-trip rows and honor
+    append mode (the reference writes both formats from every stage,
+    src/load.py; here they are thin mode-parameterized writers)."""
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        write_csv,
+        write_json,
+    )
+    from etl_weather_data_pipeline_spark.sources.readers import (
+        read_raw_csv,
+    )
+
+    csv_path = str(tmp_path / "csv_sink")
+    write_csv(clean_raw, csv_path)
+    back = read_raw_csv(spark, csv_path)
+    assert back.count() == 3
+    assert sorted(r["city"] for r in back.select("city").collect()) == sorted(
+        r["city"] for r in clean_raw.select("city").collect()
+    )
+    write_csv(clean_raw, csv_path, mode="append")
+    assert read_raw_csv(spark, csv_path).count() == 6
+
+    json_path = str(tmp_path / "json_sink")
+    write_json(clean_raw, json_path)
+    jback = spark.read.json(json_path)
+    assert jback.count() == 3
+    assert set(clean_raw.columns) <= set(jback.columns)
+    write_json(clean_raw, json_path, mode="append")
+    assert spark.read.json(json_path).count() == 6
+
+
+def test_register_views_enables_sql(spark):
+    """register_views exposes every testdata table to spark.sql —
+    the SQL entry point a reference user would reach for first."""
+    from etl_weather_data_pipeline_spark.sources.readers import (
+        read_table,
+        register_views,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    register_views(spark, SF_SMOKE)
+    for t in ("documents", "events", "nation"):
+        n_sql = spark.sql(f"SELECT COUNT(*) AS n FROM {t}").first()["n"]
+        assert n_sql == read_table(spark, SF_SMOKE, t).count()

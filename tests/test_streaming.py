@@ -787,6 +787,118 @@ def test_compact_corpus_side_tables(spark, tmp_path):
     assert merge_batch_neardup_into_corpus(replay, store, band_buckets=4) == 0
 
 
+def test_compact_ivf_index_folds_cell_files(spark, tmp_path):
+    """Stage-4 index maintenance (the vectors_ivf branch of
+    compact_corpus_side_tables, previously only reachable in
+    production): every semantic merge appends one file per TOUCHED
+    cell under _vectors_ivf/vectors/cell=*/, so streaming cadence
+    grows the probe's file count linearly; the compaction folds each
+    cell partition to one file WITHOUT moving any row across cells
+    (the store invariant partition pruning rests on), changes no
+    vector, and the read-only judge admits the identical set across
+    the rewrite."""
+    import glob
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+    from etl_weather_data_pipeline_spark.streaming.corpus import (
+        VECTORS_IVF_SUBDIR,
+        compact_corpus_side_tables,
+        judge_batch_against_store,
+        merge_batch_neardup_into_corpus,
+    )
+
+    store = str(tmp_path / "corpus")
+
+    def doc(i):
+        text = " ".join(f"tok{i}w{j}" for j in range(8))
+        vec = [math.cos(i * 0.5), math.sin(i * 0.5), 0.0, 0.0]
+        return (i, text, [float(x) for x in vec])
+
+    schema = "doc_id long, text string, embedding array<float>"
+    # golden-ish angular spacing: every pairwise cosine stays below the
+    # 0.999 threshold (worst wraparound pair i-j=13 -> cos(0.217 rad)
+    # ~= 0.9766), so all 18 docs survive stage 4 and index
+    cfg = dict(
+        band_buckets=4,
+        embedding_col="embedding",
+        semantic_cells=2,
+        semantic_threshold=0.999,
+        semantic_bootstrap_centroids=[
+            [1.0, 0.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0, 0.0],
+        ],
+    )
+    for b in range(3):
+        rows = [doc(i) for i in range(b * 6, b * 6 + 6)]
+        df = spark.createDataFrame(rows, schema)
+        assert merge_batch_neardup_into_corpus(df, store, **cfg) == 6
+
+    vroot = f"{store}/{VECTORS_IVF_SUBDIR}"
+    vdir = f"{vroot}/{AX.VECTORS_SUBDIR}"
+    cell_dirs = sorted(glob.glob(os.path.join(vdir, "cell=*")))
+    assert len(cell_dirs) == 2, cell_dirs  # both centroids touched
+    files_per_cell_before = {
+        d: len(glob.glob(os.path.join(d, "*.parquet"))) for d in cell_dirs
+    }
+    # each batch touched both cells -> 3 append files per cell
+    assert all(n >= 2 for n in files_per_cell_before.values()), (
+        files_per_cell_before
+    )
+    vec_before = sorted(
+        map(repr, (tuple(r) for r in AX.read_ivf_vectors(spark, vroot).collect()))
+    )
+
+    # probe batch: one planted semantic twin of an indexed doc (distinct
+    # tokens, vector scaled 1.001 -> cosine 1.0) + one genuinely fresh
+    # direction ([0,0,1,0] is orthogonal to every indexed vector)
+    twin_vec = [float(x * 1.001) for x in doc(4)[2]]
+    probe = spark.createDataFrame(
+        [
+            (100, "planted pa pb pc pd pe pf pg", twin_vec),
+            (101, "fresh fa fb fc fd fe ff fg", [0.0, 0.0, 1.0, 0.0]),
+        ],
+        schema,
+    )
+    jargs = dict(
+        band_buckets=4, embedding_col="embedding",
+        semantic_threshold=0.999,
+    )
+    rep_before = judge_batch_against_store(probe, store, **jargs)
+    kept_before = sorted(
+        r["doc_id"] for r in rep_before["survivors"].select("doc_id").collect()
+    )
+    assert kept_before == [101], kept_before  # twin dropped, fresh kept
+
+    out = compact_corpus_side_tables(spark, store, band_buckets=4)
+    assert "vectors_ivf" in out, out
+    assert (
+        out["vectors_ivf"]["files_after"]
+        < out["vectors_ivf"]["files_before"]
+    ), out
+    # exactly one file per non-empty cell, rows byte-identical, and no
+    # row changed cells (read back WITH the partition column)
+    for d in cell_dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    vec_after = sorted(
+        map(repr, (tuple(r) for r in AX.read_ivf_vectors(spark, vroot).collect()))
+    )
+    assert vec_after == vec_before
+    rep_after = judge_batch_against_store(probe, store, **jargs)
+    kept_after = sorted(
+        r["doc_id"] for r in rep_after["survivors"].select("doc_id").collect()
+    )
+    assert kept_after == kept_before
+    assert {
+        k: rep_after[k] for k in ("n_batch", "n_after_exact", "n_survivors")
+    } == {
+        k: rep_before[k] for k in ("n_batch", "n_after_exact", "n_survivors")
+    }
+
+
 def test_neardup_merge_migrates_plain_bands_layout(spark, tmp_path):
     """A pre-bucketing store (plain-parquet _bands, no catalog entry) is
     migrated in place on first touch: the merge detects the unbucketed
