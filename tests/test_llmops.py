@@ -2169,3 +2169,27 @@ def test_jaccard_tokens_known_values(spark):
         jaccard_tokens(F.col("ta"), F.col("tb")) != F.col("expected")
     )
     assert bad.count() == 0
+
+
+def test_pq_battery_single_encode_pass(spark, monkeypatch):
+    """The battery's consolidation claim pinned: ONE pq_encode pass
+    serves both branches (as separate queries, single and multi each
+    paid their own full-corpus encode). A second call here means the
+    branches stopped sharing the persisted codes table."""
+    from etl_weather_data_pipeline_spark.operators import quantization as QZ
+    from etl_weather_data_pipeline_spark.plans.catalog import (
+        build_registry,
+    )
+
+    calls: list[int] = []
+    orig = QZ.pq_encode
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(QZ, "pq_encode", spy)
+    reg = build_registry()
+    rows = reg["ann_pq_topk_battery"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    assert len(calls) == 1, calls
