@@ -814,3 +814,53 @@ def test_cdc_and_winnow_arrow_match_hof(spark):
             for r in winnow_fingerprint_table(frame, 8, 4, impl="hof").collect()
         )
         assert wa == wh
+
+
+def test_minhash_family_matches_python_reference(spark):
+    """The documented md5 MinHash family — h_i(s) = int(substr(
+    md5(f'{i//4}:' || shingle), 8*(i%4)+1, 8), 16) over 3-word
+    shingles — pinned against a pure-Python reference on adversarial
+    texts, so BOTH Spark implementations (the HOF spec form and the
+    exploded hot path, already cross-pinned) cannot drift together
+    away from the contract the DuckDB oracles reproduce."""
+    import hashlib
+
+    from etl_weather_data_pipeline_spark.functions.text import (
+        minhash_values,
+    )
+
+    def py_minhash(text, num_hashes=8, k=3):
+        toks = [t for t in text.strip().split() if t] or [""]
+        if text.strip() == "":
+            toks = [""]
+        shingles = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ]
+        if not shingles:
+            return None
+        out = []
+        for i in range(num_hashes):
+            vals = []
+            for s in shingles:
+                h = hashlib.md5(f"{i // 4}:{s}".encode()).hexdigest()
+                vals.append(int(h[8 * (i % 4) : 8 * (i % 4) + 8], 16))
+            out.append(min(vals))
+        return out
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c",                      # exactly one shingle
+        "one two three four",         # two shingles
+        "dup dup dup dup dup",        # repeated token
+        "x0 y1 z2 x0 y1 z2 x0 y1",    # periodic
+        " leading and   inner   gaps here ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: list(r["sig"])
+        for r in df.select(
+            "text", minhash_values(F.col("text"), num_hashes=8).alias("sig")
+        ).collect()
+    }
+    for t in texts:
+        assert got[t] == py_minhash(t), t
