@@ -6529,6 +6529,9 @@ def corpus_store_maintenance(spark, sf_dir):
     from etl_weather_data_pipeline_spark.operators.passages import (
         winnow_fingerprint_table,
     )
+    from etl_weather_data_pipeline_spark.session import (
+        release_local_checkpoint,
+    )
     from etl_weather_data_pipeline_spark.streaming.corpus import (
         backfill_winnow_fingerprints,
         bands_table_name,
@@ -6543,6 +6546,12 @@ def corpus_store_maintenance(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     feed_full = docs.filter(F.col("doc_id") % 6 == 0)
     feed_off = docs.filter(F.col("doc_id") % 6 == 3)
+    # Eager-checkpointed frames created inside the try (the probe + the
+    # three judge reports' survivors) — released explicitly in the
+    # finally so repeated driver rounds don't accumulate checkpoint
+    # blocks waiting on the ContextCleaner (r13 advice).
+    ckpts: list = []
+    rebuild = None
     try:
         merge_batch_neardup_into_corpus(
             feed_full, store, band_buckets=8, passage_min_run=16
@@ -6598,21 +6607,30 @@ def corpus_store_maintenance(spark, sf_dir):
                 ),
             ).alias("text"),
         ).localCheckpoint()  # eager: three judge consumers + the audit
+        ckpts.append(probe)
         jargs = dict(band_buckets=8, passage_min_run=16)
         rep_before = judge_batch_against_store(probe, store, **jargs)
+        ckpts.append(rep_before["survivors"])
         backfilled = backfill_winnow_fingerprints(spark, store, n_buckets=8)
         rep_mid = judge_batch_against_store(probe, store, **jargs)
+        ckpts.append(rep_mid["survivors"])
         comp = compact_corpus_side_tables(spark, store, band_buckets=8)
         rep_after = judge_batch_against_store(probe, store, **jargs)
+        ckpts.append(rep_after["survivors"])
         # --- fused audit: ONE collected action (lifecycle discipline).
         # (a) winnow == from-scratch rebuild, multiplicity-checked;
         # (b) probe spine left-joins every flag, one aggregate.
         wt = spark.table(winnow_table_name(store)).groupBy(
             "doc_id", "fingerprint"
         ).agg(F.count(F.lit(1)).alias("__ct"))
+        # Persist: `rebuild` (the full-store re-sketch, this query's most
+        # expensive pass) feeds THREE branches of the fused audit (rb /
+        # fdf / rich) — unpersisted it re-evaluates per consumer (the
+        # standing 2+-consumer rule; r13 advice). A lazy persist adds no
+        # driver action, so the 1-action audit pin still holds.
         rebuild = winnow_fingerprint_table(
             spark.read.parquet(store).select("doc_id", "text")
-        )
+        ).persist()
         rb = rebuild.groupBy("doc_id", "fingerprint").agg(
             F.count(F.lit(1)).alias("__cr")
         )
@@ -6719,6 +6737,10 @@ def corpus_store_maintenance(spark, sf_dir):
             and comp["ingest_history"]["files_after"] == 1
         )
     finally:
+        if rebuild is not None:
+            rebuild.unpersist()
+        for f in ckpts:
+            release_local_checkpoint(f)
         spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
         spark.sql(f"DROP TABLE IF EXISTS {winnow_table_name(store)}")
         shutil.rmtree(tmp, ignore_errors=True)

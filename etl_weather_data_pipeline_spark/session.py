@@ -50,3 +50,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_local_checkpoint(df) -> None:
+    """Free an eager ``localCheckpoint``'s RDD blocks NOW instead of
+    waiting for GC/ContextCleaner.
+
+    ``DataFrame.unpersist`` is a no-op for checkpointed frames: their
+    analyzed plan is a ``LogicalRDD``, not a CacheManager entry
+    (verified on Spark 4.1 — storage blocks survive ``unpersist(True)``
+    but drop to zero after ``LogicalRDD.rdd().unpersist()``). Without an
+    explicit release, repeated lifecycle queries in one long-lived
+    driver session accumulate checkpoint blocks until the cleaner gets
+    around to them.
+
+    The frame must NOT be used afterwards — reading a released
+    checkpoint raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — so call this
+    only from ``finally`` blocks on frames the caller itself created.
+    Best-effort: non-LogicalRDD plans are ignored and reflection
+    failures are swallowed (cleanup then falls back to the
+    ContextCleaner, the pre-existing behavior).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -655,3 +655,31 @@ def test_quality_gate_failure_on_all_invalid_batch(spark, tmp_path):
         run_pipeline(spark, df, str(tmp_path / "wh"))
     hist = spark.read.parquet(f"{tmp_path}/wh/load_history").collect()
     assert hist[0]["status"] == "quality_gate_failed"
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """r14 (r13 advice): DataFrame.unpersist is a CacheManager no-op for
+    localCheckpoint frames (plan = LogicalRDD, no cache entry), so
+    lifecycle queries that eager-checkpoint must release blocks through
+    session.release_local_checkpoint — this pins that the helper really
+    drops the checkpoint RDD's storage blocks (and that a plain
+    unpersist does NOT, so the helper can't silently regress into one)."""
+    from etl_weather_data_pipeline_spark.session import (
+        release_local_checkpoint,
+    )
+
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v").localCheckpoint()
+    df.count()
+    rid = df._jdf.queryExecution().analyzed().rdd().id()
+
+    def stored_ids():
+        sc = spark.sparkContext
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    assert rid in stored_ids()
+    df.unpersist(True)  # documented no-op for checkpointed frames
+    assert rid in stored_ids()
+    release_local_checkpoint(df)
+    assert rid not in stored_ids()
+    # best-effort contract: a non-checkpointed frame is a silent no-op
+    release_local_checkpoint(spark.range(5).selectExpr("id AS x"))
