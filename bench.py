@@ -303,7 +303,7 @@ CORE_R6 = [
 # a column — running them at the bench SF IS the assertion.
 PROPERTY_QUERIES = [
     "approx_aggregates",
-    "events_mad_outliers_approx",
+    "events_mad_outliers_battery",
     "kmeans_clusters",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",

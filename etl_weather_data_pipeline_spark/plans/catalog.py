@@ -139,113 +139,109 @@ def o_dround(x: str, n: int) -> str:
 
 # Registry order = the order the driver's correctness harness runs the
 # queries, and the harness checks at most 50 per round (every CORRECTNESS
-# file holds exactly the first 50 registry entries). Round-13 rotation
-# (executes the r12 verdict directive #1 name-for-name): (1) the
-# r10-vintage cohort (last green = CORRECTNESS_r10, age 3 at r13) — 47
-# rotating rows minus the 5 rows retired into the r12 consolidation
-# batteries minus the 2 rows retired into THIS round's battery (see cap
-# math below) = 40 rows, JVM-only plans first, the heavyweight
-# curation/export pipelines at the cohort tail (a worker death late in
-# the window costs the fewest rows); (2) the three consolidation
-# batteries' FIRST driver checks (nation_set_ops_battery +
-# orders_grouping_battery from r12, customer_semi_anti_battery from
-# r13 — constituents retired with green-r10 evidence, batteries
-# parity-exact in the green suite); (3) three EARLY PULLS from the
-# r11 vintage to smooth r14 (the r12 pre-plan's suggested pulls
-# top_revenue_orders/nation_revenue are in fact r10-vintage — already
-# due — so the cheapest true r11 rows pull instead:
-# orders_monthly_growth, source_quality_stats, corpus_length_histogram);
+# file holds exactly the first 50 registry entries). Round-14 rotation
+# (executes the r13 verdict directive #1 / the r13 pre-plan name-for-name):
+# (1) the r11-vintage cohort (last green = CORRECTNESS_r11, age 3 at r14)
+# — 47 rotating rows minus the 3 early pulls r13 already took
+# (orders_monthly_growth, source_quality_stats, corpus_length_histogram)
+# minus the 2 rows retired into the r14-funding battery (ann_pq_topk +
+# ann_pq_multi_topk -> ann_pq_topk_battery, built late r13) = 42 rows,
+# JVM-only plans first (pricing_summary promoted to the head), the
+# heavyweight curation/index/semdedup pipelines and the Python-worker
+# multimodal rows at the cohort tail (a worker death late in the window
+# costs the fewest rows); (2) ann_pq_topk_battery's FIRST driver check
+# (constituents retired with green-r11 evidence, battery parity-exact
+# in the r13 green suite); (3) three EARLY PULLS from the r12 vintage
+# to smooth r15 (the cheapest r12 rows, as pre-planned:
+# global_order_metrics, top_orders_per_customer, user_running_value);
 # (4) the standing canaries kmeans_clusters + corpus_merge_state and
 # the reference-parity core weather_pipeline_e2e; (5) the round's ONE
-# debutant dead-LAST (corpus_attach_judge_semantic — stage 4 of the
-# attach judge, r12 verdict directive #2). 40+3+3+3+1 = exactly 50.
+# debutant dead-LAST (corpus_store_maintenance — the backfill→compaction
+# lifecycle, pre-built and parity-exact within r13). 42+1+3+3+1 = 50.
 # Rotation-debt policy (standing, r11 directive #2): 50 slots/round − 3
 # fixed (canaries + e2e) = 47 rotating slots/round = 141 rotating rows
 # per 3-round cycle. Registry capped at 141 (138 rotating + 3 fixed) =
-# at most ONE debutant per round, funded by consolidation. r13 cap
-# math: 141 − 2 (customers_with_big_orders + customers_without_orders
-# -> customer_semi_anti_battery, identical left_semi/left_anti
-# coverage) + 1 (battery) + 1 (debutant) = 141. Cap held.
-# Banking plan (r14, pre-planned): the r11-vintage cohort (47 rotating
-# rows green r11) minus the 3 early pulls above minus the 2 rows
-# retired into the r14-funding battery (ann_pq_topk + ann_pq_multi_topk
-# -> ann_pq_topk_battery — identical PQ operator surface, labeled
-# branches, ONE shared encode pass where the two rows each paid their
-# own) = 42 rows MUST open the r14 window; + the battery's FIRST
-# driver check + canaries + e2e = 46 slots -> r14 budget = the
-# PRE-BUILT debutant corpus_store_maintenance dead-last
-# (backfill_winnow_fingerprints + compact_corpus_side_tables lifecycle
-# — the r13 pre-plan's nomination, built/parity-exact/invariant-green
-# at sf0.1 within r13) + 3 early pulls from the r12 vintage
-# (suggested: global_order_metrics, top_orders_per_customer,
-# user_running_value — the cheapest r12 rows). r13's own window (this
-# list) banks until r16. Cap math (held): 141 - 2 (PQ rows) + 1
-# (battery) + 1 (corpus_store_maintenance) = 141; both new rows sit
-# BELOW the first-50 boundary so the pre-planned r13 window above is
-# untouched.
-# Changed-code note (r13): merge_batch_neardup_into_corpus gained the
-# optional semantic_bootstrap_centroids pass-through (default None =
-# unchanged batch-trained bootstrap; exercised only by the debutant,
-# which sits in this window) and corpus_training_export's finally now
-# releases its temp-store cache (the query sits in this window's
-# cohort tail, so the change gets its driver re-check this round).
+# at most ONE debutant per round, funded by consolidation. r14 cap
+# math: 141 − 2 (events_mad_outliers + events_mad_outliers_approx ->
+# events_mad_outliers_battery — identical MAD-outlier surface, exact
+# and approx branches labeled in one stacked plan) + 1 (battery) + 1
+# (the r15 debutant corpus_crash_recovery_audit, pre-built this round)
+# = 141. Cap held.
+# Banking plan (r15, pre-planned): the r12-vintage cohort (47 rotating
+# rows green r12) minus the 3 early pulls above = 44 rows MUST open the
+# r15 window; + events_mad_outliers_battery's FIRST driver check +
+# canaries + e2e = 48 slots -> r15 budget = the PRE-BUILT debutant
+# corpus_crash_recovery_audit dead-last (merge_upsert staged-rename
+# crash + ANN index staged-swap crash, recovery convergence judged
+# against a clean run — built/parity-exact within r14) + 1 early pull
+# from the r13 vintage (suggested: top_revenue_orders, the cheapest
+# r13 row). r14's own window (this list) banks until r17. Cap math at
+# r15: no further consolidation needed — both new rows are already
+# funded by the r14 MAD consolidation above; both sit BELOW the
+# first-50 boundary so this pre-planned r14 window is untouched.
+# Changed-code note (r14): corpus_store_maintenance gained the shared-
+# rebuild persist + explicit checkpoint release (r13 advice) — it is
+# this window's dead-last debutant, so the change gets its driver check
+# this round. events_mad_outliers/_approx retire with green-r13
+# evidence (they sat in the r13 window); their battery twin is
+# parity-exact in this round's suite.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- the 40-row r10-vintage cohort (age 3 at r13), JVM-light first
-    "top_revenue_orders",
-    "nation_revenue",
-    "segment_order_stats",
-    "brand_part_stats",
-    "user_sessions",
-    "latest_event_per_user",
-    "dedup_events_hourly",
-    "daily_event_type_pivot",
-    "customer_string_battery",
-    "conditional_aggs",
-    "daily_counts_unpivot",
-    "events_anomaly_zscore",
-    "events_mad_outliers",
-    "events_mad_outliers_approx",
-    "events_zorder_layout",
-    "weather_daily_summary",
-    "weather_latest",
-    "weather_seasonal_trends",
-    "weather_quality_metrics",
-    "doc_dedup_exact",
-    "doc_duplicate_groups",
-    "doc_minhash_signatures",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "doc_winnow_overlap_pairs",
-    "doc_passage_pairs_blocked",
-    "dedup_recall_probe",
-    "passage_recall_probe",
-    "corpus_ingest_history_report",
-    "corpus_mixture_plan",
-    "neardup_cluster_keep",
-    "corpus_curriculum_stages",
-    "corpus_epoch_expand",
-    "neardup_transitivity_stats",
-    "corpus_pack_intact",
-    "corpus_pack_stats",
-    "ann_ivf_index_topk",
-    "corpus_bpe_merges",
-    # cohort tail: heavyweight flagship + Python-worker consumer
-    "corpus_curation_pipeline",
-    "corpus_training_export",
-    # --- consolidation batteries' FIRST driver checks ---
-    "nation_set_ops_battery",
-    "orders_grouping_battery",
-    "customer_semi_anti_battery",
-    # --- early pulls from the r11 vintage (smooth r14) ---
-    "orders_monthly_growth",
-    "source_quality_stats",
-    "corpus_length_histogram",
+    # --- the 42-row r11-vintage cohort (age 3 at r14), JVM-light first
+    "pricing_summary",
+    "user_retention_cohorts",
+    "events_funnel_conversion",
+    "corpus_vocab_stats",
+    "corpus_train_split",
+    "corpus_temperature_sample",
+    "corpus_shard_manifest",
+    "doc_text_stats",
+    "doc_lang_id",
+    "doc_repetition_stats",
+    "doc_bigram_logprob",
+    "doc_chunk_spans",
+    "doc_span_dedup",
+    "doc_cdc_chunk_dedup",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_pii_scrub",
+    "doc_contamination_flags",
+    "doc_jaccard_pairs",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_jaccard_estimate",
+    "doc_quality_classifier",
+    "doc_quality_quantile_filter",
+    "neardup_cross_source_matrix",
+    "neardup_degree_stats",
+    "neardup_threshold_sweep",
+    "embedding_lsh_buckets",
+    "embedding_neardup_pairs",
+    "embedding_quantize_stats",
+    "label_centroids",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_multi_query_topk",
+    "corpus_decontaminate_eval",
+    "corpus_sequence_pack",
+    "corpus_bpe_apply",
+    # cohort tail: Python-worker multimodal rows + heavyweights
+    "multimodal_decode_features",
+    "multimodal_resize_stats",
+    "multimodal_binary_features",
+    "corpus_curation_pipeline_v2",
+    "ann_index_drift_report",
+    "corpus_semdedup_global",
+    # --- r14-funding battery's FIRST driver check ---
+    "ann_pq_topk_battery",
+    # --- early pulls from the r12 vintage (smooth r15) ---
+    "global_order_metrics",
+    "top_orders_per_customer",
+    "user_running_value",
     # --- standing canaries + reference-parity core ---
     "kmeans_clusters",
     "corpus_merge_state",
     "weather_pipeline_e2e",
-    # --- r13 debutant dead-LAST (semantic-attach judge, directive #2)
-    "corpus_attach_judge_semantic",
+    # --- r14 debutant dead-LAST (store-maintenance lifecycle) ---
+    "corpus_store_maintenance",
 )
 
 

@@ -712,77 +712,31 @@ def value_percentiles_by_type(spark, sf_dir):
 
 
 @q(
-    "events_mad_outliers",
-    "Robust (median/MAD) outlier report per event type — the data-quality "
+    "events_mad_outliers_battery",
+    "Robust (median/MAD) outlier battery per event type — the r14 "
+    "consolidation of events_mad_outliers + events_mad_outliers_approx "
+    "(constituents retired with green-r13 driver evidence; identical "
+    "MAD surface, one plan). The exact branch is the data-quality "
     "companion to events_anomaly_zscore: mean/stddev z-scores are "
     "themselves dragged by the outliers they hunt, while the MAD rule "
     "(|x - median| > 3.5 * 1.4826 * MAD, the standard consistency "
-    "constant) has a 50% breakdown point. Two exact-median passes "
-    "(group medians are tiny 1-row-per-type aggregates broadcast back "
-    "into the scan, never a driver .first()); the deviation comparison "
-    "is identical IEEE arithmetic on identical inputs cross-engine, so "
-    "the boundary is deterministic. At 100 TB swap the exact medians "
-    "for percentile_approx (the approx_aggregates path) — the plan "
-    "shape is unchanged.",
-    oracle=f"""
-    WITH med AS (
-      SELECT event_type, median(value) AS med FROM events GROUP BY 1),
-    dev AS (
-      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
-      FROM events e JOIN med m USING (event_type)),
-    mad AS (
-      SELECT event_type, median(dev) AS mad FROM dev GROUP BY 1)
-    SELECT d.event_type,
-           {o_dround('MIN(d.med)', 6)} AS median_value,
-           {o_dround('MIN(m.mad)', 6)} AS mad,
-           CAST(COUNT(*) FILTER (
-             WHERE d.dev > 3.5 * 1.4826 * m.mad) AS BIGINT) AS n_outliers,
-           {o_dround(
-               'CAST(COUNT(*) FILTER ('
-               ' WHERE d.dev > 3.5 * 1.4826 * m.mad) AS DOUBLE)'
-               ' / COUNT(*)', 6)} AS outlier_rate
-    FROM dev d JOIN mad m USING (event_type)
-    GROUP BY 1
-    """,
-)
-def events_mad_outliers(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("__med"))
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "__med",
-        F.abs(F.col("value") - F.col("__med")).alias("__dev"),
-    )
-    mad = dev.groupBy("event_type").agg(F.median("__dev").alias("__mad"))
-    j = dev.join(F.broadcast(mad), "event_type")
-    is_out = F.col("__dev") > F.lit(3.5) * F.lit(1.4826) * F.col("__mad")
-    return j.groupBy("event_type").agg(
-        dround(F.min("__med"), 6).alias("median_value"),
-        dround(F.min("__mad"), 6).alias("mad"),
-        F.count(F.when(is_out, 1)).alias("n_outliers"),
-        dround(
-            F.count(F.when(is_out, 1)).cast("double") / F.count(F.lit(1)), 6
-        ).alias("outlier_rate"),
-    )
-
-
-@q(
-    "events_mad_outliers_approx",
-    "The 100 TB variant of events_mad_outliers, itself checked: the two "
-    "exact F.median passes are full sort-based aggregations (fine at "
-    "small groups, a scan-wide sort at 100 TB), so the production plan "
-    "swaps them for percentile_approx — same two-pass shape, sketch "
-    "aggregation. Sketches are engine- and merge-order-specific, so "
-    "this is a PROPERTY oracle (approx_aggregates pattern): the row "
-    "carries the EXACT median/MAD/outlier columns (cross-checked "
-    "value-for-value by DuckDB) plus booleans asserting the approx "
-    "stats sit inside tight exact-percentile bands — approx median "
-    "within the exact p45-p55, approx MAD within the deviation "
-    "distribution's p45-p55 (deviations taken around the APPROX median, "
-    "so the band checks the sketch, not the recentering), and the "
-    "approx outlier rate within 0.02 absolute of the exact rate. "
-    "Default sketch accuracy 10000 bounds rank error at n/10000, "
-    "orders of magnitude inside these bands.",
+    "constant) has a 50% breakdown point — its median/MAD/outlier-count/"
+    "outlier-rate columns are all cross-checked value-for-value by "
+    "DuckDB. The approx branch is the 100 TB variant, itself checked: "
+    "the exact F.median passes are full sort-based aggregations (fine "
+    "at small groups, a scan-wide sort at 100 TB), so the production "
+    "plan swaps them for percentile_approx — same pass shape, sketch "
+    "aggregation. Sketches are engine- and merge-order-specific, so the "
+    "approx columns ride as PROPERTY booleans (approx_aggregates "
+    "pattern): approx median within the exact p45-p55 band, approx MAD "
+    "within the deviation distribution's p45-p55 (deviations taken "
+    "around the APPROX median, so the band checks the sketch, not the "
+    "recentering), and the approx outlier rate within 0.02 absolute of "
+    "the exact rate. Default sketch accuracy 10000 bounds rank error at "
+    "n/10000, orders of magnitude inside these bands. Both branches "
+    "ride ONE set of group aggregates over one scan pipeline — the "
+    "sketch and exact percentiles are columns of the same groupBy, so "
+    "the battery costs one query where the constituents paid two.",
     oracle=f"""
     WITH med AS (
       SELECT event_type, median(value) AS med FROM events GROUP BY 1),
@@ -793,11 +747,14 @@ def events_mad_outliers(spark, sf_dir):
       SELECT event_type, median(dev) AS mad FROM dev GROUP BY 1)
     SELECT d.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           {o_dround('MIN(d.med)', 6)} AS median_exact,
-           {o_dround('MIN(m.mad)', 6)} AS mad_exact,
+           {o_dround('MIN(d.med)', 6)} AS median_value,
+           {o_dround('MIN(m.mad)', 6)} AS mad,
            CAST(COUNT(*) FILTER (
-             WHERE d.dev > 3.5 * 1.4826 * m.mad) AS BIGINT)
-             AS n_outliers_exact,
+             WHERE d.dev > 3.5 * 1.4826 * m.mad) AS BIGINT) AS n_outliers,
+           {o_dround(
+               'CAST(COUNT(*) FILTER ('
+               ' WHERE d.dev > 3.5 * 1.4826 * m.mad) AS DOUBLE)'
+               ' / COUNT(*)', 6)} AS outlier_rate,
            TRUE AS approx_med_in_p45_p55,
            TRUE AS approx_mad_in_p45_p55,
            TRUE AS approx_rate_within_002
@@ -805,7 +762,7 @@ def events_mad_outliers(spark, sf_dir):
     GROUP BY 1
     """,
 )
-def events_mad_outliers_approx(spark, sf_dir):
+def events_mad_outliers_battery(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     g1 = ev.groupBy("event_type").agg(
         F.median("value").alias("__med"),
@@ -846,9 +803,9 @@ def events_mad_outliers_approx(spark, sf_dir):
     )
     g3 = j2.groupBy("event_type").agg(
         F.min("n_events").alias("n_events"),
-        dround(F.min("__med"), 6).alias("median_exact"),
-        dround(F.min("__mad_e"), 6).alias("mad_exact"),
-        F.count(F.when(out_e, 1)).alias("n_outliers_exact"),
+        dround(F.min("__med"), 6).alias("median_value"),
+        dround(F.min("__mad_e"), 6).alias("mad"),
+        F.count(F.when(out_e, 1)).alias("n_outliers"),
         F.count(F.when(out_a, 1)).alias("__n_out_a"),
         F.min("__amed").alias("__amed"),
         F.min("__p45").alias("__p45"),
@@ -859,14 +816,17 @@ def events_mad_outliers_approx(spark, sf_dir):
     )
     rate_gap = F.abs(
         F.col("__n_out_a").cast("double") / F.col("n_events")
-        - F.col("n_outliers_exact").cast("double") / F.col("n_events")
+        - F.col("n_outliers").cast("double") / F.col("n_events")
     )
     return g3.select(
         "event_type",
         "n_events",
-        "median_exact",
-        "mad_exact",
-        "n_outliers_exact",
+        "median_value",
+        "mad",
+        "n_outliers",
+        dround(
+            F.col("n_outliers").cast("double") / F.col("n_events"), 6
+        ).alias("outlier_rate"),
         F.col("__amed")
         .between(F.col("__p45"), F.col("__p55"))
         .alias("approx_med_in_p45_p55"),

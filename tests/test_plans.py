@@ -537,11 +537,11 @@ def test_round7_additions_plan_shapes(spark):
     assert n_nodes(p, "FlatMapGroupsInPandas") == 1, p
     release_curation_cache()
 
-    # approx MAD twin: same two-broadcast-pass shape as the exact query
-    # (group stats broadcast back into the scan twice), sketch and exact
-    # percentiles ride the same aggregates — no extra shuffle beyond the
-    # three group-by passes, no cartesian
-    p = plan_of(spark, "events_mad_outliers_approx")
+    # MAD battery (r14 consolidation of the exact + approx rows): same
+    # two-broadcast-pass shape (group stats broadcast back into the scan
+    # twice), sketch and exact percentiles ride the same aggregates — no
+    # extra shuffle beyond the three group-by passes, no cartesian
+    p = plan_of(spark, "events_mad_outliers_battery")
     assert "CartesianProduct" not in p
     assert n_nodes(p, "BroadcastHashJoin") == 2, p
     assert "BatchEvalPython" not in p
