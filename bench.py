@@ -324,6 +324,15 @@ PROPERTY_QUERIES = [
     "corpus_funnel_merge_state",
     "corpus_dedup_funnel_attached",
     "corpus_attach_judge_semantic",
+    # corpus_store_maintenance is deliberately NOT a timed headline
+    # entry (r13 verdict directive #3, decided r14): the headline
+    # already carries two lifecycle single-shots plus the ~17 s
+    # semantic-attach judge, and this query's wall clock at test SF is
+    # five merge/judge fixed floors stacked (store build x2, judge x3)
+    # — a third lifecycle single-shot would add ~12-15 s of
+    # floor-dominated ballast with no scale signal the volume/plan pins
+    # (single-winnow-scan per merge, fused audits) don't already carry.
+    # Its invariants still run at bench SF right here, every round.
     "corpus_store_maintenance",
     "doc_minhash_lsh_pairs_xxh",
 ]
@@ -487,41 +496,79 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     core = [n for n in CORE_R6 if n in timings]
     core_total = round(sum(timings[n] for n in core), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": n_runs,
-                # queries whose min after runs_per_query runs was still
-                # >= 1.5 s got this many EXTRA runs (noise flooring)
-                "extra_runs_if_slow": extra_if_slow,
-                # like-for-like across rounds: the frozen r6 core set
-                # (the full total grows with every added headliner)
-                "core_r6_value": core_total,
-                "core_r6_n_queries": len(core),
-                # entries timed SINGLE-SHOT (side-effecting sink
-                # pipelines, outside the min-of-N loop and the core) —
-                # decompose the total with these before comparing it
-                # to min-of-N numbers. Kept inside the one JSON line:
-                # the driver parses the last line only.
-                "single_shot": [
-                    n for n in timings if n in BENCH_CALLABLES
-                ],
-                # per-entry methodology (r12 verdict directive #5):
-                # timed entries that received an untimed warmup pass
-                # this run. A single_shot entry NOT listed here was
-                # timed cold (~7-12s codegen penalty on its first-ever
-                # plans) — compare cross-round numbers accordingly.
-                # The legacy single-shots (artifacts build, funnel
-                # sink) are unwarmed BY DESIGN to preserve their
-                # r7-r12 series.
-                "warmed": [n for n in timings if n in warmed],
-            }
-        )
+    full_line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "runs_per_query": n_runs,
+            # queries whose min after runs_per_query runs was still
+            # >= 1.5 s got this many EXTRA runs (noise flooring)
+            "extra_runs_if_slow": extra_if_slow,
+            # like-for-like across rounds: the frozen r6 core set
+            # (the full total grows with every added headliner)
+            "core_r6_value": core_total,
+            "core_r6_n_queries": len(core),
+            # entries timed SINGLE-SHOT (side-effecting sink
+            # pipelines, outside the min-of-N loop and the core) —
+            # decompose the total with these before comparing it
+            # to min-of-N numbers.
+            "single_shot": [n for n in timings if n in BENCH_CALLABLES],
+            # per-entry methodology (r12 verdict directive #5, r13
+            # verdict directive #2): timed entries that did NOT get an
+            # untimed warmup pass this run — the complement form of
+            # r13's "warmed" list, which at ~38 names pushed the line
+            # past the driver's 2000-char stdout tail window and
+            # clipped the head (BENCH_r13 "parsed": null). warmed =
+            # every timed entry except these. An unwarmed entry was
+            # timed cold (~7-12s codegen penalty on its first-ever
+            # plans) — compare cross-round numbers accordingly. The
+            # legacy single-shots (artifacts build, funnel sink) are
+            # unwarmed BY DESIGN to preserve their r7-r12 series.
+            "unwarmed": [n for n in timings if n not in warmed],
+            "n_warmed": sum(1 for n in timings if n in warmed),
+        }
+    )
+    print(full_line)
+    # Machine-recoverable summary, printed LAST (r13 verdict directive
+    # #2): the driver captures only the final 2000 chars of stdout
+    # (measured from BENCH_r13's recorded tail), so a >2000-char
+    # per-query line gets its HEAD — including the total — clipped,
+    # and a short line printed BEFORE it would sit entirely outside
+    # the window. Last position guarantees the summary is intact in
+    # the tail regardless of how large the per-query line grows;
+    # tests/test_bench_contract.py pins its length far under the
+    # window. Full per-query data: the line above (tail-truncated at
+    # the head if oversized) — set SPARK_GRAFT_BENCH_OUT=<path> to
+    # also write it to a file in full.
+    print(summary_line(total, core_total, len(timings), len(core), sf))
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(full_line + "\n")
+
+
+def summary_line(
+    total: float, core_total: float, n_queries: int, n_core: int, sf: float
+) -> str:
+    """The short trailing JSON line — everything a round-over-round
+    comparison needs even when the per-query line outgrows the driver's
+    tail capture. Keys mirror the full line's names where they overlap
+    (value/unit/sf/core_r6_value) so downstream parsers need no
+    special-casing."""
+    return json.dumps(
+        {
+            "metric": "bench_summary",
+            "value": total,
+            "unit": "sec",
+            "total": total,
+            "core_r6_value": core_total,
+            "core_r6_n_queries": n_core,
+            "n_queries": n_queries,
+            "sf": sf,
+        }
     )
 
 

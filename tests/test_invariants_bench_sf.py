@@ -46,3 +46,26 @@ def test_bench_name_sets_consistent():
     for name in bench.PROPERTY_QUERIES + bench.CORE_R6 + bench.HEADLINE:
         if name not in bench.BENCH_CALLABLES:
             assert name in reg, name
+
+
+def test_bench_summary_line_fits_tail_window():
+    """r14 (r13 verdict directive #2): the driver records only the final
+    2000 chars of bench stdout, and BENCH_r13's per-query line outgrew
+    that window — the head (with the total) was clipped and the round's
+    bench artifact recorded "parsed": null. bench.py now prints a short
+    summary line LAST; pin it far under the window even with worst-case
+    numeric widths so per-query growth can never clip it again."""
+    import json
+
+    line = bench.summary_line(
+        total=99999.999,
+        core_total=99999.999,
+        n_queries=10**6,
+        n_core=10**6,
+        sf=0.1,
+    )
+    assert len(line) <= 400, len(line)
+    d = json.loads(line)
+    assert d["metric"] == "bench_summary"
+    assert d["value"] == d["total"] == 99999.999
+    assert {"core_r6_value", "core_r6_n_queries", "n_queries", "sf"} <= set(d)
