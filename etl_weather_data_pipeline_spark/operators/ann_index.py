@@ -788,6 +788,41 @@ def retrain_ivf_index(
     return {"n_vectors": n, "sse_history": sse_history, "meta": new_meta}
 
 
+def recover_ivf_swap(path: str) -> dict:
+    """Open-time crash recovery for :func:`retrain_ivf_index`'s staged
+    swap — the cross-process twin of its in-process self-heal (the
+    ``finally`` block can repair a mid-swap EXCEPTION, but not a driver
+    that died outright).
+
+    States, mirroring the swap protocol (stage → rename live aside →
+    rename staged in → cleanup):
+
+    - live index present: any ``<path>.staged-*`` sibling is a
+      mid-staging leftover (unverifiable completeness) and any
+      ``<path>.old-*`` an interrupted cleanup — both removed, index
+      untouched.
+    - live index missing + a staged sibling: the first rename happened,
+      which PROVES staging completed — finish the swap (staged wins,
+      exactly the self-heal's semantics: the retrained index is the one
+      that replaces the drifted one).
+    - live index missing + only an old sibling: the staged copy is gone
+      (e.g. a second crash mid-recovery) — restore the complete old
+      index; the caller re-runs the retrain.
+
+    Either restored copy is a complete, internally consistent index
+    (vectors + centroids + meta travel in one directory), so probes work
+    immediately; the ``corpus_crash_recovery_audit`` lifecycle query
+    pins that the completed swap is assignment-identical to the
+    uncrashed retrain. Pure filesystem metadata, no Spark session.
+    Returns :func:`recover_staged_crash`'s dict.
+    """
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    return recover_staged_crash(path, staging_prefixes=(".staged-",))
+
+
 def semdedup_global_audit(
     spark: SparkSession,
     path: str,

@@ -405,6 +405,112 @@ def merge_upsert(
     return {"inserted": -1, "updated": -1}  # Delta doesn't expose counts here
 
 
+def recover_staged_crash(
+    path: str,
+    staging_prefixes: Sequence[str] = (".upsert-tmp-", ".compact-tmp-"),
+) -> dict:
+    """Table-open crash sweep for the staged-rename write protocol shared
+    by :func:`merge_upsert`, :func:`compact_parquet`, and
+    :func:`_swap_dirs`. A process death anywhere in a staged write leaves
+    exactly one of these on-disk states, each recoverable from filesystem
+    METADATA alone (no Spark session, no data-file reads, O(touched
+    partitions) renames at any table size):
+
+    - live table intact + a staging sibling (``<path>.upsert-tmp-*`` /
+      ``<path>.compact-tmp-*``): the crash hit during or right after the
+      staged write, before any rename. Staging completeness is
+      unverifiable in this state, so the staged dir is garbage by
+      contract — remove it; the caller re-runs the batch (the merge is
+      idempotent, the compaction a pure rewrite).
+    - a touched hive partition missing from live, its old copy in a
+      ``<path>.upsert-old-*`` trash sibling: the crash hit between that
+      partition's two renames. Restore the trash copy (the old-complete
+      guarantee — a dest only goes missing AFTER its old copy reached
+      the trash), then re-run the batch.
+    - the live dir itself missing (a flat-table ``_swap_dirs`` crash
+      between its two renames): restore the newest staging sibling when
+      one survives — the first rename only ever happens after staging
+      completed, so a missing live PROVES the staged copy is complete,
+      and preferring it finishes the swap (the same staged-wins rule as
+      retrain_ivf_index's in-process self-heal) — else the complete old
+      copy at ``<path>.old-*``.
+
+    Whichever copy a state restores, re-running the idempotent merge
+    converges the table to the exact clean-run content — pinned end-to-end
+    by the ``corpus_crash_recovery_audit`` lifecycle query and
+    ``tests/test_pipeline.py``. Always removes every leftover
+    staging/trash sibling (they live OUTSIDE the table tree, so reads
+    were never polluted; the sweep reclaims space and makes reruns
+    unambiguous). Returns ``{"action": "clean" | "restored_partitions" |
+    "completed_swap" | "restored_old" | "unrecoverable",
+    "restored_live": 0|1, "restored_partitions": r,
+    "removed_stale_dirs": m}``.
+
+    Reference parity: src/load.py:371-486 leans on the database's own
+    crash safety for its upsert; the parquet emulation must supply the
+    equivalent at open time.
+    """
+    import glob
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+
+    def _staging_dirs() -> list[str]:
+        return sorted(
+            d for p in staging_prefixes for d in glob.glob(base + p + "*")
+        )
+
+    restored_live = 0
+    restored_partitions = 0
+    if not os.path.isdir(base):
+        staged = _staging_dirs()
+        olds = sorted(glob.glob(base + ".old-*"))
+        if staged:
+            os.rename(staged[-1], base)
+            action, restored_live = "completed_swap", 1
+        elif olds:
+            os.rename(olds[-1], base)
+            action, restored_live = "restored_old", 1
+        else:
+            action = "unrecoverable"
+    else:
+        action = "clean"
+        for trash in sorted(glob.glob(base + ".upsert-old-*")):
+            rels = sorted(
+                {
+                    os.path.relpath(os.path.dirname(f), trash)
+                    for f in glob.glob(
+                        os.path.join(trash, "**", "*.parquet"),
+                        recursive=True,
+                    )
+                }
+            )
+            for rel in rels:
+                dest = os.path.join(base, rel)
+                if rel != "." and not os.path.exists(dest):
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    os.rename(os.path.join(trash, rel), dest)
+                    restored_partitions += 1
+        if restored_partitions:
+            action = "restored_partitions"
+    removed = 0
+    for d in {
+        *_staging_dirs(),
+        *glob.glob(base + ".old-*"),
+        *glob.glob(base + ".upsert-old-*"),
+    }:
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return {
+        "action": action,
+        "restored_live": restored_live,
+        "restored_partitions": restored_partitions,
+        "removed_stale_dirs": removed,
+    }
+
+
 def export_training_shards(
     df: DataFrame,
     path: str,

@@ -2193,3 +2193,44 @@ def test_pq_battery_single_encode_pass(spark, monkeypatch):
     rows = reg["ann_pq_topk_battery"].spark(spark, SF_SMOKE).collect()
     assert len(rows) == 4
     assert len(calls) == 1, calls
+
+
+def test_recover_ivf_swap_cross_process_crash(spark, tmp_path):
+    """r14 (r15 debutant groundwork): retrain_ivf_index's in-process
+    self-heal can't fire when the driver dies outright between the
+    swap's two renames; recover_ivf_swap must finish the swap at open
+    time (staged wins — a missing live dir proves staging completed)
+    and the recovered index must be assignment-identical to the
+    uncrashed retrain."""
+    import glob
+    import shutil
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    old_idx = str(tmp_path / "idx_old")
+    AX.write_ivf_index(emb, old_idx, n_cells=4, iterations=1)
+    new_idx = str(tmp_path / "idx_new")
+    shutil.copytree(old_idx, new_idx)
+    AX.retrain_ivf_index(spark, new_idx, iterations=1)
+
+    # fabricate the crash state at `live`: old index moved aside
+    # (rename 1), staged retrain complete, live path missing
+    live = str(tmp_path / "live")
+    shutil.copytree(old_idx, live + ".old-fab00000")
+    shutil.copytree(new_idx, live + ".staged-fab0000")
+    rep = AX.recover_ivf_swap(live)
+    assert rep["action"] == "completed_swap"
+    assert glob.glob(live + ".old-*") == []
+    assert glob.glob(live + ".staged-*") == []
+    assert AX.read_ivf_meta(live) == AX.read_ivf_meta(new_idx)
+    a = AX.read_ivf_vectors(spark, live).select("vec_id", "cell")
+    b = AX.read_ivf_vectors(spark, new_idx).select("vec_id", "cell")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    # live present: staged/old siblings are leftovers, index untouched
+    shutil.copytree(old_idx, live + ".staged-leftover")
+    rep = AX.recover_ivf_swap(live)
+    assert rep["action"] == "clean" and rep["removed_stale_dirs"] == 1
+    assert AX.read_ivf_meta(live) == AX.read_ivf_meta(new_idx)

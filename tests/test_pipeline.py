@@ -683,3 +683,116 @@ def test_release_local_checkpoint_frees_blocks(spark):
     assert rid not in stored_ids()
     # best-effort contract: a non-checkpointed frame is a silent no-op
     release_local_checkpoint(spark.range(5).selectExpr("id AS x"))
+
+
+def _table_rows(spark, path):
+    df = spark.read.parquet(path)
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_recover_upsert_midswap_restores_and_converges(spark, batch, tmp_path):
+    """r14 (r15 debutant groundwork): a driver death between a touched
+    partition's two upsert renames leaves that partition absent from the
+    live tree with its old copy in the .upsert-old-* trash and its new
+    copy still staged. recover_staged_crash must restore the partition
+    from filesystem metadata alone (old-complete guarantee), sweep every
+    staging/trash sibling, and re-running the idempotent batch must
+    converge the table to the exact clean-run content."""
+    import glob
+    import os
+    import shutil
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    clean = str(tmp_path / "clean")
+    live = str(tmp_path / "live")
+    merge_upsert(spark, transform_weather(batch), clean)
+    shutil.copytree(clean, live)
+    base_rows = _table_rows(spark, live)
+    bumped = transform_weather(
+        batch.withColumn("temperature", F.col("temperature") + 1.0)
+    )
+    merge_upsert(spark, bumped, clean)  # the uncrashed run's final state
+
+    # fabricate the exact mid-swap disk state at `live`: the touched
+    # partition's old dir moved to trash (rename 1 done), new content
+    # still in the staging sibling (rename 2 never ran)
+    rel = "date=2023-11-07"
+    trash = live + ".upsert-old-fab"
+    os.makedirs(trash)
+    os.rename(os.path.join(live, rel), os.path.join(trash, rel))
+    staged = live + ".upsert-tmp-fab"
+    os.makedirs(staged)
+    shutil.copytree(os.path.join(clean, rel), os.path.join(staged, rel))
+
+    before = _table_rows(spark, clean)
+    rep = recover_staged_crash(live)
+    assert rep["action"] == "restored_partitions"
+    assert rep["restored_partitions"] == 1
+    assert rep["restored_live"] == 0
+    assert rep["removed_stale_dirs"] == 2
+    assert glob.glob(live + ".upsert-*") == []
+    # restored = pre-crash (old-complete) content, fully readable
+    assert _table_rows(spark, live) == base_rows
+    merge_upsert(spark, bumped, live)  # documented recovery: re-run batch
+    assert _table_rows(spark, live) == before
+    # second sweep is a no-op
+    assert recover_staged_crash(live) == {
+        "action": "clean",
+        "restored_live": 0,
+        "restored_partitions": 0,
+        "removed_stale_dirs": 0,
+    }
+
+
+def test_recover_flat_swap_staged_wins(spark, tmp_path):
+    """A flat-table _swap_dirs crash between its two renames: live dir
+    missing proves staging completed, so recovery finishes the swap with
+    the staged copy (never rolls back to the old one) and sweeps the
+    leftovers."""
+    import glob
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    os.rename(p, p + ".old-fab00000")  # rename 1 happened...
+    spark.range(20).write.parquet(p + ".upsert-tmp-fab")  # ...staged complete
+    rep = recover_staged_crash(p)
+    assert rep["action"] == "completed_swap"
+    assert rep["restored_live"] == 1
+    assert spark.read.parquet(p).count() == 20
+    assert glob.glob(p + ".old-*") == [] and glob.glob(p + ".upsert-*") == []
+
+
+def test_recover_sweeps_stale_staging_and_restores_old(spark, tmp_path):
+    """Remaining recovery states: (a) live intact + mid-staging leftover
+    -> sweep only (staged completeness is unverifiable there); (b) live
+    missing with only the .old-* copy surviving -> restore it."""
+    import glob
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    spark.range(5).write.parquet(p + ".compact-tmp-fab")  # died mid-staging
+    rep = recover_staged_crash(p)
+    assert rep["action"] == "clean" and rep["removed_stale_dirs"] == 1
+    assert spark.read.parquet(p).count() == 10
+
+    os.rename(p, p + ".old-fab00000")  # crash w/ staged already swept
+    rep = recover_staged_crash(p)
+    assert rep["action"] == "restored_old" and rep["restored_live"] == 1
+    assert spark.read.parquet(p).count() == 10
+    assert recover_staged_crash(str(tmp_path / "never_existed"))["action"] == (
+        "unrecoverable"
+    )
