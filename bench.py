@@ -334,6 +334,10 @@ PROPERTY_QUERIES = [
     # (single-winnow-scan per merge, fused audits) don't already carry.
     # Its invariants still run at bench SF right here, every round.
     "corpus_store_maintenance",
+    # corpus_crash_recovery_audit (the pre-built r15 debutant) follows
+    # the same rule: property booleans at bench SF here, no timed entry
+    # (another floor-dominated lifecycle single-shot would be ballast).
+    "corpus_crash_recovery_audit",
     "doc_minhash_lsh_pairs_xxh",
 ]
 

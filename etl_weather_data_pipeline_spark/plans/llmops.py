@@ -6765,6 +6765,274 @@ def corpus_store_maintenance(spark, sf_dir):
 
 
 @q(
+    "corpus_crash_recovery_audit",
+    "Crash/recovery lifecycle audit — the r15 debutant (pre-built r14): "
+    "the staged-rename upsert and the IVF staged swap both promise "
+    "crash-state recoverability, and until now those promises were "
+    "pytest-only. This query fabricates each documented crash state "
+    "byte-for-byte on temp stores built from the documents/embeddings "
+    "tables, runs the PRODUCT recovery sweeps "
+    "(sinks/writers.recover_staged_crash, "
+    "operators/ann_index.recover_ivf_swap), and judges convergence "
+    "against uncrashed control runs. Scenario A1 (upsert, died after "
+    "staging, before any rename): live tree must read exactly the "
+    "pre-crash table (staging siblings never pollute reads), recovery "
+    "sweeps the unverifiable staged dir, and re-running the idempotent "
+    "batch converges to the clean-run content. Scenario A2 (died "
+    "between one partition's two renames, mid-loop): one shard already "
+    "new-complete, one absent from live with its old copy in the "
+    "trash, the rest untouched — the pre-recovery read must equal "
+    "exactly that mixed picture, recovery restores the missing shard "
+    "from the trash (old-complete guarantee), and the re-run batch "
+    "converges. Scenario B (IVF retrain, died between the swap's two "
+    "renames with the driver gone — the in-process self-heal can't "
+    "fire): open-time recovery completes the swap (a missing live dir "
+    "proves staging finished, so staged wins) and the recovered index "
+    "is assignment-identical to the uncrashed retrain, meta included. "
+    "Every comparison is a multiplicity-checked full-outer symdiff "
+    "folded into ONE crossJoined driver action (the r13 fused-audit "
+    "discipline); exact columns (n_base / n_batch / n_index_vectors / "
+    "restored_partitions) cross-check DuckDB, recovery verdicts ride "
+    "as property booleans. n_index_vectors counts the RECOVERED "
+    "index's rows — matching the SQL count over embeddings proves the "
+    "completed swap lost no vector. At 100 TB recovery cost is what it "
+    "is here: O(touched partitions) filesystem renames, zero data-file "
+    "reads, then one idempotent batch re-run.",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+             AS BIGINT) AS n_base,
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE doc_id % 6 = 0 OR doc_id % 3 = 1)
+             AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0)
+             AS BIGINT) AS n_index_vectors,
+           CAST(1 AS BIGINT) AS restored_partitions,
+           TRUE AS crash_preserves_reads,
+           TRUE AS recovery_converges_to_clean_run,
+           TRUE AS midswap_restore_converges,
+           TRUE AS index_swap_completed,
+           TRUE AS index_matches_uncrashed_retrain,
+           TRUE AS sweep_idempotent
+    """,
+)
+def corpus_crash_recovery_audit(spark, sf_dir):
+    """Live crash-recovery twin of tests/test_pipeline.py's fabricated
+    crash states. Reference parity: src/load.py:371-486 leans on the
+    database's own crash safety; the parquet emulation must prove its
+    equivalent end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_weather_data_pipeline_spark.operators.ann_index import (
+        read_ivf_meta,
+        read_ivf_vectors,
+        recover_ivf_swap,
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+    from etl_weather_data_pipeline_spark.session import (
+        release_local_checkpoint,
+    )
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        merge_upsert,
+        recover_staged_crash,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="crash_recovery_audit_")
+    control = tmp + "/control"
+    live_a = tmp + "/live_a"
+    live_b = tmp + "/live_b"
+    idx_old = tmp + "/idx_old"
+    idx_new = tmp + "/idx_new"
+    idx_live = tmp + "/idx_live"
+    ckpts: list = []
+
+    def _ckpt(df):
+        out = df.localCheckpoint()
+        ckpts.append(out)
+        return out
+
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        shard = F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("shard")
+        base = _ckpt(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                "doc_id", F.col("text").alias("payload"), shard
+            )
+        )
+        # batch = updates (half the base rows, payload rewritten) +
+        # inserts (a disjoint id family); shard = doc_id % 4 keeps the
+        # partition column functionally dependent on the merge key
+        batch = _ckpt(
+            docs.filter(F.col("doc_id") % 6 == 0)
+            .select("doc_id", F.upper("text").alias("payload"), shard)
+            .unionByName(
+                docs.filter(F.col("doc_id") % 3 == 1).select(
+                    "doc_id", F.col("text").alias("payload"), shard
+                )
+            )
+        )
+        mkw = dict(keys=("doc_id",), partition_by=("shard",))
+        merge_upsert(spark, base, control, **mkw)
+        shutil.copytree(control, live_a)
+        shutil.copytree(control, live_b)
+        merge_upsert(spark, batch, control, **mkw)  # the uncrashed run
+
+        # --- scenario A1: died after staging completed, before renames
+        staged_a = live_a + ".upsert-tmp-fab"
+        os.makedirs(staged_a)
+        for s in range(4):
+            shutil.copytree(
+                f"{control}/shard={s}", f"{staged_a}/shard={s}"
+            )
+        pre_a = _ckpt(spark.read.parquet(live_a))  # before any mutation
+        rep_a1 = recover_staged_crash(live_a)
+        merge_upsert(spark, batch, live_a, **mkw)
+
+        # --- scenario A2: died between shard=1's two renames, mid-loop
+        # (sorted swap order: shard=0 fully swapped, shard=1 old in
+        # trash / new still staged, shard=2,3 not yet reached)
+        trash_b = live_b + ".upsert-old-fab"
+        staged_b = live_b + ".upsert-tmp-fab"
+        os.makedirs(trash_b)
+        os.makedirs(staged_b)
+        os.rename(f"{live_b}/shard=0", f"{trash_b}/shard=0")
+        shutil.copytree(f"{control}/shard=0", f"{live_b}/shard=0")
+        os.rename(f"{live_b}/shard=1", f"{trash_b}/shard=1")
+        for s in (1, 2, 3):
+            shutil.copytree(
+                f"{control}/shard={s}", f"{staged_b}/shard={s}"
+            )
+        pre_b = _ckpt(spark.read.parquet(live_b))
+        rep_a2 = recover_staged_crash(live_b)
+        merge_upsert(spark, batch, live_b, **mkw)
+        rep_a3 = recover_staged_crash(live_b)  # idempotent re-sweep
+
+        # --- scenario B: IVF retrain swap died between its two renames
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        ).filter(F.col("vec_id") % 2 == 0)
+        write_ivf_index(emb, idx_old, n_cells=4, iterations=2)
+        shutil.copytree(idx_old, idx_new)
+        retrain_ivf_index(spark, idx_new, iterations=2)
+        shutil.copytree(idx_old, idx_live + ".old-fab00000")
+        shutil.copytree(idx_new, idx_live + ".staged-fab0000")
+        rep_b = recover_ivf_swap(idx_live)
+        rep_b2 = recover_ivf_swap(idx_live)  # idempotent re-sweep
+
+        # --- fused audit: every symdiff is multiplicity-checked
+        # (full-outer on grouped counts), all folded into ONE action
+        cols = ["doc_id", "payload", "shard"]
+
+        def symdiff(a, b, out):
+            ga = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__ca"))
+            gb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__cb"))
+            return ga.join(gb, cols, "full_outer").agg(
+                F.sum(
+                    (~F.col("__ca").eqNullSafe(F.col("__cb"))).cast("long")
+                ).alias(out)
+            )
+
+        ctl = spark.read.parquet(control)
+        # A2's documented pre-recovery picture: swapped shard new,
+        # missing shard absent, untouched shards old
+        expect_b = ctl.filter(F.col("shard") == 0).unionByName(
+            base.filter(F.col("shard").isin(2, 3))
+        )
+        d1 = symdiff(pre_a, base, "a1_pre")
+        d2 = symdiff(pre_b, expect_b, "a2_pre")
+        d3 = symdiff(spark.read.parquet(live_a), ctl, "a1_final")
+        d4 = symdiff(spark.read.parquet(live_b), ctl, "a2_final")
+        iv_live = read_ivf_vectors(spark, idx_live).select(
+            "vec_id", "cell"
+        )
+        iv_new = read_ivf_vectors(spark, idx_new).select("vec_id", "cell")
+        d5 = (
+            iv_live.groupBy("vec_id", "cell")
+            .agg(F.count(F.lit(1)).alias("__ca"))
+            .join(
+                iv_new.groupBy("vec_id", "cell").agg(
+                    F.count(F.lit(1)).alias("__cb")
+                ),
+                ["vec_id", "cell"],
+                "full_outer",
+            )
+            .agg(
+                F.sum(
+                    (~F.col("__ca").eqNullSafe(F.col("__cb"))).cast("long")
+                ).alias("idx_mismatch"),
+                F.sum(F.coalesce(F.col("__ca"), F.lit(0))).alias(
+                    "n_index_vectors"
+                ),
+            )
+        )
+        feeds = docs.agg(
+            F.sum((F.col("doc_id") % 3 == 0).cast("long")).alias("n_base"),
+            F.sum(
+                ((F.col("doc_id") % 6 == 0) | (F.col("doc_id") % 3 == 1))
+                .cast("long")
+            ).alias("n_batch"),
+        )
+        row = (
+            feeds.crossJoin(d1)
+            .crossJoin(d2)
+            .crossJoin(d3)
+            .crossJoin(d4)
+            .crossJoin(d5)
+            .first()
+        )
+        sweeps_ok = bool(
+            rep_a1["action"] == "clean"
+            and rep_a1["removed_stale_dirs"] == 1
+            and rep_a2["action"] == "restored_partitions"
+            and rep_a2["restored_partitions"] == 1
+            and rep_a3
+            == {
+                "action": "clean",
+                "restored_live": 0,
+                "restored_partitions": 0,
+                "removed_stale_dirs": 0,
+            }
+            and rep_b2["action"] == "clean"
+            and rep_b2["removed_stale_dirs"] == 0
+        )
+        swap_ok = bool(
+            rep_b["action"] == "completed_swap"
+            and rep_b["removed_stale_dirs"] == 1
+            and read_ivf_meta(idx_live) == read_ivf_meta(idx_new)
+        )
+    finally:
+        for f in ckpts:
+            release_local_checkpoint(f)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(row["n_base"]).cast("long").alias("n_base"),
+        F.lit(row["n_batch"]).cast("long").alias("n_batch"),
+        F.lit(row["n_index_vectors"]).cast("long").alias(
+            "n_index_vectors"
+        ),
+        F.lit(rep_a2["restored_partitions"]).cast("long").alias(
+            "restored_partitions"
+        ),
+        F.lit(bool(row["a1_pre"] == 0 and row["a2_pre"] == 0)).alias(
+            "crash_preserves_reads"
+        ),
+        F.lit(bool(row["a1_final"] == 0)).alias(
+            "recovery_converges_to_clean_run"
+        ),
+        F.lit(bool(row["a2_final"] == 0)).alias(
+            "midswap_restore_converges"
+        ),
+        F.lit(swap_ok).alias("index_swap_completed"),
+        F.lit(bool(row["idx_mismatch"] == 0)).alias(
+            "index_matches_uncrashed_retrain"
+        ),
+        F.lit(sweeps_ok).alias("sweep_idempotent"),
+    )
+
+
+@q(
     "dedup_recall_probe",
     "Planted-duplicate recall measurement for the near-dup pipeline — "
     "the calibration report a corpus team publishes alongside its dedup "

@@ -2111,6 +2111,9 @@ def test_lifecycle_query_audit_action_counts(spark, monkeypatch):
             ("corpus_attach_judge_semantic", 3),
             ("corpus_semdedup_global", 3),
             ("corpus_store_maintenance", 1),
+            # r14: born fused like the maintenance query — every
+            # convergence symdiff + feed count in one crossJoined .first()
+            ("corpus_crash_recovery_audit", 1),
         ):
             counts.clear()
             reg[qname].spark(spark, SF_SMOKE).collect()
