@@ -346,11 +346,30 @@ def _append_side_bucketed(
 def _rewrite_side_bucketed(
     spark: SparkSession, rows: DataFrame, name: str, loc: str,
     spec: _SideSpec, n_buckets: int,
+    live_snapshot: set[str] | None = None,
 ) -> None:
     """Rewrite a side table bucketed, crash-safely: stage the bucketed
     copy to a sibling dir (reading the live files directly), swap the two
     dirs, re-point the catalog entry. Doubles as compaction — the output
-    is exactly one file per non-empty bucket."""
+    is exactly one file per non-empty bucket.
+
+    ``live_snapshot`` (r14 — the lost-update guard retrain_ivf_index
+    got in r11, applied to the side-table compaction): the live dir's
+    file listing as the CALLER captured it BEFORE creating ``rows``.
+    Files a concurrent merge appends after that snapshot would
+    otherwise be destroyed by the swap's rmtree of the old dir — their
+    band/winnow rows silently gone, a recall hole stage 3 can't see.
+    Just before the swap, the listing is re-diffed; late files are
+    eager-checkpointed (they vanish at the swap) and re-appended
+    through the bucketed appender after the catalog re-create, with a
+    loud warning. The race that remains: a file landing between the
+    snapshot and ``rows``'s own listing pin is copied by the staged
+    scan AND re-appended — duplicate side rows, which are
+    admission-safe (band candidates are .distinct()-ed downstream;
+    winnow duplicates only inflate candidate generation, and
+    verification is exact) — and a writer can still race the final
+    swap itself, so strict no-loss keeps the documented single-writer
+    discipline."""
     import os
 
     from etl_weather_data_pipeline_spark.sinks.writers import _swap_dirs
@@ -368,6 +387,20 @@ def _rewrite_side_bucketed(
         .saveAsTable(tmp_name)
     )
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # metadata only
+    late_rows = None
+    if live_snapshot is not None and os.path.isdir(loc):
+        import glob as _glob
+
+        late = sorted(
+            set(_glob.glob(os.path.join(loc, "*.parquet"))) - live_snapshot
+        )
+        if late:
+            # eager: the swap's rmtree destroys these files
+            late_rows = (
+                spark.read.parquet(*late)
+                .select(*spec.cols)
+                .localCheckpoint()
+            )
     if os.path.isdir(loc):
         _swap_dirs(loc, staged)
     else:
@@ -378,6 +411,23 @@ def _rewrite_side_bucketed(
     # table: drop/create touch metadata only.
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     _create_side_table(spark, name, loc, spec, n_buckets)
+    if late_rows is not None:
+        import warnings
+
+        from etl_weather_data_pipeline_spark.session import (
+            release_local_checkpoint,
+        )
+
+        _append_side_bucketed(late_rows, name, loc, spec, n_buckets)
+        warnings.warn(
+            f"{name}: side rows were appended during the bucketed "
+            "rewrite and folded back in after the swap; rows the "
+            "staged scan also caught may now be duplicated "
+            "(admission-safe) — prefer single-writer discipline for "
+            "strict exactly-once side tables",
+            stacklevel=2,
+        )
+        release_local_checkpoint(late_rows)
 
 
 def _bucket_file_ids(loc: str) -> list[int] | None:
@@ -564,8 +614,15 @@ def compact_corpus_side_tables(
         prior = spark.conf.get(k, "true")
         spark.conf.set(k, "false")
         try:
+            # Snapshot the live listing BEFORE creating the scan frame
+            # (which pins its own listing at creation): the pre-swap
+            # diff against this set folds back any files a concurrent
+            # merge appends mid-rewrite instead of letting the swap's
+            # rmtree destroy them (see _rewrite_side_bucketed).
+            snapshot = set(glob.glob(os.path.join(loc, "*.parquet")))
             _rewrite_side_bucketed(
-                spark, spark.table(name), name, loc, spec, band_buckets
+                spark, spark.table(name), name, loc, spec, band_buckets,
+                live_snapshot=snapshot,
             )
         finally:
             spark.conf.set(k, prior)

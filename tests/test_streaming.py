@@ -2311,3 +2311,78 @@ def test_merge_semantic_bootstrap_centroids_freeze_offline_quantizer(
     assert {
         r["doc_id"] for r in spark.read.parquet(store).collect()
     } == {0, 11}
+
+
+def test_compaction_folds_concurrent_side_appends(spark, tmp_path, monkeypatch):
+    """r14 (the r11 retrain lost-update guard, applied to the side-table
+    compaction): band/winnow rows a concurrent merge appends while the
+    bucketed rewrite is staging used to be destroyed by the swap's
+    rmtree of the old dir — a silent recall hole. The rewrite now diffs
+    the live listing against the caller's pre-scan snapshot just before
+    the swap and folds late files back in (with a loud warning). The
+    race is injected deterministically: an append lands after
+    compact_corpus_side_tables' snapshot but before the staged scan."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.streaming import corpus as C
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    C.merge_batch_neardup_into_corpus(
+        docs.filter(F.col("doc_id") % 3 == 0), store,
+        band_buckets=8, passage_min_run=16,
+    )
+    bands_name = C.bands_table_name(store)
+
+    def rows_multiset(name):
+        out = {}
+        for r in spark.table(name).collect():
+            k = tuple(r)
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    racing = spark.createDataFrame(
+        [(1000001, 0, "zz_rc_1"), (1000002, 3, "zz_rc_2")],
+        "doc_id bigint, band_idx int, band_val string",
+    )
+    original = rows_multiset(bands_name)
+    racing_keys = {tuple(r) for r in racing.collect()}
+
+    real = C._rewrite_side_bucketed
+
+    def racy(spark_, rows, name, loc, spec, n_buckets, live_snapshot=None):
+        if name == bands_name:
+            # the concurrent merge's append: after the caller's
+            # snapshot, before (or during) the staged scan
+            C._append_side_bucketed(racing, name, loc, spec, n_buckets)
+        return real(
+            spark_, rows, name, loc, spec, n_buckets,
+            live_snapshot=live_snapshot,
+        )
+
+    monkeypatch.setattr(C, "_rewrite_side_bucketed", racy)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        C.compact_corpus_side_tables(spark, store, band_buckets=8)
+    monkeypatch.undo()
+    assert any("folded back" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+    # NOTHING LOST — the guard's contract. Pre-guard, the racing rows
+    # were destroyed by the swap's rmtree (count 0). Original rows pass
+    # through the compaction exactly once; the racing rows survive with
+    # count 1 (pure-late fold) or 2 (the documented admission-safe
+    # duplicate when the staged scan's relation re-resolution also
+    # caught them — what this Spark build does) — never 0.
+    after = rows_multiset(bands_name)
+    for k, v in original.items():
+        assert after.get(k) == v, (k, v, after.get(k))
+    for k in racing_keys:
+        assert 1 <= after.get(k, 0) <= 2, (k, after.get(k))
+    assert set(after) == set(original) | racing_keys
+    spark.sql(f"DROP TABLE IF EXISTS {bands_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {C.winnow_table_name(store)}")
