@@ -224,6 +224,28 @@ def compact_parquet(
             out = df.repartition(int(n_out))
     staged = path.rstrip("/") + f".compact-tmp-{uuid.uuid4().hex[:8]}"
     write_parquet(out, staged, "overwrite", partition_by)
+    # Concurrent-append guard (r14, the compaction sibling of the
+    # retrain's r11 lost-update guard): rows appended to the LIVE table
+    # while the staged rewrite ran would be destroyed by the swap's
+    # rmtree. This is DATA (not a rebuildable side table), and a
+    # generic table has no key to dedupe a fold-in by — so the only
+    # safe move is to ABORT loudly: drop the staged copy, keep the
+    # original (which includes the concurrent rows) intact, and make
+    # the caller re-run the compaction or pause writers. Zero false
+    # positives under the documented single-writer discipline; the
+    # race between this diff and the rename itself remains (same
+    # residual window the retrain documents).
+    late = sorted(set(_files(path)) - set(before))
+    if late:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_parquet: {len(late)} file(s) were appended to "
+            f"{path} during the staged rewrite; compaction aborted with "
+            "the original (appends included) intact — re-run it, or "
+            "pause writers for a clean pass"
+        )
     _swap_dirs(path, staged)
     return {"files_before": len(before), "files_after": len(_files(path))}
 

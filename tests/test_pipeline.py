@@ -796,3 +796,42 @@ def test_recover_sweeps_stale_staging_and_restores_old(spark, tmp_path):
     assert recover_staged_crash(str(tmp_path / "never_existed"))["action"] == (
         "unrecoverable"
     )
+
+
+def test_compact_parquet_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """r14: rows appended to the live table while the compaction's
+    staged rewrite runs must never be destroyed by the swap. A generic
+    table has no key to dedupe a fold-in by, so the guard ABORTS loudly
+    with the original (appends included) intact; a clean re-run then
+    succeeds and preserves every row."""
+    from etl_weather_data_pipeline_spark.sinks import writers
+
+    path = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").repartition(8).write.parquet(path)
+
+    real = writers.write_parquet
+
+    def racing_writer(df, p, mode="overwrite", partition_by=()):
+        real(df, p, mode, partition_by)  # the staged copy lands...
+        if p.startswith(path + ".compact-tmp-"):
+            # ...and a concurrent writer appends to the LIVE table
+            # before the swap
+            spark.range(5000, 5010).selectExpr(
+                "id", "id % 7 AS k"
+            ).write.mode("append").parquet(path)
+
+    monkeypatch.setattr(writers, "write_parquet", racing_writer)
+    with pytest.raises(RuntimeError, match="appended.*during the staged"):
+        writers.compact_parquet(spark, path, target_file_mb=1)
+    monkeypatch.undo()
+    # original + the concurrent append both intact, staged dir swept
+    import glob
+
+    ids = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert ids == list(range(1000)) + list(range(5000, 5010))
+    assert glob.glob(path + ".compact-tmp-*") == []
+    # a clean re-run compacts without loss
+    res = writers.compact_parquet(spark, path, target_file_mb=1)
+    assert res["files_after"] <= res["files_before"]
+    ids = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert ids == list(range(1000)) + list(range(5000, 5010))
