@@ -363,6 +363,15 @@ def merge_upsert(
                 f"merge_upsert batch contains duplicate rows for keys {keys}; "
                 "dedup the batch first (last-write-wins is ambiguous here)"
             )
+        # Concurrent-append guard snapshot (r14, same class as the
+        # compaction's): taken BEFORE the `existing` read pins its own
+        # listing, diffed just before the swap — files another writer
+        # lands in a TOUCHED partition during the staged write would
+        # otherwise ride the partition dir into the trash and be
+        # removed with it.
+        before_files = set(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         existing = spark.read.parquet(path)
         if parts:
             batch_parts = df.select(*parts).distinct()
@@ -380,7 +389,35 @@ def merge_upsert(
         # The staged write streams from the live files — they are only
         # replaced after the new data is durably on disk.
         write_parquet(out, staged, "overwrite", parts)
+
+        def _abort_on_late(late: list[str]) -> None:
+            # Same semantics as compact_parquet's guard: an upsert has
+            # no way to fold a concurrent writer's rows in (they may
+            # collide with the batch's own keys), so abort loudly with
+            # the original — concurrent rows included — intact. The
+            # merge is idempotent: re-running the same batch after the
+            # abort converges.
+            if late:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise RuntimeError(
+                    f"merge_upsert: {len(late)} file(s) were appended to "
+                    f"{path} during the staged write; upsert aborted with "
+                    "the original (appends included) intact — re-run the "
+                    "batch, or pause writers for a clean pass"
+                )
+
         if not parts:
+            _abort_on_late(
+                sorted(
+                    set(
+                        glob.glob(
+                            os.path.join(path, "**", "*.parquet"),
+                            recursive=True,
+                        )
+                    )
+                    - before_files
+                )
+            )
             _swap_dirs(path, staged)
             return {"inserted": inserted, "updated": updated}
         # Two renames per touched hive partition directory: old moves to a
@@ -395,6 +432,22 @@ def merge_upsert(
                     os.path.join(staged, "**", "*.parquet"), recursive=True
                 )
             }
+        )
+        # Only TOUCHED partitions swap, so only their late files are at
+        # risk; a concurrent append to an untouched (or brand-new)
+        # partition survives untouched and is no reason to abort.
+        _abort_on_late(
+            sorted(
+                f
+                for f in set(
+                    glob.glob(
+                        os.path.join(path, "**", "*.parquet"),
+                        recursive=True,
+                    )
+                )
+                - before_files
+                if os.path.relpath(os.path.dirname(f), path) in staged_parts
+            )
         )
         trash = path.rstrip("/") + f".upsert-old-{uuid.uuid4().hex[:8]}"
         for rel in staged_parts:

@@ -835,3 +835,52 @@ def test_compact_parquet_aborts_on_concurrent_append(spark, tmp_path, monkeypatc
     assert res["files_after"] <= res["files_before"]
     ids = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert ids == list(range(1000)) + list(range(5000, 5010))
+
+
+def test_upsert_aborts_on_concurrent_append_to_touched_partition(
+    spark, batch, tmp_path, monkeypatch
+):
+    """r14: a file another writer lands in a TOUCHED partition during
+    the upsert's staged write would ride the partition dir into the
+    trash and be removed with it. The guard aborts loudly with the
+    original (appends included) intact; appends to untouched partitions
+    are no reason to abort."""
+    from etl_weather_data_pipeline_spark.sinks import writers
+
+    wh = str(tmp_path / "wh")
+    merge_upsert(spark, transform_weather(batch), wh)
+    n0 = spark.read.parquet(wh).count()
+
+    real = writers.write_parquet
+
+    def racing_writer(df, p, mode="overwrite", partition_by=()):
+        real(df, p, mode, partition_by)
+        if ".upsert-tmp-" in p:
+            # concurrent single-row append into the touched date
+            # partition, hive-style (bypasses merge_upsert on purpose —
+            # a foreign writer)
+            spark.createDataFrame(
+                [_obs("Berlin", "DE", 5, 9.0)], RAW_SCHEMA
+            ).transform(transform_weather).write.mode("append").partitionBy(
+                "date"
+            ).parquet(wh)
+
+    monkeypatch.setattr(writers, "write_parquet", racing_writer)
+    bumped = transform_weather(
+        batch.withColumn("temperature", F.col("temperature") + 1.0)
+    )
+    with pytest.raises(RuntimeError, match="appended.*during the staged"):
+        merge_upsert(spark, bumped, wh)
+    monkeypatch.undo()
+    import glob
+
+    # original rows + the foreign append both intact; staging swept
+    assert spark.read.parquet(wh).count() == n0 + 1
+    assert glob.glob(wh + ".upsert-tmp-*") == []
+    # the documented recovery: re-run the batch; the foreign row (a
+    # distinct key) survives the converged merge
+    counts = merge_upsert(spark, bumped, wh)
+    assert counts == {"inserted": 0, "updated": n0}
+    stored = spark.read.parquet(wh)
+    assert stored.count() == n0 + 1
+    assert stored.filter(F.col("city") == "Berlin").count() == 1
