@@ -649,6 +649,19 @@ def retrain_ivf_index(
     )
     from etl_weather_data_pipeline_spark.sinks.writers import _swap_dirs
 
+    # Open-time auto-recovery (r14): a prior retrain that died between
+    # the swap's two renames left the live path missing (read_ivf_meta
+    # below would raise) with the complete new index staged — finish
+    # that swap first; mid-staging leftovers get swept.
+    rec = recover_ivf_swap(path)
+    if rec["restored_live"] or rec["removed_stale_dirs"]:
+        import warnings
+
+        warnings.warn(
+            f"retrain_ivf_index: recovered prior crash state at {path}: "
+            f"{rec}",
+            stacklevel=2,
+        )
     meta = read_ivf_meta(path)
     old_cents = read_ivf_centroid_matrix(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]

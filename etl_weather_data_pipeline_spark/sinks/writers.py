@@ -153,6 +153,21 @@ def compact_parquet(
     import os
     import uuid
 
+    # Open-time auto-recovery (r14): complete or sweep a prior
+    # compaction's crash state before listing files — a crash between
+    # _swap_dirs' two renames leaves the live dir missing with the
+    # complete compacted copy staged, which recovery promotes; a
+    # mid-staging crash leaves a garbage sibling, which it removes.
+    rec = recover_staged_crash(path, staging_prefixes=(".compact-tmp-",))
+    if rec["restored_live"] or rec["removed_stale_dirs"]:
+        import warnings
+
+        warnings.warn(
+            f"compact_parquet: recovered prior crash state at {path}: "
+            f"{rec}",
+            stacklevel=2,
+        )
+
     def _files(root: str) -> list[str]:
         return glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
 
@@ -352,6 +367,29 @@ def merge_upsert(
     keys = list(keys)
     parts = list(partition_by)
     if not _delta_available(spark):
+        # Open-time auto-recovery (r14): sweep any crash state a prior
+        # upsert left before deciding anything from the path. Ordering
+        # matters — for a flat-table crash between the swap's two
+        # renames the live dir is MISSING, and without recovery the
+        # "re-run the batch" doctrine would take the fresh-write branch
+        # below and silently replace the whole table with just this
+        # batch. On a healthy table this is three globs. Single-writer
+        # discipline still applies: another writer's LIVE staging dir
+        # is indistinguishable from a crashed one and gets swept.
+        rec = recover_staged_crash(path, staging_prefixes=(".upsert-tmp-",))
+        if (
+            rec["restored_live"]
+            or rec["restored_partitions"]
+            or rec["removed_stale_dirs"]
+        ):
+            import warnings
+
+            warnings.warn(
+                f"merge_upsert: recovered prior crash state at {path}: "
+                f"{rec}; proceeding with the merge (idempotent re-runs "
+                "converge)",
+                stacklevel=2,
+            )
         if not os.path.exists(path):
             write_parquet(df, path, "overwrite", parts)
             return {"inserted": df.count(), "updated": 0}

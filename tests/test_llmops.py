@@ -2237,3 +2237,32 @@ def test_recover_ivf_swap_cross_process_crash(spark, tmp_path):
     rep = AX.recover_ivf_swap(live)
     assert rep["action"] == "clean" and rep["removed_stale_dirs"] == 1
     assert AX.read_ivf_meta(live) == AX.read_ivf_meta(new_idx)
+
+
+def test_retrain_self_recovers_cross_process_crash(spark, tmp_path):
+    """r14 auto-recovery: a retrain that died between the swap's two
+    renames in a PRIOR process left the live index path missing; the
+    next retrain must finish that swap at open (instead of raising on
+    the missing meta) and then retrain the recovered index normally."""
+    import glob
+    import shutil
+    import warnings
+
+    from etl_weather_data_pipeline_spark.operators import ann_index as AX
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    AX.write_ivf_index(emb, src, n_cells=4, iterations=1)
+    n = emb.count()
+    # fabricate the cross-process crash state at `live`
+    live = str(tmp_path / "live")
+    shutil.copytree(src, live + ".old-fab00000")
+    shutil.copytree(src, live + ".staged-fab0000")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rep = AX.retrain_ivf_index(spark, live, iterations=1)
+    assert any("recovered prior crash state" in str(x.message) for x in w)
+    assert rep["n_vectors"] == n
+    assert AX.read_ivf_vectors(spark, live).count() == n
+    assert glob.glob(live + ".old-*") == []
+    assert glob.glob(live + ".staged-*") == []

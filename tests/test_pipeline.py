@@ -884,3 +884,61 @@ def test_upsert_aborts_on_concurrent_append_to_touched_partition(
     stored = spark.read.parquet(wh)
     assert stored.count() == n0 + 1
     assert stored.filter(F.col("city") == "Berlin").count() == 1
+
+
+def test_upsert_self_recovers_flat_midswap_crash(spark, tmp_path):
+    """r14 auto-recovery: for a FLAT table that crashed between the
+    swap's two renames, the live dir is missing — before this round a
+    re-run took the fresh-write branch and silently replaced the table
+    with just the batch. merge_upsert now sweeps its crash state at
+    open, so the documented 're-run the batch' doctrine really
+    converges."""
+    import glob
+    import os
+    import warnings
+
+    p = str(tmp_path / "flat")
+    base = spark.range(20).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    )
+    merge_upsert(spark, base, p, keys=("id",), partition_by=())
+    # fabricate the mid-swap crash: live renamed aside, staged (the
+    # complete merged output of a bumped batch) still present
+    bumped_rows = spark.range(20).selectExpr(
+        "id", "CAST(id + 100 AS DOUBLE) AS v"
+    )
+    os.rename(p, p + ".old-fab00000")
+    bumped_rows.write.parquet(p + ".upsert-tmp-fab")
+    # plain re-run, no manual recovery call
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        counts = merge_upsert(spark, bumped_rows, p, keys=("id",), partition_by=())
+    assert any("recovered prior crash state" in str(x.message) for x in w)
+    assert counts == {"inserted": 0, "updated": 20}
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert rows == {i: float(i + 100) for i in range(20)}
+    assert glob.glob(p + ".old-*") == [] and glob.glob(p + ".upsert-*") == []
+
+
+def test_compact_self_recovers_midswap_crash(spark, tmp_path):
+    """r14 auto-recovery: a compaction that died between the swap's two
+    renames leaves the live dir missing and the compacted copy staged;
+    the next compact_parquet promotes it instead of failing on the
+    missing path."""
+    import glob
+    import os
+    import warnings
+
+    from etl_weather_data_pipeline_spark.sinks.writers import compact_parquet
+
+    p = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(p)
+    os.rename(p, p + ".old-fab00000")
+    spark.range(100).repartition(1).write.parquet(p + ".compact-tmp-fab")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = compact_parquet(spark, p, target_file_mb=128)
+    assert any("recovered prior crash state" in str(x.message) for x in w)
+    assert spark.read.parquet(p).count() == 100
+    assert res["files_after"] >= 1
+    assert glob.glob(p + ".old-*") == [] and glob.glob(p + ".compact-tmp-*") == []
