@@ -468,6 +468,26 @@ def _ensure_side_table(
     if spark.catalog.tableExists(name):
         return name
     loc = f"{path}/{spec.subdir}"
+    # Open-time auto-recovery (r14, same protocol as the other swap
+    # sites): a bucketed rewrite that died between its swap's two
+    # renames left `loc` missing with the complete rewritten copy at
+    # `loc.__staged__` — promote it (staged wins: the first rename only
+    # happens after staging completed, and the rewrite is content-
+    # preserving); a mid-staging crash left a garbage sibling — sweep
+    # it. Three globs on a healthy dir.
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    rec = recover_staged_crash(loc, staging_prefixes=(".__staged__",))
+    if rec["restored_live"] or rec["removed_stale_dirs"]:
+        import warnings
+
+        warnings.warn(
+            f"side table {name}: recovered prior crash state at {loc}: "
+            f"{rec}",
+            stacklevel=2,
+        )
     rows = _read_parquet_if_exists(spark, loc)
     if rows is None:
         return None

@@ -2386,3 +2386,50 @@ def test_compaction_folds_concurrent_side_appends(spark, tmp_path, monkeypatch):
     assert set(after) == set(original) | racing_keys
     spark.sql(f"DROP TABLE IF EXISTS {bands_name}")
     spark.sql(f"DROP TABLE IF EXISTS {C.winnow_table_name(store)}")
+
+
+def test_side_table_self_recovers_midswap_crash(spark, tmp_path):
+    """r14 auto-recovery at the side-table open point: a bucketed
+    rewrite that died between its swap's two renames leaves the _bands
+    dir missing with the complete rewritten copy at `.__staged__`; the
+    next _ensure_side_table (i.e. the next merge or attach) must
+    promote it and re-attach the catalog table, probes working."""
+    import glob
+    import os
+    import shutil
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+    from etl_weather_data_pipeline_spark.streaming import corpus as C
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    C.merge_batch_neardup_into_corpus(
+        docs.filter(F.col("doc_id") % 3 == 0), store, band_buckets=8
+    )
+    bands_name = C.bands_table_name(store)
+    loc = f"{store}/{C.BANDS_SUBDIR}"
+    n_rows = spark.table(bands_name).count()
+    # simulate a NEW SESSION (the catalog entry dies with the crashed
+    # driver) + the mid-swap disk state
+    spark.sql(f"DROP TABLE IF EXISTS {bands_name}")
+    shutil.copytree(loc, loc + ".__staged__")
+    os.rename(loc, loc + ".old-fab00000")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        name = C._ensure_side_table(spark, store, C._BANDS_SPEC, 8)
+    assert name == bands_name
+    assert any("recovered prior crash state" in str(x.message) for x in w)
+    assert spark.table(bands_name).count() == n_rows
+    assert glob.glob(loc + ".old-*") == []
+    assert glob.glob(loc + ".__staged__*") == []
+    # the recovered table still serves a merge (probe plans intact)
+    n = C.merge_batch_neardup_into_corpus(
+        docs.filter(F.col("doc_id") % 3 == 1), store, band_buckets=8
+    )
+    assert n > 0
+    spark.sql(f"DROP TABLE IF EXISTS {bands_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {C.winnow_table_name(store)}")
