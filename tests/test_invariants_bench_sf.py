@@ -69,3 +69,26 @@ def test_bench_summary_line_fits_tail_window():
     assert d["metric"] == "bench_summary"
     assert d["value"] == d["total"] == 99999.999
     assert {"core_r6_value", "core_r6_n_queries", "n_queries", "sf"} <= set(d)
+
+
+def test_registry_cap_and_window_arithmetic():
+    """Standing rotation-debt policy (r11 directive #2): the registry
+    holds exactly 141 queries (138 rotating + 3 fixed = 47 rotating
+    slots/round x 3-round cycle), the driver window is exactly the
+    first 50 registry entries, every window name resolves, and the
+    canaries + e2e hold their fixed slots. A consolidation or debutant
+    that breaks the cap math fails here before it silently starves the
+    rotation."""
+    from etl_weather_data_pipeline_spark.plans.catalog import (
+        _DRIVER_WINDOW_PRIORITY,
+    )
+
+    reg = build_registry()
+    assert len(reg) == 141, len(reg)
+    assert len(_DRIVER_WINDOW_PRIORITY) == 50
+    assert list(reg)[:50] == list(_DRIVER_WINDOW_PRIORITY)
+    fixed = {"kmeans_clusters", "corpus_merge_state", "weather_pipeline_e2e"}
+    assert fixed <= set(_DRIVER_WINDOW_PRIORITY)
+    # every oracled row still declares its oracle (a rows-only
+    # regression would weaken the gate silently)
+    assert all(q.oracle is not None for q in reg.values())
