@@ -543,7 +543,8 @@ def main() -> None:
     # and a short line printed BEFORE it would sit entirely outside
     # the window. Last position guarantees the summary is intact in
     # the tail regardless of how large the per-query line grows;
-    # tests/test_bench_contract.py pins its length far under the
+    # tests/test_invariants_bench_sf.py::
+    # test_bench_summary_line_fits_tail_window pins its length far under the
     # window. Full per-query data: the line above (tail-truncated at
     # the head if oversized) — set SPARK_GRAFT_BENCH_OUT=<path> to
     # also write it to a file in full.

@@ -312,6 +312,64 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def _list_parquet_files(root: str, rel_dirs: Sequence[str] | None) -> set:
+    """Driver-side parquet file listing for the concurrent-append guards.
+
+    ``rel_dirs=None`` lists the whole tree (flat tables, or a fallback
+    when partition dir names can't be derived); otherwise only the named
+    partition subdirectories are walked — the O(touched) form every
+    batch-proportional caller should use (at 100 TB a full recursive
+    glob is a single-threaded walk of millions of files; a daily batch
+    touches a handful of date partitions).
+    """
+    import glob
+    import os
+
+    if rel_dirs is None:
+        return set(
+            glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        )
+    out: set = set()
+    for rel in rel_dirs:
+        out.update(
+            glob.glob(
+                os.path.join(root, rel, "**", "*.parquet"), recursive=True
+            )
+        )
+    return out
+
+
+def _hive_rel_dirs(
+    part_cols: Sequence[str], part_rows: Sequence
+) -> list[str] | None:
+    """Relative hive partition dirs (``a=1/b=x``) for the batch's
+    partition values, or None when any value needs hive escaping /
+    special formatting (None, bools, url-escaped chars, …) — callers
+    fall back to a full listing rather than risk a dir-name mismatch.
+    A mismatch would only make the guard FAIL-OPEN (the dir's files drop
+    out of both the before and after listings), but deriving only the
+    provably-clean cases keeps the restriction exact.
+    """
+    import datetime
+    import re
+
+    safe = re.compile(r"[A-Za-z0-9._-]+\Z")
+    rels = []
+    for row in part_rows:
+        segs = []
+        for col, v in zip(part_cols, tuple(row)):
+            if isinstance(v, bool) or not isinstance(
+                v, (int, str, datetime.date)
+            ):
+                return None
+            s = str(v)
+            if not safe.match(s):
+                return None
+            segs.append(f"{col}={s}")
+        rels.append("/".join(segs))
+    return rels
+
+
 def _delta_available(spark: SparkSession) -> bool:
     try:
         # Both the Python package and the JVM class must be present; py4j
@@ -406,13 +464,19 @@ def merge_upsert(
         # listing, diffed just before the swap — files another writer
         # lands in a TOUCHED partition during the staged write would
         # otherwise ride the partition dir into the trash and be
-        # removed with it.
-        before_files = set(
-            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        )
-        existing = spark.read.parquet(path)
+        # removed with it. Only TOUCHED partitions ever swap, so for a
+        # partitioned table both the snapshot and the diff walk only the
+        # batch's partition dirs (one extra batch-proportional collect
+        # derives them) — a full recursive glob here would be an
+        # O(all table files) single-threaded driver walk per upsert,
+        # breaking the proportional-to-the-BATCH contract at 100 TB.
+        guard_dirs = None
         if parts:
             batch_parts = df.select(*parts).distinct()
+            guard_dirs = _hive_rel_dirs(parts, batch_parts.collect())
+        before_files = _list_parquet_files(path, guard_dirs)
+        existing = spark.read.parquet(path)
+        if parts:
             existing = existing.join(F.broadcast(batch_parts), parts, "left_semi")
         batch_keys = df.select(*keys).distinct()
         updated = (
@@ -446,15 +510,7 @@ def merge_upsert(
 
         if not parts:
             _abort_on_late(
-                sorted(
-                    set(
-                        glob.glob(
-                            os.path.join(path, "**", "*.parquet"),
-                            recursive=True,
-                        )
-                    )
-                    - before_files
-                )
+                sorted(_list_parquet_files(path, None) - before_files)
             )
             _swap_dirs(path, staged)
             return {"inserted": inserted, "updated": updated}
@@ -477,13 +533,7 @@ def merge_upsert(
         _abort_on_late(
             sorted(
                 f
-                for f in set(
-                    glob.glob(
-                        os.path.join(path, "**", "*.parquet"),
-                        recursive=True,
-                    )
-                )
-                - before_files
+                for f in _list_parquet_files(path, guard_dirs) - before_files
                 if os.path.relpath(os.path.dirname(f), path) in staged_parts
             )
         )
@@ -518,6 +568,27 @@ def merge_upsert(
     return {"inserted": -1, "updated": -1}  # Delta doesn't expose counts here
 
 
+# Every staged-rename protocol's sibling-dir prefix, in one place: each
+# open-time recovery sweeps ALL of them (not just its caller's), which is
+# what makes the promote-staged-on-missing-live rule SOUND across
+# protocols. The proof "a missing live dir means the surviving staged
+# copy is complete" holds per-protocol (only a swap removes live, and
+# every swap runs after its staging finished) — but a stale INCOMPLETE
+# staging dir left by a different protocol's mid-staging crash would
+# break it if it could survive until a later missing-live state. With
+# all-prefix sweeps at every open, at most the most-recent crashed run's
+# dirs exist at any open, so any staged sibling seen next to a missing
+# live dir is that run's completed staging. (Single-writer discipline
+# per table is already the documented contract — a LIVE concurrent
+# writer's staging dir was always indistinguishable from a crashed one.)
+_ALL_STAGING_PREFIXES = (
+    ".upsert-tmp-",  # merge_upsert
+    ".compact-tmp-",  # compact_parquet
+    ".staged-",  # retrain_ivf_index / recover_ivf_swap
+    ".__staged__",  # streaming side-table bucketed rewrite
+)
+
+
 def recover_staged_crash(
     path: str,
     staging_prefixes: Sequence[str] = (".upsert-tmp-", ".compact-tmp-"),
@@ -541,12 +612,21 @@ def recover_staged_crash(
       guarantee — a dest only goes missing AFTER its old copy reached
       the trash), then re-run the batch.
     - the live dir itself missing (a flat-table ``_swap_dirs`` crash
-      between its two renames): restore the newest staging sibling when
-      one survives — the first rename only ever happens after staging
-      completed, so a missing live PROVES the staged copy is complete,
-      and preferring it finishes the swap (the same staged-wins rule as
-      retrain_ivf_index's in-process self-heal) — else the complete old
-      copy at ``<path>.old-*``.
+      between its two renames): restore the newest-by-mtime staging
+      sibling when one survives — the first rename only ever happens
+      after staging completed, so a missing live PROVES the staged copy
+      is complete, and preferring it finishes the swap (the same
+      staged-wins rule as retrain_ivf_index's in-process self-heal) —
+      else the complete old copy at ``<path>.old-*``. The completeness
+      proof is cross-protocol because every open sweeps every protocol's
+      staging prefix (see ``_ALL_STAGING_PREFIXES``): a foreign
+      protocol's stale mid-staging garbage cannot survive to be
+      mis-promoted here.
+    - nothing restorable from any of the above (``action:
+      "unrecoverable"``): NOTHING is swept — whatever siblings exist
+      (e.g. partition trash a vanished live dir orphaned) are the only
+      surviving copies, and deleting them would turn "needs manual
+      recovery" into permanent loss.
 
     Whichever copy a state restores, re-running the idempotent merge
     converges the table to the exact clean-run content — pinned end-to-end
@@ -570,8 +650,9 @@ def recover_staged_crash(
     base = path.rstrip("/")
 
     def _staging_dirs() -> list[str]:
+        prefixes = dict.fromkeys((*staging_prefixes, *_ALL_STAGING_PREFIXES))
         return sorted(
-            d for p in staging_prefixes for d in glob.glob(base + p + "*")
+            {d for p in prefixes for d in glob.glob(base + p + "*")}
         )
 
     restored_live = 0
@@ -580,13 +661,21 @@ def recover_staged_crash(
         staged = _staging_dirs()
         olds = sorted(glob.glob(base + ".old-*"))
         if staged:
-            os.rename(staged[-1], base)
+            os.rename(max(staged, key=os.path.getmtime), base)
             action, restored_live = "completed_swap", 1
         elif olds:
-            os.rename(olds[-1], base)
+            os.rename(max(olds, key=os.path.getmtime), base)
             action, restored_live = "restored_old", 1
         else:
-            action = "unrecoverable"
+            # Nothing to restore a live dir from — and therefore nothing
+            # safe to delete either: sweep NOTHING (siblings like
+            # partition trash may be the only surviving copies).
+            return {
+                "action": "unrecoverable",
+                "restored_live": 0,
+                "restored_partitions": 0,
+                "removed_stale_dirs": 0,
+            }
     else:
         action = "clean"
         for trash in sorted(glob.glob(base + ".upsert-old-*")):

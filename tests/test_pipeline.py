@@ -942,3 +942,176 @@ def test_compact_self_recovers_midswap_crash(spark, tmp_path):
     assert spark.read.parquet(p).count() == 100
     assert res["files_after"] >= 1
     assert glob.glob(p + ".old-*") == [] and glob.glob(p + ".compact-tmp-*") == []
+
+
+def test_recover_sweeps_foreign_protocol_staging(spark, tmp_path):
+    """Cross-protocol sweep invariant (the soundness condition for
+    promote-staged-on-missing-live): every open-time recovery removes
+    EVERY protocol's stale staging siblings, not just its caller's — a
+    foreign mid-staging leftover that survived to a later missing-live
+    state would otherwise be promotable over the complete .old copy."""
+    import glob
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    # stale garbage from two OTHER protocols' mid-staging crashes
+    os.makedirs(p + ".staged-feedbeef")
+    spark.range(3).write.parquet(p + ".compact-tmp-fab")
+    rep = recover_staged_crash(p, staging_prefixes=(".upsert-tmp-",))
+    assert rep["action"] == "clean"
+    assert rep["removed_stale_dirs"] == 2
+    assert glob.glob(p + ".staged-*") == []
+    assert glob.glob(p + ".compact-tmp-*") == []
+    assert spark.read.parquet(p).count() == 10
+
+
+def test_cross_protocol_crash_sequence_converges(spark, tmp_path):
+    """The two-crash interleaving that motivated the all-prefix sweep:
+    (1) an upsert dies mid-staging (incomplete .upsert-tmp-*, live
+    intact); (2) a compaction runs — its open MUST sweep the foreign
+    leftover — and dies between its swap's two renames (live missing,
+    complete .compact-tmp-* + .old-*); (3) the next upsert's recovery
+    promotes the COMPLETE compacted copy (the only staging sibling
+    left) and the merge converges with zero loss."""
+    import glob
+    import os
+    import uuid
+    import warnings
+
+    from etl_weather_data_pipeline_spark.sinks import writers
+
+    p = str(tmp_path / "t")
+    base = spark.range(20).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    writers.merge_upsert(spark, base, p, keys=("id",), partition_by=())
+    # (1) incomplete upsert staging garbage: a bare dir with a partial
+    # file, no _SUCCESS — exactly what a mid-staging death leaves
+    stale = p + ".upsert-tmp-00000000"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00" * 16)
+
+    # (2) compaction: open-time recovery sweeps the foreign dir...
+    real_swap = writers._swap_dirs
+    def dying_swap(live, staged):
+        old = live.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(live, old)  # ...then the swap dies between renames
+        raise RuntimeError("injected crash between the swap's renames")
+
+    writers._swap_dirs = dying_swap
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            writers.compact_parquet(spark, p, target_file_mb=128)
+    finally:
+        writers._swap_dirs = real_swap
+    assert glob.glob(p + ".upsert-tmp-*") == []  # foreign garbage swept
+    assert not os.path.isdir(p)  # mid-swap state: live missing
+    assert len(glob.glob(p + ".compact-tmp-*")) == 1
+
+    # (3) re-run the batch: recovery promotes the complete compacted
+    # copy, never the (now impossible) incomplete foreign dir
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        counts = writers.merge_upsert(
+            spark, base, p, keys=("id",), partition_by=()
+        )
+    assert any("recovered prior crash state" in str(x.message) for x in w)
+    assert counts == {"inserted": 0, "updated": 20}
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert rows == {i: float(i) for i in range(20)}
+    for pat in (".upsert-tmp-*", ".compact-tmp-*", ".old-*"):
+        assert glob.glob(p + pat) == []
+
+
+def test_recover_promotes_newest_staged_by_mtime(spark, tmp_path):
+    """When more than one staging sibling survives next to a missing
+    live dir, the NEWEST by mtime wins — uuid-suffixed names make a
+    lexicographic pick arbitrary (an older stale copy could shadow the
+    completed swap's)."""
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p + ".upsert-tmp-zzzzzzzz")
+    spark.range(20).write.parquet(p + ".upsert-tmp-aaaaaaaa")
+    # lexicographically-last dir is the OLDER one
+    os.utime(p + ".upsert-tmp-zzzzzzzz", (1, 1))
+    rep = recover_staged_crash(p)
+    assert rep["action"] == "completed_swap"
+    assert spark.read.parquet(p).count() == 20
+
+
+def test_recover_unrecoverable_sweeps_nothing(spark, tmp_path):
+    """action='unrecoverable' must leave every sibling on disk — the
+    partition trash (or any other leftover) may be the only surviving
+    copy, and a sweep that admits it cannot recover must not delete the
+    evidence it cannot interpret."""
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    p = str(tmp_path / "t")
+    trash = p + ".upsert-old-fab00000"
+    spark.range(7).write.parquet(os.path.join(trash, "shard=0"))
+    rep = recover_staged_crash(p)
+    assert rep["action"] == "unrecoverable"
+    assert rep["removed_stale_dirs"] == 0
+    assert spark.read.parquet(os.path.join(trash, "shard=0")).count() == 7
+
+
+def test_hive_rel_dirs_fast_path_and_fallback():
+    """The guard's O(touched) restriction derives hive dirs only for
+    provably-clean values; anything needing hive escaping or special
+    formatting falls back (None) to the full listing."""
+    import datetime
+
+    from etl_weather_data_pipeline_spark.sinks.writers import _hive_rel_dirs
+
+    assert _hive_rel_dirs(
+        ["date"], [(datetime.date(2023, 11, 7),)]
+    ) == ["date=2023-11-07"]
+    assert _hive_rel_dirs(["a", "b"], [(3, "x_y-1.z"), (4, "w")]) == [
+        "a=3/b=x_y-1.z",
+        "a=4/b=w",
+    ]
+    assert _hive_rel_dirs(["k"], [(None,)]) is None
+    assert _hive_rel_dirs(["k"], [("has space",)]) is None
+    assert _hive_rel_dirs(["k"], [("a=b",)]) is None
+    assert _hive_rel_dirs(["k"], [(True,)]) is None
+    assert _hive_rel_dirs(["k"], [(1.5,)]) is None
+
+
+def test_upsert_guard_lists_only_touched_partitions(
+    spark, batch, tmp_path, monkeypatch
+):
+    """The concurrent-append guard must stay proportional to the BATCH:
+    for a partitioned table both its listings walk only the batch's
+    hive partition dirs, never the whole tree (at 100 TB a full
+    recursive glob is an O(all files) driver walk per upsert)."""
+    from etl_weather_data_pipeline_spark.sinks import writers
+
+    wh = str(tmp_path / "wh")
+    merge_upsert(spark, transform_weather(batch), wh)
+
+    seen: list = []
+    real = writers._list_parquet_files
+
+    def recording(root, rel_dirs):
+        seen.append((root, rel_dirs))
+        return real(root, rel_dirs)
+
+    monkeypatch.setattr(writers, "_list_parquet_files", recording)
+    merge_upsert(spark, transform_weather(batch), wh)
+    guard_calls = [c for c in seen if c[0] == wh]
+    assert len(guard_calls) == 2  # snapshot + pre-swap diff
+    for _, rel_dirs in guard_calls:
+        assert rel_dirs == ["date=2023-11-07"]
