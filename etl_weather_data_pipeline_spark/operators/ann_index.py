@@ -169,7 +169,7 @@ def _vector_files(path: str) -> list[str]:
     import glob
 
     return glob.glob(
-        os.path.join(path, VECTORS_SUBDIR, "**", "*.parquet"),
+        os.path.join(glob.escape(path), VECTORS_SUBDIR, "**", "*.parquet"),
         recursive=True,
     )
 
@@ -795,7 +795,7 @@ def retrain_ivf_index(
                 "retry would be a redundant full retrain",
                 stacklevel=2,
             )
-            for old in _glob.glob(path.rstrip("/") + ".old-*"):
+            for old in _glob.glob(_glob.escape(path.rstrip("/")) + ".old-*"):
                 shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
     return {"n_vectors": n, "sse_history": sse_history, "meta": new_meta}

@@ -169,7 +169,10 @@ def compact_parquet(
         )
 
     def _files(root: str) -> list[str]:
-        return glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        return glob.glob(
+            os.path.join(glob.escape(root), "**", "*.parquet"),
+            recursive=True,
+        )
 
     before = _files(path)
     target_bytes = target_file_mb * 1024 * 1024
@@ -327,13 +330,17 @@ def _list_parquet_files(root: str, rel_dirs: Sequence[str] | None) -> set:
 
     if rel_dirs is None:
         return set(
-            glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+            glob.glob(
+                os.path.join(glob.escape(root), "**", "*.parquet"),
+                recursive=True,
+            )
         )
     out: set = set()
     for rel in rel_dirs:
         out.update(
             glob.glob(
-                os.path.join(root, rel, "**", "*.parquet"), recursive=True
+                os.path.join(glob.escape(os.path.join(root, rel)), "**", "*.parquet"),
+                recursive=True,
             )
         )
     return out
@@ -523,7 +530,8 @@ def merge_upsert(
             {
                 os.path.relpath(os.path.dirname(f), staged)
                 for f in glob.glob(
-                    os.path.join(staged, "**", "*.parquet"), recursive=True
+                    os.path.join(glob.escape(staged), "**", "*.parquet"),
+                    recursive=True,
                 )
             }
         )
@@ -648,18 +656,22 @@ def recover_staged_crash(
     import shutil
 
     base = path.rstrip("/")
+    # glob.escape: a table path containing glob metachars ([, *, ?) must
+    # still recover — an unescaped pattern would silently match nothing
+    # and leave every crash state (and its data) unrestored.
+    gbase = glob.escape(base)
 
     def _staging_dirs() -> list[str]:
         prefixes = dict.fromkeys((*staging_prefixes, *_ALL_STAGING_PREFIXES))
         return sorted(
-            {d for p in prefixes for d in glob.glob(base + p + "*")}
+            {d for p in prefixes for d in glob.glob(gbase + p + "*")}
         )
 
     restored_live = 0
     restored_partitions = 0
     if not os.path.isdir(base):
         staged = _staging_dirs()
-        olds = sorted(glob.glob(base + ".old-*"))
+        olds = sorted(glob.glob(gbase + ".old-*"))
         if staged:
             os.rename(max(staged, key=os.path.getmtime), base)
             action, restored_live = "completed_swap", 1
@@ -678,12 +690,12 @@ def recover_staged_crash(
             }
     else:
         action = "clean"
-        for trash in sorted(glob.glob(base + ".upsert-old-*")):
+        for trash in sorted(glob.glob(gbase + ".upsert-old-*")):
             rels = sorted(
                 {
                     os.path.relpath(os.path.dirname(f), trash)
                     for f in glob.glob(
-                        os.path.join(trash, "**", "*.parquet"),
+                        os.path.join(glob.escape(trash), "**", "*.parquet"),
                         recursive=True,
                     )
                 }
@@ -699,8 +711,8 @@ def recover_staged_crash(
     removed = 0
     for d in {
         *_staging_dirs(),
-        *glob.glob(base + ".old-*"),
-        *glob.glob(base + ".upsert-old-*"),
+        *glob.glob(gbase + ".old-*"),
+        *glob.glob(gbase + ".upsert-old-*"),
     }:
         if os.path.exists(d):
             shutil.rmtree(d, ignore_errors=True)

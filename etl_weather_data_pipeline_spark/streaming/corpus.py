@@ -392,7 +392,8 @@ def _rewrite_side_bucketed(
         import glob as _glob
 
         late = sorted(
-            set(_glob.glob(os.path.join(loc, "*.parquet"))) - live_snapshot
+            set(_glob.glob(os.path.join(_glob.escape(loc), "*.parquet")))
+            - live_snapshot
         )
         if late:
             # eager: the swap's rmtree destroys these files
@@ -438,7 +439,7 @@ def _bucket_file_ids(loc: str) -> list[int] | None:
     import re
 
     ids = []
-    for f in glob.glob(os.path.join(loc, "*.parquet")):
+    for f in glob.glob(os.path.join(glob.escape(loc), "*.parquet")):
         m = re.search(r"_(\d{5})\.", os.path.basename(f))
         if m is None:
             return None
@@ -620,7 +621,7 @@ def compact_corpus_side_tables(
             backfilled = backfill_winnow_fingerprints(
                 spark, path, winnow_k, winnow_w, band_buckets
             )
-        n_before = len(glob.glob(os.path.join(loc, "*.parquet")))
+        n_before = len(glob.glob(os.path.join(glob.escape(loc), "*.parquet")))
         # Force the HONORED bucketed scan for the rewrite. Two reasons:
         # (1) correctness — with autoBucketedScan on, Catalyst may keep
         # the scan file-based yet still elide the aligning repartition
@@ -639,14 +640,14 @@ def compact_corpus_side_tables(
             # diff against this set folds back any files a concurrent
             # merge appends mid-rewrite instead of letting the swap's
             # rmtree destroy them (see _rewrite_side_bucketed).
-            snapshot = set(glob.glob(os.path.join(loc, "*.parquet")))
+            snapshot = set(glob.glob(os.path.join(glob.escape(loc), "*.parquet")))
             _rewrite_side_bucketed(
                 spark, spark.table(name), name, loc, spec, band_buckets,
                 live_snapshot=snapshot,
             )
         finally:
             spark.conf.set(k, prior)
-        n_after = len(glob.glob(os.path.join(loc, "*.parquet")))
+        n_after = len(glob.glob(os.path.join(glob.escape(loc), "*.parquet")))
         out[label] = {"files_before": n_before, "files_after": n_after}
         if spec is _WINNOW_SPEC:
             out[label]["backfilled_rows"] = backfilled

@@ -1115,3 +1115,45 @@ def test_upsert_guard_lists_only_touched_partitions(
     assert len(guard_calls) == 2  # snapshot + pre-swap diff
     for _, rel_dirs in guard_calls:
         assert rel_dirs == ["date=2023-11-07"]
+
+def test_recover_staged_crash_on_glob_metachar_path(tmp_path):
+    """Crash recovery is pure filesystem metadata and must work even on
+    a path containing glob metachars ([, ], *) — unescaped patterns
+    silently match nothing, leaving crash states (and their data)
+    unrestored. (Spark's own readers treat paths as Hadoop glob
+    patterns, so such a table needs escaping at read time regardless —
+    but the recovery protocol must not compound that with silent
+    no-ops: it promotes, restores, and sweeps by real listings.)"""
+    import glob
+    import os
+
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        recover_staged_crash,
+    )
+
+    p = str(tmp_path / "t[v1]")
+
+    def mkdata(d, payload):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write(payload)
+
+    # mid-swap state: live missing, complete staged + old copy present
+    mkdata(p + ".upsert-tmp-fab00000", "staged")
+    mkdata(p + ".old-fab00000", "old")
+    rep = recover_staged_crash(p)
+    assert rep["action"] == "completed_swap" and rep["restored_live"] == 1
+    with open(os.path.join(p, "part-0.parquet")) as f:
+        assert f.read() == "staged"
+    assert glob.glob(glob.escape(p) + ".old-*") == []
+    assert glob.glob(glob.escape(p) + ".upsert-tmp-*") == []
+
+    # partition-trash state: live intact, shard missing from live but
+    # present in the .upsert-old-* trash
+    mkdata(os.path.join(p + ".upsert-old-fab", "shard=3"), "trash")
+    rep = recover_staged_crash(p)
+    assert rep["action"] == "restored_partitions"
+    assert rep["restored_partitions"] == 1
+    with open(os.path.join(p, "shard=3", "part-0.parquet")) as f:
+        assert f.read() == "trash"
+    assert glob.glob(glob.escape(p) + ".upsert-old-*") == []
