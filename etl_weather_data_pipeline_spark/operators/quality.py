@@ -69,8 +69,11 @@ def quality_gate(
     metrics: Row, thresholds: QualityThresholds = QualityThresholds()
 ) -> None:
     """Raise ValueError when the batch fails the gate
-    (reference weather_etl_dag.py:349-389). Call after metrics, before
-    publishing the batch."""
+    (reference weather_etl_dag.py:349-389). Reference ordering: the
+    gate task runs AFTER the load (``load_task >> quality_group``,
+    weather_etl_dag.py:478) — it flags the published batch and fails the
+    run; the failure is recorded in load_history and a corrected re-run
+    converges through the idempotent upsert."""
     failures = []
     if metrics["data_retention_rate"] < thresholds.min_retention_rate:
         failures.append(

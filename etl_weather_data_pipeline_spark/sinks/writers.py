@@ -214,7 +214,11 @@ def compact_parquet(
             n_tasks, *[F.col(c) for c in partition_by], F.col("__bucket")
         ).drop("__bucket")
     else:
-        n_out = max(1, sum(os.path.getsize(f) for f in before) // target_bytes)
+        # ceil, matching the partitioned branch — floor would emit files
+        # up to 2x the target (the giant-task problem sizing exists for)
+        n_out = max(
+            1, -(-sum(os.path.getsize(f) for f in before) // target_bytes)
+        )
         if zorder_by:
             from etl_weather_data_pipeline_spark.operators.layout import (
                 quantize_nonneg,
@@ -400,22 +404,31 @@ def merge_upsert(
     """K6 — keyed whole-row upsert into a parquet/Delta table at ``path``.
 
     Emulated merge plan (no Delta), proportional to the BATCH, not the
-    table: read only the partitions the batch touches (semi-join on the
-    distinct partition values — at 100 TB a daily batch touches a handful
-    of date partitions out of thousands) → anti-join away rows whose key
-    collides with the batch → union the batch → ONE dynamic-partition
-    overwrite. The output is localCheckpoint-ed first so the write job
-    never re-reads the files it is replacing (no staging copy, half the
-    I/O of a stage-then-copy plan).
+    table: read only the partitions the batch touches (null-safe
+    semi-join on the distinct partition values — at 100 TB a daily batch
+    touches a handful of date partitions out of thousands) → anti-join
+    away rows whose key collides with the batch → union the batch →
+    stage the touched partitions to a sibling dir and swap them in with
+    per-partition renames (crash-safety paragraph below). The staged
+    write streams straight from the live files — the old data is never
+    deleted before its replacement is durably on disk.
 
     Contract: every partition column must be functionally dependent on the
     merge key (here date = date(timestamp), timestamp ∈ keys), so a key
     collision can never hide in an untouched partition. The batch side of
-    the contract is CHECKED (one batch-proportional agg: no two batch rows
-    may share a key, and with ``partition_by=()`` the merge falls back to
-    the full-table path instead of a degenerate zero-column join). The
-    existing-table side is the caller's schema-design invariant — checking
-    it would require scanning untouched partitions, defeating the point.
+    the contract is CHECKED (one batch-proportional agg, enforced on the
+    fresh-table path too — the first batch must not seed key-violating
+    rows): no two batch rows may share a key, no merge key may be NULL
+    (SQL MERGE parity — an ON clause never matches NULL, so a NULL-keyed
+    row would re-insert forever instead of updating), and with
+    ``partition_by=()`` the merge falls back to the full-table path
+    instead of a degenerate zero-column join. The existing-table side is
+    the caller's schema-design invariant — checking it would require
+    scanning untouched partitions, defeating the point. The partition
+    semi-join is NULL-SAFE so a legitimately NULL partition VALUE (a
+    nullable non-key partition column) keeps its existing rows: they
+    ride ``kept`` into the staged ``__HIVE_DEFAULT_PARTITION__`` dir
+    instead of being silently dropped by the swap.
 
     Crash safety: touched partitions are staged to a sibling temp dir and
     swapped in one directory-rename per partition. Untouched partitions
@@ -455,17 +468,37 @@ def merge_upsert(
                 "converge)",
                 stacklevel=2,
             )
-        if not os.path.exists(path):
-            write_parquet(df, path, "overwrite", parts)
-            return {"inserted": df.count(), "updated": 0}
-        dup_keys = (
-            df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        # Batch contract check — ONE batch-proportional agg covering both
+        # invariants, enforced before the fresh-table branch too (the
+        # first batch must not seed the table with key-violating rows).
+        any_null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            any_null_key = c if any_null_key is None else (any_null_key | c)
+        contract = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.max("__n").alias("max_dup"),
+                F.max(any_null_key.cast("int")).alias("has_null_key"),
+            )
+            .first()
         )
-        if dup_keys:
+        if contract["has_null_key"]:
+            raise ValueError(
+                f"merge_upsert batch contains NULL in merge keys {keys}; "
+                "a NULL key never equality-matches (SQL MERGE semantics), "
+                "so the row would be re-inserted on every run — drop or "
+                "repair such rows first"
+            )
+        if (contract["max_dup"] or 0) > 1:
             raise ValueError(
                 f"merge_upsert batch contains duplicate rows for keys {keys}; "
                 "dedup the batch first (last-write-wins is ambiguous here)"
             )
+        if not os.path.exists(path):
+            write_parquet(df, path, "overwrite", parts)
+            return {"inserted": df.count(), "updated": 0}
         # Concurrent-append guard snapshot (r14, same class as the
         # compaction's): taken BEFORE the `existing` read pins its own
         # listing, diffed just before the swap — files another writer
@@ -484,7 +517,19 @@ def merge_upsert(
         before_files = _list_parquet_files(path, guard_dirs)
         existing = spark.read.parquet(path)
         if parts:
-            existing = existing.join(F.broadcast(batch_parts), parts, "left_semi")
+            # NULL-SAFE semi-join: batch keys are non-null (contract
+            # above), but a nullable NON-key partition column is legal —
+            # plain equality would exclude the existing
+            # __HIVE_DEFAULT_PARTITION__ rows from `kept` while the swap
+            # still replaces that directory, silently destroying them.
+            existing = existing.join(
+                F.broadcast(batch_parts),
+                [
+                    existing[c].eqNullSafe(batch_parts[c])
+                    for c in parts
+                ],
+                "left_semi",
+            )
         batch_keys = df.select(*keys).distinct()
         updated = (
             existing.join(F.broadcast(batch_keys), keys, "left_semi").count()
@@ -789,9 +834,19 @@ def export_training_shards(
         if checksum_col is not None
         else F.bit_xor(F.xxhash64(F.col(key_col).cast("string")))
     )
-    manifest = sharded.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        checksum.alias("content_checksum"),
+    # The manifest reads back the WRITTEN shards, not the source frame:
+    # a second action over `sharded` would re-evaluate the whole corpus
+    # subtree (the 2+-consumer rule), persisting it at 100 TB is not an
+    # option, and checksumming what is actually on disk is the stronger
+    # audit anyway. `shard` returns as the hive partition column (int by
+    # inference) — cast back to long to keep the manifest schema stable.
+    manifest = (
+        sharded.sparkSession.read.parquet(path)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            checksum.alias("content_checksum"),
+        )
     )
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return manifest

@@ -56,8 +56,23 @@ def parse_api_payload(df: DataFrame, json_col: str = "value") -> DataFrame:
     (src/ingest.py:152-169); here it is from_json + one select, so Catalyst
     prunes unused branches of the nested struct at the scan.
     Unit conversions: visibility m→km (/1000, default 0), dt epoch→ts.
+
+    Records whose payload fails to parse, or is missing an IDENTITY field
+    (name / sys.country / dt), are dropped — reference parity: its parser
+    raises KeyError on a missing required field and the record is skipped
+    (src/ingest.py:113-118). Without the drop, a corrupt landed line
+    becomes an all-NULL row and a dt-less payload becomes a NULL-keyed
+    observation — unkeyable by the upsert (NULL never equality-matches,
+    so every re-run would re-insert it). Measure fields keep the lenient
+    defaults above.
     """
     parsed = df.select(F.from_json(F.col(json_col), API_SCHEMA).alias("j"))
+    parsed = parsed.filter(
+        F.col("j").isNotNull()
+        & F.col("j.name").isNotNull()
+        & F.col("j.sys.country").isNotNull()
+        & F.col("j.dt").isNotNull()
+    )
     return parsed.select(
         F.col("j.name").alias("city"),
         F.col("j.sys.country").alias("country"),

@@ -46,14 +46,25 @@ def fetch_city(
     timeout: float = 10.0,
 ) -> dict | None:
     """S1 — fetch one city's current weather payload with retry/backoff
-    (reference src/ingest.py:63-120). Returns the raw JSON dict or None."""
+    (reference src/ingest.py:63-120). Returns the raw JSON dict or None.
+
+    Only transient failures retry: HTTP statuses in ``RETRY_STATUSES``
+    (429/5xx — the reference's urllib3 ``status_forcelist``,
+    src/ingest.py:66-71) and connection-level errors (no response at
+    all). A definitive HTTP error (401 bad key, 404 unknown city) fails
+    fast — retrying it burns the whole backoff budget per city to reach
+    the same answer."""
     http_get = http_get or _default_http_get
     params = {"q": f"{city},{country_code}", "units": "metric", "appid": api_key}
     for attempt in range(retries + 1):
         try:
             return http_get(base_url, params, timeout)
-        except Exception:
-            if attempt == retries:
+        except Exception as e:
+            status = getattr(
+                getattr(e, "response", None), "status_code", None
+            )
+            retryable = status is None or status in RETRY_STATUSES
+            if not retryable or attempt == retries:
                 return None
             time.sleep(backoff * (2**attempt))
     return None

@@ -1157,3 +1157,75 @@ def test_recover_staged_crash_on_glob_metachar_path(tmp_path):
     with open(os.path.join(p, "shard=3", "part-0.parquet")) as f:
         assert f.read() == "trash"
     assert glob.glob(glob.escape(p) + ".upsert-old-*") == []
+
+
+def test_upsert_rejects_null_batch_keys_and_fresh_table_dups(spark, tmp_path):
+    """Batch contract, both halves, on the FRESH-table path too: a NULL
+    merge key never equality-matches (SQL MERGE semantics — the row
+    would re-insert forever), and the first-ever batch must not seed the
+    table with duplicate keys (a later 1-row batch on that key would
+    count updated=2 and report inserted=-1)."""
+    import os
+
+    p = str(tmp_path / "t")
+    with_null = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="NULL in merge keys"):
+        merge_upsert(spark, with_null, p, keys=("id",), partition_by=())
+    assert not os.path.exists(p)  # nothing seeded
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string")
+    with pytest.raises(ValueError, match="duplicate rows"):
+        merge_upsert(spark, dup, p, keys=("id",), partition_by=())
+    assert not os.path.exists(p)
+
+
+def test_upsert_preserves_existing_null_partition_rows(spark, tmp_path):
+    """A nullable NON-key partition column is legal; existing rows in
+    the __HIVE_DEFAULT_PARTITION__ dir must survive a batch that also
+    touches it — a non-null-safe partition semi-join dropped them from
+    `kept` while the swap still replaced their directory (silent data
+    loss)."""
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "x", "s0"), (2, "keepme", None), (3, "y", "s1")],
+        "id long, v string, shard string",
+    )
+    merge_upsert(spark, base, p, keys=("id",), partition_by=("shard",))
+    batch = spark.createDataFrame(
+        [(4, "new-null-shard", None)], "id long, v string, shard string"
+    )
+    counts = merge_upsert(spark, batch, p, keys=("id",), partition_by=("shard",))
+    assert counts == {"inserted": 1, "updated": 0}
+    rows = {r["id"]: (r["v"], r["shard"]) for r in spark.read.parquet(p).collect()}
+    assert rows == {
+        1: ("x", "s0"),
+        2: ("keepme", None),  # the previously-lost row
+        3: ("y", "s1"),
+        4: ("new-null-shard", None),
+    }
+
+
+def test_run_pipeline_records_failed_load_in_history(
+    spark, batch, tmp_path, monkeypatch
+):
+    """K8: a load that RAISES (dup-key contract, concurrent-append
+    abort, ...) still appends a load_history row with status='failed'
+    before propagating — the reference logs the failure and re-raises
+    (src/load.py:309-314)."""
+    from etl_weather_data_pipeline_spark import pipeline as P
+
+    wh = str(tmp_path / "wh")
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected load failure")
+
+    monkeypatch.setattr(P, "merge_upsert", boom)
+    with pytest.raises(RuntimeError, match="injected load failure"):
+        run_pipeline(spark, batch, wh)
+    hist = spark.read.parquet(f"{wh}/load_history").collect()
+    assert len(hist) == 1
+    assert hist[0]["status"] == "failed"
+    assert "injected load failure" in hist[0]["error_message"]
+    assert hist[0]["records_failed"] == 9
+    assert hist[0]["records_loaded"] == 0

@@ -243,3 +243,65 @@ def test_register_views_enables_sql(spark):
     for t in ("documents", "events", "nation"):
         n_sql = spark.sql(f"SELECT COUNT(*) AS n FROM {t}").first()["n"]
         assert n_sql == read_table(spark, SF_SMOKE, t).count()
+
+
+def test_parse_api_payload_drops_unparseable_and_keyless(spark):
+    """Corrupt payloads and payloads missing an identity field
+    (name/sys.country/dt) are dropped — reference parity: its parser
+    KeyErrors on required fields and the record is skipped
+    (src/ingest.py:113-118). Without the drop they became NULL-keyed
+    rows the upsert can never match."""
+    no_dt = {k: v for k, v in API_PAYLOAD.items() if k != "dt"}
+    no_name = {k: v for k, v in API_PAYLOAD.items() if k != "name"}
+    raw = spark.createDataFrame(
+        [
+            (json.dumps(API_PAYLOAD),),
+            ("{not json at all",),
+            (json.dumps(no_dt),),
+            (json.dumps(no_name),),
+        ],
+        "value string",
+    )
+    rows = parse_api_payload(raw).collect()
+    assert len(rows) == 1
+    assert rows[0]["city"] == "London"
+    assert rows[0]["timestamp"] is not None
+
+
+def test_fetch_city_fails_fast_on_definitive_http_error():
+    """Only transient statuses (RETRY_STATUSES) and connection errors
+    retry; a definitive 401/404 returns None on the FIRST attempt
+    (reference status_forcelist, src/ingest.py:66-71)."""
+
+    class FakeResponse:
+        def __init__(self, status_code):
+            self.status_code = status_code
+
+    class FakeHTTPError(Exception):
+        def __init__(self, status_code):
+            super().__init__(f"http {status_code}")
+            self.response = FakeResponse(status_code)
+
+    calls = []
+
+    def unauthorized(url, params, timeout):
+        calls.append(1)
+        raise FakeHTTPError(401)
+
+    assert (
+        fetch_city("London", "GB", "bad", http_get=unauthorized, retries=3, backoff=0)
+        is None
+    )
+    assert len(calls) == 1  # no retries burned on a definitive answer
+
+    calls.clear()
+
+    def throttled(url, params, timeout):
+        calls.append(1)
+        if len(calls) < 3:
+            raise FakeHTTPError(429)
+        return API_PAYLOAD
+
+    out = fetch_city("London", "GB", "key", http_get=throttled, retries=3, backoff=0)
+    assert out == API_PAYLOAD
+    assert len(calls) == 3  # 429 IS retryable
