@@ -142,6 +142,12 @@ def merge_batch_into_corpus(
     batch = batch_df.filter(F.col(text_col).isNotNull()).withColumn(
         "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
     )
+    if history:
+        # the history count and the probe chain below both consume the
+        # fingerprinted batch — persist so the scan+hash pass runs once
+        # (the 2+-consumer rule; the neardup merge does the same),
+        # released right after the checkpoint pins the survivors
+        batch = batch.persist()
     n_batch = batch.count() if history else 0
     rn = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.col(id_col))
@@ -164,6 +170,8 @@ def merge_batch_into_corpus(
     # and the count reads the lineage-free result. A persist+count+
     # checkpoint sequence pays the driver-side planning cost twice.
     out = fresh.localCheckpoint()
+    if history:
+        batch.unpersist()
     n = out.count()
     if n:
         writer = out.write.mode("append")
@@ -208,12 +216,10 @@ def _probe_fresh(
 
 def bands_table_name(path: str) -> str:
     """Catalog name for the store's bucketed band table, derived from the
-    store path (stable across sessions, collision-free across stores)."""
-    import hashlib
-    import os
-
-    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
-    return f"corpus_bands_{digest}"
+    store path (stable across sessions, collision-free across stores).
+    Delegates to the shared scheme — two copies of the digest logic
+    could silently desynchronize and detach existing stores' tables."""
+    return _side_table_name(path, _BANDS_SPEC)
 
 
 def _read_parquet_if_exists(spark: SparkSession, p: str) -> DataFrame | None:
@@ -448,7 +454,11 @@ def _bucket_file_ids(loc: str) -> list[int] | None:
 
 
 def _ensure_side_table(
-    spark: SparkSession, path: str, spec: _SideSpec, n_buckets: int
+    spark: SparkSession,
+    path: str,
+    spec: _SideSpec,
+    n_buckets: int,
+    info: dict | None = None,
 ) -> str | None:
     """Make ``<path>/<spec.subdir>`` readable as a BUCKETED catalog
     table; returns the table name, or None when no data exists yet
@@ -466,6 +476,8 @@ def _ensure_side_table(
     every bucketed probe assume a placement the files don't satisfy —
     silently missed near-dup/winnow candidates."""
     name = _side_table_name(path, spec)
+    if info is not None:
+        info["rewrote"] = False  # set True below iff the rewrite path ran
     if spark.catalog.tableExists(name):
         return name
     loc = f"{path}/{spec.subdir}"
@@ -497,6 +509,8 @@ def _ensure_side_table(
         _create_side_table(spark, name, loc, spec, n_buckets)
     else:
         _rewrite_side_bucketed(spark, rows, name, loc, spec, n_buckets)
+        if info is not None:
+            info["rewrote"] = True
     return name
 
 
@@ -613,7 +627,15 @@ def compact_corpus_side_tables(
         )
     for label, spec in (("bands", _BANDS_SPEC), ("winnow", _WINNOW_SPEC)):
         loc = f"{path}/{spec.subdir}"
-        name = _ensure_side_table(spark, path, spec, band_buckets)
+        # BEFORE the attach: a legacy/marker-mismatched dir is rewritten
+        # by _ensure_side_table itself, and the backfill appends files —
+        # counting after either would misattribute their files and hide
+        # the true pre-maintenance state from the report
+        n_before = len(glob.glob(os.path.join(glob.escape(loc), "*.parquet")))
+        ensure_info: dict = {}
+        name = _ensure_side_table(
+            spark, path, spec, band_buckets, info=ensure_info
+        )
         if name is None:
             continue
         backfilled = 0
@@ -621,7 +643,21 @@ def compact_corpus_side_tables(
             backfilled = backfill_winnow_fingerprints(
                 spark, path, winnow_k, winnow_w, band_buckets
             )
-        n_before = len(glob.glob(os.path.join(glob.escape(loc), "*.parquet")))
+        if ensure_info.get("rewrote") and not backfilled:
+            # the attach itself just ran the full staged bucketed
+            # rewrite (one file per non-empty bucket) and nothing was
+            # appended since — a second corpus-sized rewrite would
+            # accomplish nothing
+            n_after = len(
+                glob.glob(os.path.join(glob.escape(loc), "*.parquet"))
+            )
+            out[label] = {
+                "files_before": n_before,
+                "files_after": n_after,
+            }
+            if spec is _WINNOW_SPEC:
+                out[label]["backfilled_rows"] = backfilled
+            continue
         # Force the HONORED bucketed scan for the rewrite. Two reasons:
         # (1) correctness — with autoBucketedScan on, Catalyst may keep
         # the scan file-based yet still elide the aligning repartition

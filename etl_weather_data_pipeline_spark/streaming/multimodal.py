@@ -70,10 +70,24 @@ def decode_features(
                 "height": (checksum % 48) + 1,
             }
 
+        _NULL_ROW = {
+            "byte_len": None,
+            "head_byte": None,
+            "checksum": None,
+            "width": None,
+            "height": None,
+        }
+
         for pdf in batches:
             for lo in range(0, len(pdf), max_batch_rows):
                 chunk = pdf.iloc[lo : lo + max_batch_rows]
-                feats = chunk[payload_col].map(lambda p: fake_decode(bytes(p)))
+                # NULL payload -> null feature row (the per-item-error
+                # contract): bytes(None) would TypeError in the plumbing
+                # and fail the whole task before the swappable decoder
+                # ever ran.
+                feats = chunk[payload_col].map(
+                    lambda p: _NULL_ROW if p is None else fake_decode(bytes(p))
+                )
                 out = pd.DataFrame(list(feats))
                 out.insert(0, id_col, chunk[id_col].values)
                 yield out
@@ -101,6 +115,8 @@ def frame_sample(
             offs: list[int] = []
             fbytes: list[int] = []
             for rid, p in zip(pdf[id_col].values, pdf[payload_col].values):
+                if p is None:
+                    continue  # a NULL payload has no frames to sample
                 payload = bytes(p)
                 for f in range(min(max_frames, len(payload) // every_n_bytes)):
                     off = f * every_n_bytes
@@ -180,10 +196,16 @@ def resize_images(
         for pdf in batches:
             for lo in range(0, len(pdf), max_batch_rows):
                 chunk = pdf.iloc[lo : lo + max_batch_rows]
-                sws: list[int] = []
-                shs: list[int] = []
-                outs: list[bytes] = []
+                sws: list[int | None] = []
+                shs: list[int | None] = []
+                outs: list[bytes | None] = []
                 for p in chunk[payload_col].values:
+                    if p is None:
+                        # null in, null row out (per-item-error contract)
+                        sws.append(None)
+                        shs.append(None)
+                        outs.append(None)
+                        continue
                     sw, sh, rb = fake_resize(bytes(p))
                     sws.append(sw)
                     shs.append(sh)
@@ -197,8 +219,10 @@ def resize_images(
                         "height": pd.Series(
                             [height] * len(chunk), dtype="int32"
                         ),
-                        "src_width": pd.Series(sws, dtype="int32"),
-                        "src_height": pd.Series(shs, dtype="int32"),
+                        # object dtype: may carry None for null
+                        # payloads; Arrow casts to the int32 schema
+                        "src_width": pd.Series(sws, dtype=object),
+                        "src_height": pd.Series(shs, dtype=object),
                         "resized": pd.Series(outs, dtype=object),
                     }
                 )

@@ -59,11 +59,18 @@ def transform_stream(sdf: DataFrame) -> DataFrame:
 
     Median imputation (N2) is inherently batch (global aggregate); the
     streaming path constant-fills visibility with 0 instead and leaves
-    median backfill to a periodic batch compaction — documented divergence.
+    median backfill to a periodic batch compaction — the ONLY documented
+    divergence. P2's critical-null drop applies here exactly as in the
+    batch path (it is a stateless filter): without it a null-humidity
+    record the batch path always rejects would land in the warehouse
+    with null buckets and comfort index.
     """
+    from etl_weather_data_pipeline_spark.schemas import CRITICAL_FIELDS
+
     out = clean_text(sdf)
     out = streaming_dedup_hourly(out)
     out = out.na.fill({"wind_speed": 0.0, "wind_direction": 0, "visibility": 0.0})
+    out = out.na.drop(subset=CRITICAL_FIELDS)
     out = normalize(out)
     out = enrich(out)
     return validate(out)
@@ -187,10 +194,23 @@ def start_merge_sink(
 ) -> StreamingQuery:
     """foreachBatch sink: merge each micro-batch into the keyed warehouse
     using the same set-based upsert as the batch path (idempotent per
-    batch → effectively exactly-once on replay)."""
-    from etl_weather_data_pipeline_spark.sinks.writers import merge_upsert
+    batch → effectively exactly-once on replay).
+
+    NULL-keyed rows are dropped BEFORE the merge: merge_upsert rejects
+    them loudly (batch contract — a NULL key never equality-matches, so
+    the row would re-insert forever), and in a checkpointed stream that
+    rejection becomes a poison pill — the failed micro-batch replays
+    identically on every restart and the stream never advances. Dropping
+    mirrors the batch source adapter's identity-field drop
+    (parse_api_payload); a landed record without its key is unloadable
+    by any path."""
+    from etl_weather_data_pipeline_spark.sinks.writers import (
+        UPSERT_KEYS,
+        merge_upsert,
+    )
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.na.drop(subset=list(UPSERT_KEYS))
         if batch_df.isEmpty():
             return
         merge_upsert(batch_df.sparkSession, batch_df, f"{warehouse_dir}/weather_data")

@@ -2266,3 +2266,25 @@ def test_retrain_self_recovers_cross_process_crash(spark, tmp_path):
     assert AX.read_ivf_vectors(spark, live).count() == n
     assert glob.glob(live + ".old-*") == []
     assert glob.glob(live + ".staged-*") == []
+
+
+def test_multimodal_null_payloads_yield_null_rows_not_crashes(spark):
+    """A NULL binary payload must flow through all three multimodal
+    operators as data (null feature row / zero frames / null resize),
+    never as a task-killing TypeError in the Arrow plumbing."""
+    from etl_weather_data_pipeline_spark.streaming.multimodal import (
+        resize_images,
+    )
+
+    payloads = spark.createDataFrame(
+        [(1, bytearray(b"hello world payload")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    dec = {r["doc_id"]: r for r in decode_features(payloads).collect()}
+    assert dec[1]["byte_len"] == 19
+    assert dec[2]["byte_len"] is None and dec[2]["checksum"] is None
+    frames = frame_sample(payloads, every_n_bytes=4, max_frames=2).collect()
+    assert {r["doc_id"] for r in frames} == {1}  # null payload: no frames
+    res = {r["doc_id"]: r for r in resize_images(payloads, 4, 4).collect()}
+    assert res[1]["resized"] is not None and res[1]["src_width"] is not None
+    assert res[2]["resized"] is None and res[2]["src_width"] is None

@@ -2433,3 +2433,193 @@ def test_side_table_self_recovers_midswap_crash(spark, tmp_path):
     assert n > 0
     spark.sql(f"DROP TABLE IF EXISTS {bands_name}")
     spark.sql(f"DROP TABLE IF EXISTS {C.winnow_table_name(store)}")
+
+
+def test_streaming_transform_drops_critical_null_rows(spark, tmp_path):
+    """P2 parity in the streaming path: a record missing a critical field
+    (humidity here) must be dropped exactly as the batch transform drops
+    it — not land in the warehouse with null buckets/comfort index."""
+    base = dt.datetime(2023, 11, 7, 12, 0, 0)
+    good = dict(
+        city="London", country="GB", timestamp=base.isoformat(),
+        temperature=15.0, feels_like=14.0, humidity=60, pressure=1013,
+        description="ok", wind_speed=3.0, wind_direction=180,
+        cloudiness=40, visibility=10.0, lat=51.5, lon=-0.12,
+    )
+    bad = dict(good, city="Tokyo", humidity=None)
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in (good, bad)))
+    out = transform_stream(stream_raw(spark, str(d)))
+    _run_to_memory(out, "stream_critnull")
+    rows = spark.sql("SELECT city FROM stream_critnull").collect()
+    assert [r["city"] for r in rows] == ["London"]
+
+
+def test_merge_sink_drops_null_keyed_poison_rows(spark, tmp_path):
+    """A NULL-keyed record must not wedge the checkpointed merge sink:
+    merge_upsert rejects NULL merge keys loudly (batch contract), and a
+    failing micro-batch replays identically forever — the sink drops
+    such rows instead (the streaming mirror of parse_api_payload's
+    identity-field drop)."""
+    base = dt.datetime(2023, 11, 7, 12, 0, 0)
+    good = dict(
+        city="London", country="GB", timestamp=base.isoformat(),
+        temperature=15.0, feels_like=14.0, humidity=60, pressure=1013,
+        description="ok", wind_speed=3.0, wind_direction=180,
+        cloudiness=40, visibility=10.0, lat=51.5, lon=-0.12,
+    )
+    poison = dict(good, city=None, temperature=16.0)
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in (good, poison)))
+    wh = str(tmp_path / "wh")
+    # city is NOT a critical field, so the poison row survives
+    # transform_stream and reaches merge_batch itself
+    q = start_merge_sink(
+        transform_stream(stream_raw(spark, str(d))), wh, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(f"{wh}/weather_data").collect()
+    assert [r["city"] for r in rows] == ["London"]
+
+
+def test_stateful_running_stats_ignores_nulls(spark, tmp_path):
+    """NULL values count toward neither n nor the aggregates; an
+    all-null key emits n=0 with NULL bounds instead of ±inf."""
+    from etl_weather_data_pipeline_spark.streaming.state import (
+        running_stats_per_key,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    rows = [
+        {"k": "a", "v": 1.0}, {"k": "a", "v": None}, {"k": "a", "v": 3.0},
+        {"k": "allnull", "v": None}, {"k": "allnull", "v": None},
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    sdf = spark.readStream.schema("k string, v double").json(str(d))
+    q = (
+        running_stats_per_key(sdf, "k", "v")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_nulls")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["key"]: r for r in spark.sql("SELECT * FROM stateful_nulls").collect()}
+    a = rows["a"]
+    assert (a["n"], a["total"], a["vmin"], a["vmax"]) == (2, 4.0, 1.0, 3.0)
+    an = rows["allnull"]
+    assert (an["n"], an["total"], an["vmin"], an["vmax"]) == (0, 0.0, None, None)
+
+
+def test_stateful_running_stats_idle_eviction(spark, tmp_path):
+    """idle_timeout_ms bounds state on unbounded key cardinality: a key
+    idle past the timeout is EVICTED (its state dropped at a later
+    micro-batch), so a later appearance restarts from zero.
+
+    NOTE: with processing-time timeouts registered, the query schedules
+    batches on its own to evaluate them, so processAllAvailable never
+    quiesces — the test POLLS the memory sink with a deadline instead."""
+    import time as _time
+
+    from etl_weather_data_pipeline_spark.streaming.state import (
+        running_stats_per_key,
+    )
+
+    def wait_for(predicate, deadline_s=60.0):
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < deadline_s:
+            if predicate():
+                return
+            _time.sleep(0.25)
+        raise AssertionError("condition not reached before deadline")
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "b1.json").write_text(json.dumps({"k": "a", "v": 1.0}))
+    sdf = spark.readStream.schema("k string, v double").json(str(d))
+    q = (
+        running_stats_per_key(sdf, "k", "v", idle_timeout_ms=2000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_evict")
+        .start()
+    )
+
+    def rows_for(key):
+        return spark.sql(
+            f"SELECT * FROM stateful_evict WHERE key = '{key}'"
+        ).collect()
+
+    try:
+        wait_for(lambda: len(rows_for("a")) >= 1)
+        _time.sleep(3.5)  # let a's 2 s idle timer expire
+        # a's expired timer fires on a later batch -> state removed;
+        # land another key's data to keep the stream visibly alive
+        (d / "b2.json").write_text(json.dumps({"k": "other", "v": 7.0}))
+        wait_for(lambda: len(rows_for("other")) >= 1)
+        _time.sleep(1.0)
+        # a reappears: state restarted, not continued
+        (d / "b3.json").write_text(json.dumps({"k": "a", "v": 5.0}))
+        wait_for(
+            lambda: any(r["total"] == 5.0 for r in rows_for("a"))
+        )
+    finally:
+        q.stop()
+    a_rows = sorted(
+        (r["n"], r["total"]) for r in rows_for("a")
+    )
+    assert a_rows == [(1, 1.0), (1, 5.0)]  # second appearance is fresh
+
+
+def test_side_table_compaction_single_rewrite_on_marker_mismatch(
+    spark, tmp_path, monkeypatch
+):
+    """A legacy / marker-mismatched side table is rewritten ONCE per
+    maintenance pass: _ensure_side_table's attach rewrite already lands
+    one file per non-empty bucket, so the compaction loop must not pay a
+    second corpus-sized staged rewrite for the same table. files_before
+    reports the true pre-maintenance count (globbed before the attach)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_data_pipeline_spark.streaming import corpus as C
+    from tests.conftest import SF_SMOKE
+    from etl_weather_data_pipeline_spark.plans.catalog import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    C.merge_batch_neardup_into_corpus(
+        docs.filter(F.col("doc_id") % 5 == 0), store, band_buckets=8
+    )
+    bands_name = C.bands_table_name(store)
+    loc = f"{store}/{C.BANDS_SUBDIR}"
+    n_files_live = len(
+        [f for f in os.listdir(loc) if f.endswith(".parquet")]
+    )
+    # simulate a NEW SESSION against a PRE-MARKER store: catalog entry
+    # gone, marker gone -> the attach cannot prove the layout and must
+    # take the rewrite path
+    spark.sql(f"DROP TABLE IF EXISTS {bands_name}")
+    os.remove(os.path.join(loc, C._BUCKET_MARKER))
+
+    calls = []
+    real = C._rewrite_side_bucketed
+
+    def counting(spark_, rows, name, loc_, spec, n_buckets, **kw):
+        calls.append(loc_)
+        return real(spark_, rows, name, loc_, spec, n_buckets, **kw)
+
+    monkeypatch.setattr(C, "_rewrite_side_bucketed", counting)
+    rep = C.compact_corpus_side_tables(spark, store, band_buckets=8)
+    assert [c for c in calls if c == loc] == [loc]  # exactly ONE rewrite
+    assert rep["bands"]["files_before"] == n_files_live
+    # table attached and serving
+    assert spark.table(bands_name).count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {bands_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {C.winnow_table_name(store)}")
