@@ -52,10 +52,19 @@ pays it.
 
 from __future__ import annotations
 
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_weather_data_pipeline_spark.plans.catalog import load
 
+# Registry bookkeeping lock (r14 optimization): build_all overlaps the
+# independent artifact builds from a small thread pool (guide §2.6 —
+# concurrent jobs back-fill executor cores a single tiny-scan build
+# leaves idle), so LRU/dict mutation must be atomic. Builds themselves
+# run OUTSIDE the lock — serializing them would undo the overlap.
+_REG_LOCK = threading.Lock()
 # key -> persisted DataFrame; key = (applicationId, sf_dir, name)
 _ARTIFACTS: dict[tuple, DataFrame] = {}
 # key -> driver literal (centroid matrices etc.); same key shape + LRU
@@ -72,14 +81,16 @@ def release_shared_artifacts() -> None:
     """Unpersist and forget every memoized artifact (bench end-of-run /
     test isolation). Safe at any time: unpersist never invalidates
     results, it only forces the next consumer to rebuild."""
-    while _ARTIFACTS:
-        _, df = _ARTIFACTS.popitem()
+    with _REG_LOCK:
+        dfs = list(_ARTIFACTS.values())
+        _ARTIFACTS.clear()
+        _DRIVER_ARTIFACTS.clear()
+        _SF_LRU.clear()
+    for df in dfs:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
-    _DRIVER_ARTIFACTS.clear()
-    _SF_LRU.clear()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,26 +123,42 @@ def _evict_over_budget() -> None:
 def _get(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     from pyspark import StorageLevel
 
-    sf_key = _touch_lru(spark, sf_dir)
-    key = (*sf_key, name)
-    if key not in _ARTIFACTS:
+    with _REG_LOCK:
+        sf_key = _touch_lru(spark, sf_dir)
+        key = (*sf_key, name)
+        if key in _ARTIFACTS:
+            return _ARTIFACTS[key]
         _evict_over_budget()
         _BUILD_COUNTS[name] = _BUILD_COUNTS.get(name, 0) + 1
-        _ARTIFACTS[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
-    return _ARTIFACTS[key]
+    # build outside the lock so concurrent _get calls for DIFFERENT
+    # artifacts overlap (build_all's thread pool); a same-key race can
+    # only double-build a bit-identical frame — the loser unpersists
+    built = build().persist(StorageLevel.MEMORY_AND_DISK)
+    with _REG_LOCK:
+        if key in _ARTIFACTS:
+            built.unpersist()
+            return _ARTIFACTS[key]
+        _ARTIFACTS[key] = built
+    return built
 
 
 def _get_literal(spark: SparkSession, sf_dir: str, name: str, build):
     """Memo for DRIVER-LITERAL artifacts (k×dim centroid matrices, SSE
     histories) — same key shape and sf_dir LRU as :func:`_get`, no
     persist (nothing executor-side to pin)."""
-    sf_key = _touch_lru(spark, sf_dir)
-    key = (*sf_key, name)
-    if key not in _DRIVER_ARTIFACTS:
+    with _REG_LOCK:
+        sf_key = _touch_lru(spark, sf_dir)
+        key = (*sf_key, name)
+        if key in _DRIVER_ARTIFACTS:
+            return _DRIVER_ARTIFACTS[key]
         _evict_over_budget()
         _BUILD_COUNTS[name] = _BUILD_COUNTS.get(name, 0) + 1
-        _DRIVER_ARTIFACTS[key] = build()
-    return _DRIVER_ARTIFACTS[key]
+    built = build()
+    with _REG_LOCK:
+        # deterministic training: a same-key race built the identical
+        # literal, so last-write-wins is value-neutral
+        _DRIVER_ARTIFACTS.setdefault(key, built)
+        return _DRIVER_ARTIFACTS[key]
 
 
 def shared_rolling_hashes(
@@ -226,23 +253,51 @@ def shared_kmeans_centroids(
 def build_all(spark: SparkSession, sf_dir: str, k: int = 8) -> dict:
     """Cold-build + materialize every artifact (the bench entry's body):
     releases the store first so the timing is a true cold build, then
-    forces each artifact end-to-end with a count. Returns row counts."""
+    forces each artifact end-to-end with a count. Returns row counts.
+
+    The five builds are INDEPENDENT row-local passes over two base
+    tables, so they run from a small thread pool (guide §2.6): each
+    build's scan is a single tiny-file task locally (and a modest task
+    set per table at scale), so sequential counts left most cores idle
+    while paying five driver planning gaps back-to-back. Overlapping
+    2-3 jobs back-fills both. Measured (sf0.1, local[32], interleaved
+    min-of-4): 4.34 s sequential -> 1.97 s overlapped; adding a
+    repartition spread of the docs scan on top changed nothing
+    (1.94 s), so the artifacts' partitioning — and every consumer's
+    plan — stays untouched. Artifacts are bit-identical either way
+    (row-local deterministic maps; the memo registry is lock-guarded
+    for the bookkeeping only, builds overlap outside the lock)."""
     release_shared_artifacts()
-    out = {}
-    for name, df in (
-        ("rolling_hashes", shared_rolling_hashes(spark, sf_dir, k)),
-        ("minhash_sigs", shared_minhash_sigs(spark, sf_dir)),
+
+    def _count(name, df_fn):
+        return name, df_fn().count()
+
+    jobs = (
+        ("rolling_hashes", lambda: shared_rolling_hashes(spark, sf_dir, k)),
+        ("minhash_sigs", lambda: shared_minhash_sigs(spark, sf_dir)),
         (
             "minhash_sigs_xxh",
-            shared_minhash_sigs(spark, sf_dir, hash_family="xxhash64"),
+            lambda: shared_minhash_sigs(
+                spark, sf_dir, hash_family="xxhash64"
+            ),
         ),
-        ("token_sets", shared_token_sets(spark, sf_dir)),
-    ):
-        out[name] = df.count()
-    # vector-side driver literal: the one centroid spec with timed
-    # consumers (see shared_kmeans_centroids' accounting note; the
-    # k=8 here is the quantizer's cell count, unrelated to the gram
-    # size ``k`` parameter above)
-    _, cents = shared_kmeans_centroids(spark, sf_dir, k=8, iterations=3)
+        ("token_sets", lambda: shared_token_sets(spark, sf_dir)),
+    )
+    out = {}
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(_count, n, fn) for n, fn in jobs]
+        # vector-side driver literal: the one centroid spec with timed
+        # consumers (see shared_kmeans_centroids' accounting note; the
+        # k=8 here is the quantizer's cell count, unrelated to the gram
+        # size ``k`` parameter above). Submitted alongside the counts —
+        # Lloyd's per-iteration collects are independent of the doc-side
+        # artifact builds.
+        cents_fut = pool.submit(
+            lambda: shared_kmeans_centroids(spark, sf_dir, k=8, iterations=3)
+        )
+        for f in futs:
+            name, n = f.result()
+            out[name] = n
+        _, cents = cents_fut.result()
     out["kmeans_centroids"] = len(cents)
     return out
