@@ -37,26 +37,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's coalescing floor is byte-based (default 1m), which
-        # collapses CPU-dense, byte-light shuffles (gram-hash arrays,
-        # token sets, candidate pairs) to 1-2 post-shuffle tasks — the
-        # stage then runs serial no matter how many cores exist. 64k
-        # keeps such stages parallel while still coalescing truly tiny
-        # shuffles. Scale-neutral by construction: with
-        # parallelismFirst=true (default) the coalesce target is
-        # max(totalShuffleBytes/initialPartitions, THIS), so once a
-        # shuffle carries more than 64k*partitions (any production
-        # size) the value is inert — it only matters in the regime
-        # where data/cores < 1m, exactly where per-byte CPU dominates.
-        # Measured (sf0.1, local[32], interleaved min-of-5 per query):
-        # 16-query heavy cohort 36.5s -> 30.3s; value swept 1m/256k/
-        # 64k/16k on the sensitive set (64k best, 16k over-splits two
-        # queries); all four lifecycle callables improved (0.88-0.98x).
-        # Override per deployment via SPARK_GRAFT_AQE_MIN_PARTITION_SIZE.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
