@@ -42,6 +42,9 @@ class Query:
     tags: tuple[str, ...] = field(default=())
 
 
+_WORKER_IMPORTS_LOCK = __import__("threading").Lock()
+
+
 def ensure_worker_imports(spark: SparkSession) -> None:
     """Ship this package to Python workers via addPyFile.
 
@@ -49,25 +52,37 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     __spark_entry__); executor Python workers don't inherit that path, so
     any pickled-by-reference UDF would hit ModuleNotFoundError. Zipping the
     package once per process and addPyFile-ing it makes every UDF safe.
+
+    Serialized under a module lock: concurrent first calls (the r14
+    build_all thread pool runs independent ``load()``s) otherwise race
+    the zip's shared tmp→rename (the loser's rename hits
+    FileNotFoundError) and double-call addPyFile. The lock costs nothing
+    after the first call (flag check); the tmp name is additionally
+    per-call-unique so even a future lock bypass degrades to
+    last-writer-wins on identical bytes instead of an exception.
     """
     if getattr(spark, "_etl_pyfiles_added", False):
         return
     import tempfile
+    import uuid
     import zipfile
     from pathlib import Path
 
-    pkg_dir = Path(__file__).resolve().parent.parent
-    zpath = Path(tempfile.gettempdir()) / (
-        f"etl_weather_data_pipeline_spark_{os.getpid()}.zip"
-    )
-    if not zpath.exists():
-        tmp = zpath.with_suffix(".tmp")
-        with zipfile.ZipFile(tmp, "w") as z:
-            for p in sorted(pkg_dir.rglob("*.py")):
-                z.write(p, p.relative_to(pkg_dir.parent))
-        tmp.replace(zpath)
-    spark.sparkContext.addPyFile(str(zpath))
-    spark._etl_pyfiles_added = True
+    with _WORKER_IMPORTS_LOCK:
+        if getattr(spark, "_etl_pyfiles_added", False):
+            return
+        pkg_dir = Path(__file__).resolve().parent.parent
+        zpath = Path(tempfile.gettempdir()) / (
+            f"etl_weather_data_pipeline_spark_{os.getpid()}.zip"
+        )
+        if not zpath.exists():
+            tmp = zpath.with_suffix(f".{uuid.uuid4().hex}.tmp")
+            with zipfile.ZipFile(tmp, "w") as z:
+                for p in sorted(pkg_dir.rglob("*.py")):
+                    z.write(p, p.relative_to(pkg_dir.parent))
+            tmp.replace(zpath)
+        spark.sparkContext.addPyFile(str(zpath))
+        spark._etl_pyfiles_added = True
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

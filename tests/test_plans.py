@@ -1128,3 +1128,55 @@ def test_salted_broadcast_join_matches_plain_join(spark):
         map(repr, (tuple(r) for r in got.select(sorted(expected.columns)).collect()))
     )
     assert got_rows == exp_rows
+
+
+def test_build_all_overlap_builds_each_artifact_once(spark):
+    """r14 optimization: build_all overlaps its five independent builds
+    from a thread pool (guide §2.6). Pins: (a) one registry entry and
+    exactly ONE build-counter bump per artifact per cold build — the
+    overlap must not double-build; (b) the returned counts match the
+    sequentially-derived truth; (c) concurrent _get calls for the SAME
+    key register exactly one cache entry (the bookkeeping lock)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_weather_data_pipeline_spark.plans import artifacts as AR
+
+    AR.release_shared_artifacts()
+    try:
+        before = dict(AR._BUILD_COUNTS)
+        out = AR.build_all(spark, SF_SMOKE, k=8)
+        assert set(out) == {
+            "rolling_hashes",
+            "minhash_sigs",
+            "minhash_sigs_xxh",
+            "token_sets",
+            "kmeans_centroids",
+        } and all(v > 0 for v in out.values()), out
+        n_docs = AR._docs(spark, SF_SMOKE).count()
+        assert out["rolling_hashes"] == n_docs
+        assert out["token_sets"] == n_docs
+        for name in (
+            "rolling_hashes_k8",
+            "minhash_md5_8x3",
+            "minhash_xxhash64_8x3",
+            "token_sets",
+            "kmeans_centroids_k8_i3",
+        ):
+            bumped = AR._BUILD_COUNTS.get(name, 0) - before.get(name, 0)
+            assert bumped == 1, (name, bumped)
+        # registry holds exactly one DataFrame entry per df artifact
+        assert len(AR._ARTIFACTS) == 4, list(AR._ARTIFACTS)
+        # (c) same-key race: 4 threads requesting one artifact register ONE
+        AR.release_shared_artifacts()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            dfs = list(
+                pool.map(
+                    lambda _: AR.shared_token_sets(spark, SF_SMOKE),
+                    range(4),
+                )
+            )
+        keys = [k for k in AR._ARTIFACTS if k[2] == "token_sets"]
+        assert len(keys) == 1, list(AR._ARTIFACTS)
+        assert all(df.count() == n_docs for df in dfs)
+    finally:
+        AR.release_shared_artifacts()
