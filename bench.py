@@ -486,10 +486,30 @@ def main() -> None:
         if subset
         else list(BENCH_CALLABLES)
     )
+    # r15 DECLARED methodology transition (r14 verdict directive #7,
+    # additions-only): the two LEGACY single-shots keep their unwarmed
+    # first-shot series in `queries` (so the r7-r14 artifact series
+    # stays like-for-like), and ALSO run a second back-to-back pass
+    # reported under the NEW `warmed_single_shot` field — the warmed
+    # series future rounds can compare on without the ±30% cold-JVM
+    # single-shot band that produced r14's false regression flags.
+    # The warm run is timed work on fresh inputs (build_all releases
+    # and rebuilds the store; the funnel sink builds a fresh tmp
+    # store), never a cache read. `value`/`queries` totals are
+    # untouched.
+    legacy_transition = (
+        "corpus_artifacts_build",
+        "streaming_funnel_sink_2batch",
+    )
+    warmed_single_shot: dict[str, float] = {}
     for name in wanted_callables:
         t0 = time.monotonic()
         BENCH_CALLABLES[name](spark, sf_dir)
         timings[name] = round(time.monotonic() - t0, 3)
+        if name in legacy_transition:
+            t0 = time.monotonic()
+            BENCH_CALLABLES[name](spark, sf_dir)
+            warmed_single_shot[name] = round(time.monotonic() - t0, 3)
     release_curation_cache()
     from etl_weather_data_pipeline_spark.plans.artifacts import (
         release_shared_artifacts,
@@ -533,6 +553,10 @@ def main() -> None:
             # unwarmed BY DESIGN to preserve their r7-r12 series.
             "unwarmed": [n for n in timings if n not in warmed],
             "n_warmed": sum(1 for n in timings if n in warmed),
+            # r15 transition series (see the legacy_transition comment):
+            # second back-to-back run of the two legacy single-shots —
+            # the warmed numbers, NOT included in value/queries.
+            "warmed_single_shot": warmed_single_shot,
         }
     )
     print(full_line)

@@ -557,7 +557,9 @@ def _sq_dist_to_centroid(vec_col: str, cell_col: str, centroids):
     )
 
 
-def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+def ivf_cell_stats(
+    spark: SparkSession, path: str, assign_check: bool = False
+) -> DataFrame:
     """Per-cell drift/skew audit of the persisted index: (cell,
     n_vectors, cell_frac, mean_sq_dist) in ONE scan — population skew
     (a hot cell degrades probe cost: every probe touching it reads its
@@ -576,7 +578,15 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     `vectors/` dir. A row whose cell is null / outside the quantizer
     (a corrupt store) reports mean_sq_dist = NULL — deliberately
     visible rather than zeroed, since unmeasurable energy is itself the
-    finding (the assign-consistency recompute flags the same rows)."""
+    finding (the assign-consistency recompute flags the same rows).
+
+    ``assign_check`` (r15, verdict #6 — fused lifecycle audits): also
+    emit per-cell ``n_bad``, the count of rows whose stored cell is NOT
+    the argmin over the frozen centroids (the store-invariant
+    recompute). It rides the SAME grouping in the same single scan, so
+    an audit that needs both skew/energy AND assign-consistency pays
+    one action instead of a stats pass plus a separate full-scan
+    count."""
     from pyspark.sql.window import Window
 
     meta = read_ivf_meta(path)
@@ -584,21 +594,39 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     schema = (
         "cell int, n_vectors long, cell_frac double, mean_sq_dist double"
     )
+    if assign_check:
+        schema += ", n_bad long"
     if not os.path.isdir(f"{path}/{VECTORS_SUBDIR}"):
         return spark.createDataFrame([], schema)
     v = read_ivf_vectors(spark, path)
     sq = _sq_dist_to_centroid(meta["vec_col"], "cell", cents)
-    per = v.groupBy("cell").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_vectors"),
         F.avg(sq).alias("mean_sq_dist"),
-    )
+    ]
+    if assign_check:
+        aggs.append(
+            F.sum(
+                (
+                    ~F.col("cell").eqNullSafe(
+                        argmin_index(
+                            F.col(meta["vec_col"]), cents
+                        ).cast("int")
+                    )
+                ).cast("long")
+            ).alias("n_bad")
+        )
+    per = v.groupBy("cell").agg(*aggs)
     total = F.sum("n_vectors").over(Window.partitionBy())
-    return per.select(
+    cols = [
         F.col("cell").cast("int").alias("cell"),
-        "n_vectors",
+        F.col("n_vectors"),
         (F.col("n_vectors") / total).alias("cell_frac"),
-        "mean_sq_dist",
-    )
+        F.col("mean_sq_dist"),
+    ]
+    if assign_check:
+        cols.append(F.col("n_bad"))
+    return per.select(*cols)
 
 
 def retrain_ivf_index(

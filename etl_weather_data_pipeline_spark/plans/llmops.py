@@ -8256,16 +8256,12 @@ def ann_index_drift_report(spark, sf_dir):
     import tempfile
 
     from etl_weather_data_pipeline_spark.operators import ann_index as AX
-    from etl_weather_data_pipeline_spark.operators.kmeans import (
-        argmin_index,
-    )
 
     tmp = tempfile.mkdtemp(prefix="ann_drift_")
     root = tmp + "/index"
     emb = load(spark, sf_dir, "embeddings")
 
-    def stats(df):
-        rows = df.collect()
+    def stats(rows):
         n = sum(r["n_vectors"] for r in rows)
         # a null mean_sq_dist marks an unmeasurable (corrupt-cell) row —
         # impossible for a store built through these APIs, but the audit
@@ -8295,22 +8291,20 @@ def ann_index_drift_report(spark, sf_dir):
         )
         AX.add_to_ivf_index(emb.filter(F.col("vec_id") % 4 != 0), root)
         n_before, e_before, f_before, u_before = stats(
-            AX.ivf_cell_stats(spark, root)
+            AX.ivf_cell_stats(spark, root).collect()
         )
         rep = AX.retrain_ivf_index(spark, root, iterations=3)
-        n_after, e_after, f_after, u_after = stats(
-            AX.ivf_cell_stats(spark, root)
-        )
-        cents = AX.read_ivf_centroid_matrix(spark, root)
-        n_bad = (
-            AX.read_ivf_vectors(spark, root)
-            .filter(
-                ~F.col("cell").eqNullSafe(
-                    argmin_index(F.col("embedding"), cents).cast("int")
-                )
-            )
-            .count()
-        )
+        # Fused post-retrain audit (r15 verdict directive #6): the
+        # after-stats AND the assign-consistency recompute ride ONE
+        # scan/action (ivf_cell_stats assign_check=True) — the old
+        # shape paid three driver actions here (cell stats, a second
+        # centroid collect, a separate full-scan mismatch count), each
+        # with its own per-action planning gap.
+        after_rows = AX.ivf_cell_stats(
+            spark, root, assign_check=True
+        ).collect()
+        n_after, e_after, f_after, u_after = stats(after_rows)
+        n_bad = sum(r["n_bad"] for r in after_rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     sse = rep["sse_history"]

@@ -906,7 +906,13 @@ def _passage_stage_drops(
         # id_a determines store-or-batch), so the per-pair shared-
         # fingerprint counts and the flag survive one groupBy intact.
         lb_all = lb_all.unionByName(sw.withColumn("__store", F.lit(True)))
-    cand_flagged = (
+    # PERSISTED (r15): with a store attached, two branches consume the
+    # flagged candidate set — the verify routing (exact_passage_pairs
+    # candidates) and the store-text prune's broadcast id set — and an
+    # unpersisted frame re-runs the whole blocking join (the stage's
+    # candidate-generation cost) per branch. Batch-bounded by the
+    # min_shared/stop bounds; registered with the caller's cleanup list.
+    cand_flagged = _p(
         lb_all.join(rb, "fingerprint")
         .filter(F.col("__store") | (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b", "__store")
@@ -961,6 +967,7 @@ def _semantic_stage_drops(
     iterations: int,
     max_cell_df: int = 1000,
     bootstrap_centroids: list[list[float]] | None = None,
+    persists: list[DataFrame] | None = None,
 ):
     """Stage 4 of the streaming funnel (OPT-IN via ``embedding_col``):
     SemDeDup-style semantic dedup — k-means cells bound the pairwise
@@ -1081,6 +1088,16 @@ def _semantic_stage_drops(
     # strict=False: no raise expression may exist in this plan (filter
     # reordering would fire it on pre-filtered rows; see assign_cells)
     asg = AX.assign_cells(judgeable, cents, id_col, vec_col, strict=False)
+    # PERSISTED (r15): the assigned batch feeds FOUR branches — the
+    # per-cell count action below, both sides of the within-cell
+    # cosine self-join, and the store probe's broadcast — and an
+    # unpersisted frame re-runs the k x dim argmin chain (the stage's
+    # dominant map cost) per branch. Batch-bounded rows; registered
+    # with the caller's cleanup list (the count action right below
+    # materializes the cache before any join consumes it).
+    asg = asg.persist()
+    if persists is not None:
+        persists.append(asg)
     # ONE per-cell count action serves both the stop bound and the
     # store probe's occupied-cell list (it replaces the old
     # distinct().collect() — no extra job, no window shuffle; the
@@ -1281,6 +1298,7 @@ def merge_batch_neardup_into_corpus(
         jaccard_verify,
         minhash_band_table,
         minhash_signatures,
+        token_sets,
     )
 
     spark = batch_df.sparkSession
@@ -1368,7 +1386,16 @@ def merge_batch_neardup_into_corpus(
                 )
             store_bands = spark.table(bands_name)
             # vs-store candidates: (id_a = store doc, id_b = batch doc)
-            # — store always wins, so a verified pair drops id_b
+            # — store always wins, so a verified pair drops id_b.
+            # PERSISTED (r15): three downstream branches consume it —
+            # the verify candidate union plus the store-text prune's
+            # broadcast id set, which itself sits under BOTH sides of
+            # the verify's a/b token joins — and an unpersisted frame
+            # re-runs the (corpus-sized, bucketed) band-table probe per
+            # branch (the repo's 2+-consumer re-eval rule; measured
+            # r15: 3 probe evaluations per merge). Batch-bounded rows;
+            # released with the other per-batch caches BEFORE the
+            # store write (recache-by-path rule).
             vs_store = (
                 store_bands.select(
                     F.col("doc_id").alias("id_a"), "band_idx", "band_val"
@@ -1376,7 +1403,9 @@ def merge_batch_neardup_into_corpus(
                 .join(r, ["band_idx", "band_val"])
                 .select("id_a", "id_b")
                 .distinct()
+                .persist()
             )
+            extra_persists.append(vs_store)
             # verify needs both texts: batch side from fresh, store side
             # pruned to the candidate ids only — broadcast the (batch-
             # bounded) candidate-id set so the store's (id, text) scan
@@ -1396,9 +1425,19 @@ def merge_batch_neardup_into_corpus(
             )
             texts = texts.unionByName(store_cand_texts)
             cand = within.unionByName(vs_store).distinct()
+        # ONE tokenization pass for the verify (r15): jaccard_verify
+        # joins its token-set table onto BOTH pair sides, and an
+        # unpersisted table re-tokenizes the candidate texts (and
+        # re-runs the store-text prune under it) per side. Persist the
+        # (batch-bounded) token sets and pass them through the
+        # operator's toksets hook — same admissions, half the verify-
+        # side text passes. Released with the per-batch caches.
+        toks = token_sets(texts, text_col, id_col).persist()
+        extra_persists.append(toks)
         dropped = (
             jaccard_verify(
-                texts, cand, text_col, id_col, jaccard_threshold
+                texts, cand, text_col, id_col, jaccard_threshold,
+                toksets=toks,
             )
             .select(F.col("id_b").alias(id_col))
             .distinct()
@@ -1445,6 +1484,7 @@ def merge_batch_neardup_into_corpus(
                 semantic_threshold, semantic_cells, semantic_iterations,
                 max_cell_df=semantic_max_cell_df,
                 bootstrap_centroids=semantic_bootstrap_centroids,
+                persists=extra_persists,
             )
             survivors = (
                 s3 if sdrop is None
@@ -1672,6 +1712,7 @@ def judge_batch_against_store(
         jaccard_verify,
         minhash_band_table,
         minhash_signatures,
+        token_sets,
     )
 
     spark = batch_df.sparkSession
@@ -1738,13 +1779,19 @@ def judge_batch_against_store(
             .select("id_a", "id_b")
             .distinct()
         )
+        # persisted for the same three-branch reason as the merge sink's
+        # stage 2 (r15): verify candidate union + the store-text prune's
+        # broadcast id set under both verify token-join sides — without
+        # the cache the store band probe re-runs per branch
         vs_store = (
             arts["bands"]
             .select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
             .join(r, ["band_idx", "band_val"])
             .select("id_a", "id_b")
             .distinct()
+            .persist()
         )
+        persists.append(vs_store)
         store_cand_texts = store_docs.select(
             F.col(id_col), F.col(text_col)
         ).join(
@@ -1758,8 +1805,15 @@ def judge_batch_against_store(
             store_cand_texts
         )
         cand = within.unionByName(vs_store).distinct()
+        # one tokenization pass across the verify's two join sides
+        # (r15, same as the merge sink's stage 2)
+        toks = token_sets(texts, text_col, id_col).persist()
+        persists.append(toks)
         dropped = (
-            jaccard_verify(texts, cand, text_col, id_col, jaccard_threshold)
+            jaccard_verify(
+                texts, cand, text_col, id_col, jaccard_threshold,
+                toksets=toks,
+            )
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
@@ -1788,6 +1842,7 @@ def judge_batch_against_store(
                 spark, s3, path, id_col, embedding_col,
                 semantic_threshold, n_cells=8, iterations=2,
                 max_cell_df=semantic_max_cell_df,
+                persists=persists,
             )
             survivors = (
                 s3 if sdrop is None

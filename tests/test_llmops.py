@@ -3,6 +3,8 @@ IVF ANN vs brute-force ground truth, multimodal decode plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_weather_data_pipeline_spark.operators.similarity import (
@@ -891,6 +893,7 @@ def test_passage_pairs_candidate_path_equivalence(spark):
     assert duped == expected
 
 
+@pytest.mark.slow
 def test_incremental_funnel_replay_idempotent(spark):
     """Periodic-ingest replay semantics: after merging the admitted batch
     into the store, (a) re-delivering the SAME admitted docs admits zero
@@ -1181,6 +1184,7 @@ def test_bpe_token_counts_with_oov_fallback(spark):
     assert got == {1: (2, 5), 2: (2, 6)}
 
 
+@pytest.mark.slow
 def test_logreg_learns_separable_concept(spark):
     """On cleanly separable data GD must drive the loss far below ln 2,
     classify essentially perfectly, and point the weight vector at the
@@ -1226,6 +1230,7 @@ def test_pq_fit_rejects_tiny_table(spark):
         pq_fit(df, m=2, k=16)
 
 
+@pytest.mark.slow
 def test_pq_fit_sampled_training_keeps_recall_floor(spark):
     """r7 verdict directive: the 100 TB path trains codebooks on a
     deterministic hash-sample, not the corpus. Sampled codebooks must
@@ -1411,6 +1416,7 @@ def test_pq_residual_roundtrip_and_adc_exactness(spark):
     assert got == [(0, 0.0), (1, 16.0), (2, 400.0), (3, 416.0)], got
 
 
+@pytest.mark.slow
 def test_bpe_64_merges_invariant_and_flat_round_cost(spark):
     """r7 verdict directive #8: 8 merges is algorithm-proof, not
     tokenizer-proof. At 64 merges the weighted symbol total must still
@@ -1744,6 +1750,7 @@ def test_training_export_includes_zero_token_docs(spark, tmp_path):
     assert sum(r[1] for r in srows) == n_union
 
 
+@pytest.mark.slow
 def test_ivf_retrain_drift_and_cell_stats(spark, tmp_path):
     """Directive #4 pins: the cell-stats audit covers every stored row;
     retrain_ivf_index (warm-start Lloyd + staged swap) preserves rows,
@@ -1800,6 +1807,13 @@ def test_ivf_retrain_drift_and_cell_stats(spark, tmp_path):
         )
     ).count()
     assert bad == 0
+    # r15 fused audit path: assign_check=True rides the SAME single
+    # scan and must agree with the standalone recompute above — per-cell
+    # n_bad sums to 0 on a clean store, and the stats columns are
+    # unchanged by the extra aggregate
+    checked = AX.ivf_cell_stats(spark, root, assign_check=True).collect()
+    assert sum(r["n_bad"] for r in checked) == 0
+    assert sum(r["n_vectors"] for r in checked) == n1
     # probes keep working against the swapped store (exact + ADC)
     qv = [float(x) for x in emb.first()["embedding"]]
     assert AX.ivf_index_topk(spark, root, qv, k=5, n_probe=3).count() == 5
@@ -2065,6 +2079,7 @@ def test_retrain_self_heal_warns_and_cleans_old(spark, tmp_path):
     assert glob.glob(root + ".staged-*") == []
 
 
+@pytest.mark.slow
 def test_lifecycle_query_audit_action_counts(spark, monkeypatch):
     """r13 audit-action fusion: the two lifecycle queries with fused
     driver audits — corpus_attach_judge_semantic (planted-recall audit

@@ -21,7 +21,38 @@ from etl_weather_data_pipeline_spark.schemas import TESTDATA_TABLES
 from tests.conftest import SF_ORACLE, SF_SMOKE
 
 _REG = entry_mod._REGISTRY
-ORACLED = [n for n, q in _REG.items() if q.oracle is not None]
+
+# Heaviest parity params (>= ~25s for the two-SF pair in the r15
+# baseline durations run) — marked `slow` so the DEFAULT tier finishes
+# inside the driver's verify timeout (see pytest.ini). These queries
+# are NOT less covered overall: the full tier runs them every round,
+# and the driver's own DuckDB gate re-checks every window query at
+# sf0.01 independently of pytest.
+_SLOW_PARITY = {
+    "corpus_funnel_merge_state",
+    "corpus_neardup_merge_state",
+    "corpus_merge_state",
+    "neardup_cluster_keep",
+    "doc_neardup_clusters",
+    "corpus_dedup_funnel_attached",
+    "corpus_store_maintenance",
+    "doc_minhash_jaccard_estimate",
+    "corpus_dedup_funnel",
+    "corpus_dedup_funnel_blocked",
+    "ann_ivf_index_topk",
+    "corpus_curation_pipeline_v2",
+    "corpus_attach_judge_semantic",
+    "neardup_transitivity_stats",
+    "doc_ngram_jaccard_pairs",
+    "doc_jaccard_pairs",
+    "corpus_crash_recovery_audit",
+    "corpus_semdedup_global",
+}
+ORACLED = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+    for n, q in _REG.items()
+    if q.oracle is not None
+]
 
 
 # Both scale factors: SF_SMOKE for speed, SF_ORACLE because that is the SF

@@ -1064,6 +1064,7 @@ def test_kmeans_centroid_memo_shared_across_consumers(spark):
         AR.release_shared_artifacts()
 
 
+@pytest.mark.slow
 def test_centroid_memo_timed_consumers_share_one_training_pass(spark):
     """r12 verdict directive #6: the centroid memo's Lloyd-dedup claim
     must be visible in a TIMED path. Bench accounting (bench.py):

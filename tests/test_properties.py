@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -338,6 +340,7 @@ _doc_text = st.lists(
 
 @settings(max_examples=5, deadline=None)
 @given(st.lists(_doc_text, min_size=2, max_size=14))
+@pytest.mark.slow
 def test_neardup_merge_no_false_drops(spark, texts):
     """Arbitrary tiny-vocabulary corpora (forced collisions) through the
     near-dup merge sink, split into two batches. Invariants that must
@@ -409,6 +412,7 @@ def test_neardup_merge_no_false_drops(spark, texts):
 
 @settings(max_examples=3, deadline=None)
 @given(st.lists(_doc_text, min_size=3, max_size=12))
+@pytest.mark.slow
 def test_neardup_sink_matches_funnel_across_batch_orders(spark, texts):
     """Admission equivalence under multi-batch arrival (r6 verdict
     directive): split one corpus into k=3 batches and feed them through

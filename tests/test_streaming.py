@@ -787,6 +787,7 @@ def test_compact_corpus_side_tables(spark, tmp_path):
     assert merge_batch_neardup_into_corpus(replay, store, band_buckets=4) == 0
 
 
+@pytest.mark.slow
 def test_compact_ivf_index_folds_cell_files(spark, tmp_path):
     """Stage-4 index maintenance (the vectors_ivf branch of
     compact_corpus_side_tables, previously only reachable in
@@ -1070,6 +1071,7 @@ def _words(prefix, n):
     return " ".join(f"{prefix}{i}" for i in range(n))
 
 
+@pytest.mark.slow
 def test_funnel_merge_sink_blocks_shared_passages(spark, tmp_path):
     """Stage-3 streaming dedup (passage_min_run): a batch doc sharing a
     long VERBATIM passage with a stored doc — but with enough unique
@@ -1330,6 +1332,7 @@ def test_side_table_bucket_count_mismatch_rewrites(spark, tmp_path):
     assert ids == {1, 2, 3, 11}, ids
 
 
+@pytest.mark.slow
 def test_winnow_backfill_restores_stage3_coverage(spark, tmp_path):
     """r7 ADVICE (low): survivors appended while passage_min_run was OFF
     get no _winnow rows, and the existing-table branch never backfills
@@ -1469,9 +1472,12 @@ def test_funnel_merge_action_discipline(spark, tmp_path, monkeypatch):
     as FEW times as possible. Pin the structure: per steady-state merge
     with the passage stage on, exactly 4 localCheckpoints (the stage-2
     lineage cut, the survivor set, band rows, winnow rows) and exactly
-    7 persists (the fingerprinted batch — history=True only, r13: the
+    10 persists (the fingerprinted batch — history=True only, r13: the
     history count now warms the cache the fresh probe reads instead of
-    re-hashing the input; fresh; bands table bt; and the passage
+    re-hashing the input; fresh; bands table bt; the r15 multi-consumer
+    intermediates — the vs-store band candidates, the verify token
+    sets, and the flagged passage candidates, each consumed by 2-3
+    branches that re-ran their subtrees unpersisted; and the passage
     stage's shared rolling-hash / winnow-fingerprint / pruned-store-
     winnow-slice / gram frames — the pruned slice is the r13
     single-scan store probe) — a regression to the
@@ -1515,9 +1521,10 @@ def test_funnel_merge_action_discipline(spark, tmp_path, monkeypatch):
     ) == 1
     monkeypatch.undo()
     assert len(ckpts) == 4, [c.columns for c in ckpts]
-    assert len(persists) == 7, [p.columns for p in persists]
+    assert len(persists) == 10, [p.columns for p in persists]
 
 
+@pytest.mark.slow
 def test_semantic_stage_drops_embedding_neardups(spark, tmp_path):
     """Stage 4 (opt-in embedding_col): near-identical EMBEDDINGS are
     dropped even when their texts share nothing (stages 1-3 blind to
@@ -1614,6 +1621,7 @@ def test_semantic_stage_drops_embedding_neardups(spark, tmp_path):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_ivf_index_compaction_and_coverage_audit(spark, tmp_path):
     """Operational closure of the stage-4 side index: (a) repeated
     incremental adds leave one file per touched cell per batch and
@@ -1835,6 +1843,7 @@ def test_semantic_stage_cell_population_stop_bound(spark, tmp_path):
     } == {0, 1, 10, 11, 12, 13, 14}
 
 
+@pytest.mark.slow
 def test_semdedup_global_pass_closes_perbatch_gap(spark, tmp_path):
     """r10 verdict directive #5 — the gap -> audit -> re-judge round
     trip, live: per-batch stage 4 judges only against cells FROZEN at
@@ -1992,6 +2001,7 @@ def test_semantic_bootstrap_dim_tie_breaks_larger(spark, tmp_path):
     assert {r["doc_id"] for r in missing.collect()} == {0, 1}
 
 
+@pytest.mark.slow
 def test_judge_batch_against_store_attaches_artifacts(spark, tmp_path):
     from tests.conftest import SF_SMOKE
     from pyspark.sql import functions as F
@@ -2099,6 +2109,7 @@ def test_judge_batch_requires_side_tables(spark, tmp_path):
         C.judge_batch_against_store(docs, str(tmp_path / "nope"))
 
 
+@pytest.mark.slow
 def test_streaming_merge_per_batch_probe_volumes(spark, tmp_path):
     """r11 verdict directive #3 (volume pin behind the measured
     amortization curve, COVERAGE.md r12): per-batch probe volumes must
