@@ -6424,7 +6424,14 @@ def corpus_attach_judge_semantic(spark, sf_dir):
         # join of the appended ids with the judge's survivors — a null
         # flag on either side is a divergence (old shape: two anti-join
         # counts over the same pair of frames).
-        em = (
+        # ONE crossJoined action for the post-merge checks (r15,
+        # verdict #3): the judge==merge symmetric difference and the
+        # base count are independent 1-row aggregates over frames that
+        # both exist after the equivalence merge — folding them saves
+        # one full per-action planning gap. (The planted-recall audit
+        # above CANNOT join this fuse: its `indexed` frame must
+        # evaluate BEFORE the second merge appends to the index.)
+        em_agg = (
             appended.withColumn("__a", F.lit(True))
             .join(
                 surv.withColumn("__s", F.lit(True)),
@@ -6435,15 +6442,17 @@ def corpus_attach_judge_semantic(spark, sf_dir):
                 F.sum(F.col("__s").isNull().cast("long")).alias("x"),
                 F.sum(F.col("__a").isNull().cast("long")).alias("m"),
             )
-            .first()
         )
+        em = em_agg.crossJoin(
+            base.agg(F.count(F.lit(1)).alias("__nb"))
+        ).first()
         n_extra, n_missed = em["x"] or 0, em["m"] or 0
         matches = bool(
             n_merged == rep["n_survivors"]
             and n_extra == 0
             and n_missed == 0
         )
-        n_base = base.count()
+        n_base = em["__nb"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bands_table_name(store)}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -8411,18 +8420,29 @@ def corpus_semdedup_global(spark, sf_dir):
         pairs = AX.semdedup_global_audit(
             spark, root, threshold=0.95, n_probe=2
         )
-        n_rec = pairs.filter(
+        # ONE crossJoined audit action (r15, verdict #3 — the
+        # corpus_store_maintenance born-fused shape): the recall count,
+        # the base/planted counts, and the post-retrain index
+        # consistency counts are three independent 1-row aggregates
+        # over frames that all exist NOW (audit pairs checkpoint, the
+        # raw embeddings, the post-swap store), so they fold into a
+        # single .first() instead of three driver actions each paying
+        # the per-action planning gap. The recall term stays a FILTER
+        # + count (NOT sum-of-condition): the planted-pair predicate
+        # must push below the audit's distinct/self-join — measured
+        # r15: the sum-of-condition form kept the full pair join alive
+        # and ran the whole entry 1.7x SLOWER; the filter form is the
+        # fuse that actually wins (interleaved min-of-4: 9.49 -> 8.46).
+        cents = AX.read_ivf_centroid_matrix(spark, root)
+        rec_agg = pairs.filter(
             (F.col("id_b") >= 1000000)
             & (F.col("id_a") == F.col("id_b") - 1000000)
-        ).count()
-        # fused scans (one action apiece, r13: per-action planning tax)
-        base_row = emb.agg(
+        ).agg(F.count(F.lit(1)).alias("n_rec"))
+        base_agg = emb.agg(
             F.count(F.lit(1)).alias("n_base"),
             F.sum((F.col("vec_id") % 10 == 0).cast("long")).alias("n_p"),
-        ).first()
-        n_base, n_planted = base_row["n_base"], base_row["n_p"] or 0
-        cents = AX.read_ivf_centroid_matrix(spark, root)
-        idx_row = AX.read_ivf_vectors(spark, root).agg(
+        )
+        idx_agg = AX.read_ivf_vectors(spark, root).agg(
             F.sum(
                 (
                     ~F.col("cell").eqNullSafe(
@@ -8435,9 +8455,12 @@ def corpus_semdedup_global(spark, sf_dir):
             F.sum((F.col("vec_id") >= 1000000).cast("long")).alias(
                 "n_pi"
             ),
-        ).first()
-        n_bad = idx_row["n_bad"] or 0
-        n_planted_indexed = idx_row["n_pi"] or 0
+        )
+        row = base_agg.crossJoin(rec_agg).crossJoin(idx_agg).first()
+        n_base, n_planted = row["n_base"], row["n_p"] or 0
+        n_rec = row["n_rec"]
+        n_bad = row["n_bad"] or 0
+        n_planted_indexed = row["n_pi"] or 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.range(1).select(

@@ -1310,34 +1310,61 @@ def merge_batch_neardup_into_corpus(
     fresh = None
     extra_persists: list[DataFrame] = []
     try:
-        if history:
-            # The history count is the only consumer that forces the
-            # fingerprinted batch twice (its own count + the fresh-probe
-            # materialization re-scanned and re-hashed the input —
-            # measured ~2s apiece on a full sf0.1 batch, r12 verdict
-            # directive #4). Persist so the count warms the cache the
-            # probe then reads; released in the finally with the other
-            # per-batch caches — the count ACTION runs inside this try
-            # so a failed first job cannot leak the cached plan across
-            # foreachBatch retries.
-            batch_cached = batch = batch.persist()
-        n_batch = batch.count() if history else 0
         rn = F.row_number().over(
             Window.partitionBy("fingerprint").orderBy(F.col(id_col))
         )
-        batch = (
-            batch.withColumn("__rn", rn)
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
         store_docs = _read_parquet_if_exists(spark, path)
+        # Flag-form stage 1 (r15, verdict #3 — the r13 flagged-join
+        # technique applied to the per-merge history counts): instead
+        # of counting the batch and the probed survivors in TWO
+        # actions, annotate every batch row with its dedup rank and a
+        # store-hit flag and fold both counts into ONE aggregate.
+        # The probe keeps the _probe_fresh locality contract exactly —
+        # the store side scans (column-pruned) against the broadcast
+        # batch keys and never shuffles; only the flag attachment
+        # differs (broadcast left join + null filter instead of a
+        # left_anti, equal because the hit set is key-distinct).
+        flagged = batch.withColumn("__rn", rn)
         if store_docs is not None:
-            # zero store-side shuffle; store is the idempotency truth
-            fresh = _probe_fresh(batch, store_docs.select("fingerprint"))
+            bkeys = batch.select("fingerprint").distinct()
+            hit = store_docs.select("fingerprint").join(
+                F.broadcast(bkeys), "fingerprint", "left_semi"
+            )
+            # .distinct(): a store with duplicate fingerprints (never
+            # written by this sink, but attachable) must not duplicate
+            # batch rows through the left join — the anti-join this
+            # replaces was insensitive to build-side multiplicity
+            flagged = flagged.join(
+                F.broadcast(
+                    hit.distinct().withColumn("__hit", F.lit(True))
+                ),
+                "fingerprint",
+                "left",
+            )
         else:
-            fresh = batch
-        fresh = fresh.persist()
-        n_after_exact = fresh.count() if history else 0
+            flagged = flagged.withColumn(
+                "__hit", F.lit(None).cast("boolean")
+            )
+        fresh_cond = (F.col("__rn") == 1) & F.col("__hit").isNull()
+        if history:
+            # ONE action for both history counts; the persist warms the
+            # cache the survivor filter below then reads (the r12/r13
+            # one-scan-one-hash discipline), released in the finally —
+            # the aggregate ACTION runs inside this try so a failed
+            # first job cannot leak the cached plan across foreachBatch
+            # retries.
+            batch_cached = flagged = flagged.persist()
+            counts = flagged.agg(
+                F.count(F.lit(1)).alias("__nb"),
+                F.sum(fresh_cond.cast("long")).alias("__na"),
+            ).first()
+            n_batch = counts["__nb"]
+            n_after_exact = counts["__na"] or 0
+        else:
+            n_batch = n_after_exact = 0
+        fresh = (
+            flagged.filter(fresh_cond).drop("__rn", "__hit").persist()
+        )
         # --- near-dup stage over the exact-stage survivors ---
         sig = minhash_signatures(
             fresh, text_col, id_col, num_hashes, hash_family=hash_family
@@ -1753,17 +1780,34 @@ def judge_batch_against_store(
     batch = batch_df.filter(F.col(text_col).isNotNull()).withColumn(
         "fingerprint", TX.fingerprint(F.col(text_col), hash_family)
     )
-    n_batch = batch.count()
     rn = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     )
-    batch = (
-        batch.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    # flag-form stage 1, ONE action for both report counts (r15,
+    # verdict #3 — same shape and locality contract as the merge
+    # sink's; see the comment there)
+    bkeys = batch.select("fingerprint").distinct()
+    hit = store_docs.select("fingerprint").join(
+        F.broadcast(bkeys), "fingerprint", "left_semi"
     )
-    fresh = _probe_fresh(batch, store_docs.select("fingerprint")).persist()
-    persists: list[DataFrame] = [fresh]
+    flagged = batch.withColumn("__rn", rn).join(
+        F.broadcast(hit.distinct().withColumn("__hit", F.lit(True))),
+        "fingerprint",
+        "left",
+    ).persist()
+    fresh_cond = (F.col("__rn") == 1) & F.col("__hit").isNull()
+    persists: list[DataFrame] = [flagged]
     try:
-        n_after_exact = fresh.count()
+        counts = flagged.agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.sum(fresh_cond.cast("long")).alias("__na"),
+        ).first()
+        n_batch = counts["__nb"]
+        n_after_exact = counts["__na"] or 0
+        fresh = (
+            flagged.filter(fresh_cond).drop("__rn", "__hit").persist()
+        )
+        persists.append(fresh)
         # --- stage 2: same probe/verify shapes as the merge sink's
         # near-dup stage, with the store side attached (never rebuilt)
         sig = minhash_signatures(

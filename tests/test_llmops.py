@@ -2081,13 +2081,15 @@ def test_retrain_self_heal_warns_and_cleans_old(spark, tmp_path):
 
 @pytest.mark.slow
 def test_lifecycle_query_audit_action_counts(spark, monkeypatch):
-    """r13 audit-action fusion: the two lifecycle queries with fused
-    driver audits — corpus_attach_judge_semantic (planted-recall audit
-    4 actions -> 1, judge==merge symmetric difference 2 -> 1) and
-    corpus_semdedup_global (base/planted counts 2 -> 1, index
-    consistency counts 2 -> 1) — must keep issuing exactly THREE
-    top-level driver actions each (one recall/audit aggregate, one
-    equivalence/index aggregate, one base count); corpus_store_maintenance
+    """r13/r15 audit-action fusion: the two lifecycle queries with
+    fused driver audits — corpus_attach_judge_semantic (r13:
+    planted-recall audit 4 actions -> 1, judge==merge symmetric
+    difference 2 -> 1; r15: symdiff + base count crossJoin-fused ->
+    TWO total — the recall audit cannot join the fuse because its
+    `indexed` frame must evaluate BEFORE the second merge appends to
+    the index) and corpus_semdedup_global (r13: base/planted 2 -> 1,
+    index consistency 2 -> 1; r15: recall + base + index crossJoined
+    -> ONE total); corpus_store_maintenance
     (born fused) exactly ONE (feeds x winnow-symdiff x probe-flags in a
     single crossJoined aggregate). Every action re-plans
     its analyzed tree on the driver (the measured r9/r13 per-action
@@ -2123,8 +2125,8 @@ def test_lifecycle_query_audit_action_counts(spark, monkeypatch):
         monkeypatch.setattr(DataFrame, n, make_spy(n))
     try:
         for qname, expected in (
-            ("corpus_attach_judge_semantic", 3),
-            ("corpus_semdedup_global", 3),
+            ("corpus_attach_judge_semantic", 2),
+            ("corpus_semdedup_global", 1),
             ("corpus_store_maintenance", 1),
             # r14: born fused like the maintenance query — every
             # convergence symdiff + feed count in one crossJoined .first()

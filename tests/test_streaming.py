@@ -1472,9 +1472,10 @@ def test_funnel_merge_action_discipline(spark, tmp_path, monkeypatch):
     as FEW times as possible. Pin the structure: per steady-state merge
     with the passage stage on, exactly 4 localCheckpoints (the stage-2
     lineage cut, the survivor set, band rows, winnow rows) and exactly
-    10 persists (the fingerprinted batch — history=True only, r13: the
-    history count now warms the cache the fresh probe reads instead of
-    re-hashing the input; fresh; bands table bt; the r15 multi-consumer
+    10 persists (the flagged fingerprinted batch — history=True only;
+    r15: ONE fused aggregate computes both history counts over it and
+    warms the cache the survivor filter reads; fresh; bands table bt;
+    the r15 multi-consumer
     intermediates — the vs-store band candidates, the verify token
     sets, and the flagged passage candidates, each consumed by 2-3
     branches that re-ran their subtrees unpersisted; and the passage
