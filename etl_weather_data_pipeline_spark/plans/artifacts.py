@@ -129,7 +129,6 @@ def _get(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
         if key in _ARTIFACTS:
             return _ARTIFACTS[key]
         _evict_over_budget()
-        _BUILD_COUNTS[name] = _BUILD_COUNTS.get(name, 0) + 1
     # build outside the lock so concurrent _get calls for DIFFERENT
     # artifacts overlap (build_all's thread pool); a same-key race can
     # only double-build a bit-identical frame — the loser unpersists
@@ -138,7 +137,16 @@ def _get(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
         if key in _ARTIFACTS:
             built.unpersist()
             return _ARTIFACTS[key]
+        if sf_key not in _SF_LRU:
+            # the sf_dir was evicted/released while this build was in
+            # flight — registering now would orphan the entry outside
+            # the LRU budget; hand the frame back uncached instead
+            built.unpersist()
+            return built
         _ARTIFACTS[key] = built
+        # the bump rides REGISTRATION so a same-key race counts one
+        # training pass (the documented pin), not one per racing thread
+        _BUILD_COUNTS[name] = _BUILD_COUNTS.get(name, 0) + 1
     return built
 
 
@@ -152,13 +160,19 @@ def _get_literal(spark: SparkSession, sf_dir: str, name: str, build):
         if key in _DRIVER_ARTIFACTS:
             return _DRIVER_ARTIFACTS[key]
         _evict_over_budget()
-        _BUILD_COUNTS[name] = _BUILD_COUNTS.get(name, 0) + 1
     built = build()
     with _REG_LOCK:
         # deterministic training: a same-key race built the identical
-        # literal, so last-write-wins is value-neutral
-        _DRIVER_ARTIFACTS.setdefault(key, built)
-        return _DRIVER_ARTIFACTS[key]
+        # literal, so returning either copy is value-neutral
+        if key in _DRIVER_ARTIFACTS:
+            return _DRIVER_ARTIFACTS[key]
+        if sf_key not in _SF_LRU:
+            # evicted/released mid-build — don't orphan an entry
+            # outside the LRU budget; the literal is still usable
+            return built
+        _DRIVER_ARTIFACTS[key] = built
+        _BUILD_COUNTS[name] = _BUILD_COUNTS.get(name, 0) + 1
+        return built
 
 
 def shared_rolling_hashes(

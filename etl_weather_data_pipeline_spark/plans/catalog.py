@@ -77,10 +77,16 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         )
         if not zpath.exists():
             tmp = zpath.with_suffix(f".{uuid.uuid4().hex}.tmp")
-            with zipfile.ZipFile(tmp, "w") as z:
-                for p in sorted(pkg_dir.rglob("*.py")):
-                    z.write(p, p.relative_to(pkg_dir.parent))
-            tmp.replace(zpath)
+            try:
+                with zipfile.ZipFile(tmp, "w") as z:
+                    for p in sorted(pkg_dir.rglob("*.py")):
+                        z.write(p, p.relative_to(pkg_dir.parent))
+                tmp.replace(zpath)
+            finally:
+                # a failed build must not strand the uuid-unique tmp
+                # (nothing else ever matches its name); after a
+                # successful replace this is a no-op
+                tmp.unlink(missing_ok=True)
         spark.sparkContext.addPyFile(str(zpath))
         spark._etl_pyfiles_added = True
 

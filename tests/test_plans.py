@@ -1179,5 +1179,48 @@ def test_build_all_overlap_builds_each_artifact_once(spark):
         keys = [k for k in AR._ARTIFACTS if k[2] == "token_sets"]
         assert len(keys) == 1, list(AR._ARTIFACTS)
         assert all(df.count() == n_docs for df in dfs)
+        # (d) r15 advice: the same-key race above must bump the build
+        # counter ONCE (the bump rides registration, not per thread)
+        assert AR._BUILD_COUNTS["token_sets"] - before.get(
+            "token_sets", 0
+        ) == 2, AR._BUILD_COUNTS["token_sets"]  # build_all + the race
+    finally:
+        AR.release_shared_artifacts()
+
+
+def test_artifact_registry_eviction_during_inflight_build(spark):
+    """r15 advice: a build in flight when its sf_dir is evicted or the
+    registry is released must NOT re-register after the clear (the entry
+    would escape the LRU budget and 'release everything'). The built
+    frame is still returned — usable, just uncached — and an
+    unregistered build does not bump the counter pin."""
+    from etl_weather_data_pipeline_spark.plans import artifacts as AR
+
+    AR.release_shared_artifacts()
+    try:
+        def sneaky():
+            df = AR._docs(spark, SF_SMOKE).limit(1)
+            # simulate eviction landing between build and registration
+            # (builds run outside the lock, so this is the real window)
+            AR.release_shared_artifacts()
+            return df
+
+        out = AR._get(spark, SF_SMOKE, "evict_probe", sneaky)
+        assert out.count() == 1  # frame handed back, still usable
+        assert all(k[2] != "evict_probe" for k in AR._ARTIFACTS), list(
+            AR._ARTIFACTS
+        )
+        assert AR._BUILD_COUNTS.get("evict_probe", 0) == 0
+
+        def sneaky_lit():
+            AR.release_shared_artifacts()
+            return ("literal",)
+
+        lit = AR._get_literal(spark, SF_SMOKE, "evict_probe_lit", sneaky_lit)
+        assert lit == ("literal",)
+        assert all(
+            k[2] != "evict_probe_lit" for k in AR._DRIVER_ARTIFACTS
+        ), list(AR._DRIVER_ARTIFACTS)
+        assert AR._BUILD_COUNTS.get("evict_probe_lit", 0) == 0
     finally:
         AR.release_shared_artifacts()
